@@ -1,0 +1,42 @@
+"""Composite operators the engine adds on top of raw pyspark.sql.
+
+Each is a plan *fragment builder*: DataFrame in → DataFrame out, fully
+declarative so Catalyst can optimize across the boundary.
+"""
+
+from audience_finder_pro_spark.operators.keyword_match import (
+    keyword_theta_join,
+    first_match_wins,
+    all_matches_agg,
+)
+from audience_finder_pro_spark.operators.topk import top_k_per_group
+from audience_finder_pro_spark.operators.asof import asof_join, range_join
+from audience_finder_pro_spark.operators.dedup import (
+    exact_dedup,
+    ngram_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_buckets,
+    simhash_candidate_pairs,
+)
+from audience_finder_pro_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from audience_finder_pro_spark.operators.sessionize import sessionize
+
+__all__ = [
+    "keyword_theta_join",
+    "first_match_wins",
+    "all_matches_agg",
+    "top_k_per_group",
+    "asof_join",
+    "range_join",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_buckets",
+    "simhash_candidate_pairs",
+    "brute_force_topk",
+    "lsh_bucketed_topk",
+    "sessionize",
+]

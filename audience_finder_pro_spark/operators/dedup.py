@@ -1,0 +1,260 @@
+"""Deduplication tier (SURVEY §2.4 A9; LLM-data-pipeline north star).
+
+Four strategies, all shuffle-disciplined for the 100 TB design point:
+
+- exact_dedup: hash-groupBy on a normalized-text fingerprint. One
+  shuffle on the 16-byte hash (not the text!), map-side partial
+  aggregation for the min-doc-id representative pick.
+- ngram_jaccard_pairs: exact Jaccard over word-shingle sets via an
+  inverted-index self-join. Skew control: document-frequency cap drops
+  stopword-like shingles before the join (a hot shingle is exactly a
+  skewed join key at scale).
+- minhash_lsh_pairs: MinHash signatures (pure xxhash64 expressions — no
+  Python, no ml.Vectors) banded into LSH buckets; candidate pairs from
+  bucket equi-join, then exact-Jaccard verification of candidates only.
+  This is the scale path: cost ~ O(candidates), not O(n²).
+- simhash_buckets: 64-bit SimHash per doc from per-token hash bit votes
+  (explode → single groupBy with 64 codegen'd bit-sum expressions),
+  bucketed on the top-16-bit prefix for near-dup candidate generation.
+
+Only exact_dedup is DuckDB-oracle-checkable (md5 matches across
+engines); the approximate ops are verified by planted-pair recall in
+tests (SURVEY §7.4 hard part 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from audience_finder_pro_spark.functions.text import norm_text_hash, shingles, tokens
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One representative row (min id) per normalized-text fingerprint.
+
+    Deterministic representative choice (min id) instead of Spark's
+    arbitrary-row dropDuplicates — required for oracle hash-match.
+    """
+    h = df.withColumn("text_hash", norm_text_hash(text_col))
+    reps = h.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
+    # self-join back on the (tiny) representative set to recover full rows
+    return h.join(reps, ["text_hash", id_col], "left_semi")
+
+
+def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int, df_cap: int | None) -> DataFrame:
+    """Inverted index: (shingle, id), stopword-like shingles optionally dropped."""
+    idx = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias("shingle"))
+    )
+    if df_cap is not None:
+        hot = idx.groupBy("shingle").count().filter(F.col("count") > df_cap).select("shingle")
+        idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
+    return idx
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard ≥ threshold.
+
+    Inverted-index join: pairs only materialize for docs sharing ≥1
+    shingle. ``df_cap`` prunes ubiquitous shingles — the skew/blowup
+    control at scale.
+    """
+    sizes = df.select(
+        F.col(id_col), F.size(F.array_distinct(shingles(tokens(text_col), n))).alias("n_sh")
+    )
+    idx = _shingle_index(df, id_col, text_col, n, df_cap)
+    a = idx.alias("a")
+    b = idx.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def _minhash_signature(sh: Column, num_hashes: int) -> Column:
+    """array<bigint> of length num_hashes: min over shingles of seeded xxhash64."""
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash banding, verified by exact Jaccard.
+
+    bands=16 × rows=4 over 64 hashes → S-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
+    Jaccard. All hashing is xxhash64 expressions inside codegen; the only
+    shuffles are the band-bucket groupBy and the final verification join.
+    """
+    rows_per_band = num_hashes // bands
+    sh = F.array_distinct(shingles(tokens(text_col), n))
+    sig = df.select(
+        F.col(id_col),
+        _minhash_signature(sh, num_hashes).alias("sig"),
+    ).filter(F.size(F.col("sig")) > 0)
+
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+    # verify candidates with exact Jaccard (join back to shingle sets)
+    shdf = df.select(F.col(id_col), sh.alias("sh"))
+    verified = (
+        cand.join(shdf.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(shdf.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def simhash_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """64-bit SimHash per doc + a bucket key (top prefix_bits) for blocking.
+
+    Bit votes: explode tokens once, xxhash64 each, then a single groupBy
+    computing all 64 bit-majorities as codegen'd sums — no Python.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    hashed = tok.withColumn("h", F.xxhash64("tok"))
+    bit_votes = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}") for i in range(64)
+    ]
+    voted = hashed.groupBy(id_col).agg(F.count("*").alias("n_tok"), *bit_votes)
+    simhash = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") * 2 > F.col("n_tok"), F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        simhash = term if simhash is None else simhash + term
+    return voted.select(
+        F.col(id_col),
+        simhash.alias("simhash"),
+        F.shiftrightunsigned(simhash, 64 - prefix_bits).alias("bucket"),
+    )
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Near-dup candidates by banded SimHash: split the 64-bit signature
+    into ``bands`` equal slices; two docs are candidates when ANY slice
+    matches exactly (pigeonhole: ≤ bands-1 differing bits always match).
+
+    This is the hamming-space analogue of MinHash banding — single-prefix
+    blocking misses any pair whose differing bits land in the prefix.
+    Optionally post-filters candidates to ``max_hamming`` true distance.
+    """
+    sh = simhash_buckets(df, id_col, text_col).select(id_col, "simhash")
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("slice"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "simhash", "bs.band", "bs.slice")
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+    )
+    if max_hamming is not None:
+        cand = cand.filter(F.col("hamming") <= max_hamming)
+    return cand.select("id_a", "id_b", "hamming")

@@ -1,0 +1,166 @@
+"""Embedding similarity search (SURVEY §2.4 A10; LLM-pipeline north star).
+
+- brute_force_topk: query set × corpus crossJoin with the (small) query
+  side broadcast, cosine as pure zip_with/aggregate expressions, top-k
+  per query via window rank. At 100 TB of embeddings this is a single
+  narrow pass over the corpus — no corpus shuffle; the only shuffle is
+  the per-query top-k (tiny: ≤ n_queries × candidates rows after a
+  per-partition pre-prune would be the next optimization).
+- lsh_bucketed_topk: random-hyperplane (sign) LSH — deterministic
+  seeded hyperplanes generated from xxhash64, bucket = sign-bit string.
+  Probe joins only its bucket (+ optional multi-probe neighbors),
+  turning O(n_q × n) into O(n_q × n / 2^bits) at some recall cost.
+  Recall vs brute force is asserted in tests (planted-pair style).
+- cosine_neardup_pairs: near-duplicate detection over embeddings with
+  label blocking (the generic scale path would block on LSH buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from audience_finder_pro_spark.functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query vector. Query side must be small (broadcast)."""
+    paired = corpus.crossJoin(F.broadcast(queries))
+    scored = paired.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(query_vec_col), F.col(vec_col)).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, F.round("cosine_sim", 4).alias("cosine_sim"), "rnk")
+    )
+
+
+def _sign_lsh_bits(vec: Column, dim: int, n_bits: int, table: int = 0) -> Column:
+    """Random-hyperplane LSH bucket id from deterministic ±1 hyperplanes.
+
+    Hyperplane component (table, b, i) = +1 if xxhash64(table, b, i) is
+    even else -1 — reproducible anywhere, no stored model. Dot products
+    are higher-order folds; everything stays in codegen.
+    """
+    bucket = None
+    for b in range(n_bits):
+        # deterministic pseudo-random ±1 vector for hyperplane (table, b)
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: F.when(
+                        F.xxhash64(F.lit(table), F.lit(b), i) % 2 == 0, F.lit(1.0)
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        bucket = term if bucket is None else bucket + term
+    return bucket
+
+
+def _multi_table_buckets(vec: Column, dim: int, n_bits: int, n_tables: int) -> Column:
+    """array<struct<tbl, bucket>> — one bucket per LSH table. Multi-table
+    probing is the standard recall lever: a neighbor missed by one table's
+    random cut is caught by another (recall ≈ 1-(1-p^bits)^tables)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _sign_lsh_bits(vec, dim, n_bits, table=t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate cosine top-k: multi-table LSH equi-join, exact rerank.
+
+    Scale path for when the query side is too big to broadcast: both
+    sides bucket per table (corpus storage ×n_tables, the classic LSH
+    trade), the join is a plain shuffle equi-join on (table, bucket),
+    candidates are deduped and reranked with the exact cosine.
+    """
+    cb = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(_multi_table_buckets(F.col(vec_col), dim, n_bits, n_tables)).alias("tb"),
+    ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.explode(_multi_table_buckets(F.col(query_vec_col), dim, n_bits, n_tables)).alias("tb"),
+    ).select(query_id_col, query_vec_col, "tb.tbl", "tb.bucket")
+    cand = (
+        cb.join(qb, ["tbl", "bucket"])
+        .select(query_id_col, query_vec_col, id_col, vec_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(query_vec_col), F.col(vec_col)).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, F.round("cosine_sim", 4).alias("cosine_sim"), "rnk")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine_sim) pairs above threshold, blocked on block_col.
+
+    Blocking bounds the pair blowup; swap block_col for an LSH bucket
+    (``_sign_lsh_bits``) when no natural blocking key exists.
+    """
+    a = df.select(
+        F.col(block_col).alias("_blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = df.select(
+        F.col(block_col).alias("_blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
+    )

@@ -1,0 +1,200 @@
+"""The reference's two analytic programs as declarative Spark plans.
+
+- ``discover_communities`` ← ``find_communities_hybrid``
+  (/root/reference/app.py:31-72): three tagged sources unioned, merged
+  per community (groupBy + collect_set replaces the dict-upsert at
+  app.py:42-52), scored by tag weights (app.py:22-27), ranked
+  (app.py:71), serialized like app.py:68.
+- ``scan_signals`` ← ``find_buying_signals`` (app.py:74-151) + the
+  caller's union loop (app.py:294-303): per-subreddit top-k posts,
+  tombstone filters, keyword theta-join (all-matches for posts
+  app.py:98, first-match-wins for comments app.py:132-142), one signal
+  row per hit.
+
+Determinism deviations from the ref (documented per SURVEY §7.4):
+- Members comes from the subreddits dim, not "first sighting" arrival
+  order (A2); first-match-wins is pinned by kw_pos (J2); every sort
+  ends in a unique key; tag/keyword sets serialize sorted.
+
+Scale shape: the keyword/query side is broadcast (no corpus shuffle);
+the only wide exchanges are the per-community aggregation and the
+per-group top-k windows — both keyed on low-skew ids. The ref's
+sequential per-subreddit loop (app.py:294) becomes one partitioned plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from audience_finder_pro_spark.functions.text import norm_ws
+from audience_finder_pro_spark.operators.keyword_match import (
+    all_matches_agg,
+    first_match_wins,
+    keyword_theta_join,
+)
+from audience_finder_pro_spark.operators.topk import top_k_per_group
+from audience_finder_pro_spark.plans.views import keywords_df, reddit_views
+
+# tag weights, ref app.py:24-26
+TAG_DIRECT = "Direct Search"
+TAG_POST = "Relevant Post"
+TAG_COMMENT = "Relevant Comment"
+
+
+def discover_communities(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: list[str],
+    comment_limit: int = 20,
+) -> DataFrame:
+    """Ranked community table (schema per SURVEY §1.2, app.py:72)."""
+    v = reddit_views(spark, sf_dir)
+    subs, posts, comments = v["subreddits"], v["posts"], v["comments"]
+    qdf = keywords_df(spark, sorted(queries))  # canonical query order, ref app.py:205
+
+    # Source 1 — direct name search (app.py:39-43), u_ filter (app.py:41)
+    direct = (
+        subs.filter(~F.col("name").startswith("u_"))
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.contains(F.lower("name"), F.lower("keyword")))
+        .select(F.col("name").alias("community"), F.col("keyword").alias("query"), F.lit(TAG_DIRECT).alias("found_via"))
+    )
+
+    # Source 2 — post text search (app.py:47-52), u_/NSFW filters (app.py:49)
+    post_hits = (
+        posts.filter(~F.col("over18"))
+        .filter(~F.col("subreddit").startswith("u_"))
+        .crossJoin(F.broadcast(qdf))
+        .filter(
+            F.contains(F.lower(norm_ws("title")), F.lower("keyword"))
+            | F.contains(F.lower(norm_ws("selftext")), F.lower("keyword"))
+        )
+        .select(F.col("subreddit").alias("community"), F.col("keyword").alias("query"), F.lit(TAG_POST).alias("found_via"))
+    )
+
+    # Source 3 — sampled comments (app.py:55-59): first `comment_limit`
+    # comments per post by position; existential semi-join semantics —
+    # the ref breaks on first hit, so a community+query pair appears once.
+    sampled = top_k_per_group(
+        comments, ["post_id"], [F.col("pos").asc(), F.col("comment_id").asc()], comment_limit
+    )
+    comment_hits = (
+        sampled.join(posts.select("post_id", "subreddit", "over18"), "post_id")
+        .filter(~F.col("over18"))
+        .filter(~F.col("subreddit").startswith("u_"))
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.contains(F.lower(norm_ws("body")), F.lower("keyword")))
+        .select(F.col("subreddit").alias("community"), F.col("keyword").alias("query"), F.lit(TAG_COMMENT).alias("found_via"))
+        .distinct()
+    )
+
+    tagged = direct.unionByName(post_hits).unionByName(comment_hits)
+
+    # J4/A1/A6: merge by community; score = Σ distinct-tag weights (app.py:22-27)
+    merged = tagged.groupBy("community").agg(
+        F.array_sort(F.collect_set("found_via")).alias("tags"),
+        F.array_join(F.array_sort(F.collect_set("found_via")), ", ").alias("found_via"),
+        F.array_join(F.array_sort(F.collect_set("query")), ", ").alias("found_by_keywords"),
+    )
+    score = (
+        F.when(F.array_contains("tags", TAG_DIRECT), 1).otherwise(0)
+        + F.when(F.array_contains("tags", TAG_POST), 2).otherwise(0)
+        + F.when(F.array_contains("tags", TAG_COMMENT), 3).otherwise(0)
+    )
+
+    out = (
+        merged.join(F.broadcast(subs.select(F.col("name").alias("community"), "subscribers")), "community", "left")
+        .select(
+            F.concat(F.lit("r/"), F.col("community")).alias("community"),
+            score.cast("int").alias("relevance_score"),
+            F.col("found_via"),
+            F.col("found_by_keywords"),
+            F.col("subscribers").alias("members"),
+            F.concat(F.lit("https://www.reddit.com/r/"), F.col("community")).alias("community_link"),
+            F.concat(F.lit("https://www.reddit.com/r/"), F.col("community"), F.lit("/top/?t=month")).alias(
+                "top_posts_link"
+            ),
+        )
+        .orderBy(F.desc("relevance_score"), F.desc("members"), F.asc("community"))
+    )
+    return out
+
+
+def scan_signals(
+    spark: SparkSession,
+    sf_dir: str,
+    subreddits: list[str],
+    keywords: list[str],
+    post_limit: int = 50,
+    comment_limit: int = 100,
+) -> DataFrame:
+    """Signal rows (Subreddit, Match, Type, Text, Author, Link) — app.py:100-141."""
+    v = reddit_views(spark, sf_dir)
+    posts, comments = v["posts"], v["comments"]
+    kdf = keywords_df(spark, keywords)
+
+    # normalize 'r/' prefixes in the input list (app.py:296)
+    wanted = [s.replace("r/", "") for s in subreddits]
+
+    # S3/W1: top-k posts per subreddit by score (app.py:83), deterministic tiebreak
+    top_posts = top_k_per_group(
+        posts.filter(F.col("subreddit").isin(wanted)),
+        ["subreddit"],
+        [F.col("score").desc(), F.col("post_id").asc()],
+        post_limit,
+    )
+
+    # post path: tombstone filter (app.py:93), all-matches set (app.py:98,102)
+    live_posts = top_posts.filter(
+        F.col("author").isNotNull() & (F.col("author") != "[deleted]")
+    ).withColumn("content", norm_ws(F.concat_ws(" ", "title", "selftext")))
+    post_pairs = live_posts.crossJoin(F.broadcast(kdf)).filter(
+        F.contains(F.lower("content"), F.lower("keyword"))
+    )
+    post_matches = all_matches_agg(post_pairs, ["post_id"], out_col="matched")
+    post_signals = (
+        live_posts.join(post_matches, "post_id")
+        .select(
+            F.col("subreddit").alias("signal_subreddit"),
+            F.col("matched"),
+            F.lit("Post").alias("signal_type"),
+            norm_ws("title").alias("signal_text"),
+            F.col("author"),
+            F.col("permalink").alias("link"),
+            F.col("post_id").alias("src_id"),
+        )
+    )
+
+    # comment path: first `comment_limit` per top post (app.py:115-116),
+    # tombstone/empty filters (app.py:121-129), first-match-wins (app.py:132-142)
+    sampled = top_k_per_group(
+        comments.join(top_posts.select("post_id", "subreddit"), "post_id"),
+        ["post_id"],
+        [F.col("pos").asc(), F.col("comment_id").asc()],
+        comment_limit,
+    )
+    live_comments = (
+        sampled.filter(F.col("author").isNotNull() & (F.col("author") != "[deleted]"))
+        .filter(~F.col("body").isin("[deleted]", "[removed]"))
+        .withColumn("norm_body", norm_ws("body"))
+        .filter(F.length("norm_body") > 0)
+    )
+    comment_pairs = live_comments.crossJoin(F.broadcast(kdf)).filter(
+        F.contains(F.lower("norm_body"), F.lower("keyword"))
+    )
+    comment_first = first_match_wins(comment_pairs, "comment_id", "kw_pos")
+    comment_signals = comment_first.select(
+        F.col("subreddit").alias("signal_subreddit"),
+        F.col("keyword").alias("matched"),
+        F.lit("Comment").alias("signal_type"),
+        F.col("norm_body").alias("signal_text"),
+        F.col("author"),
+        F.col("permalink").alias("link"),
+        F.col("comment_id").alias("src_id"),
+    )
+
+    # U1 + deterministic total order
+    return post_signals.unionByName(comment_signals).orderBy(
+        "signal_subreddit", "signal_type", "src_id"
+    )

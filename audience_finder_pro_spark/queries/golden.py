@@ -1,0 +1,180 @@
+"""Reference-behavior golden queries (SURVEY §5 test strategy item 2).
+
+The two reference pipelines run against the Reddit-shaped views
+(plans/views.py) with pinned parameters; the DuckDB oracle rebuilds the
+identical views as CTEs and mirrors every step, quirks included:
+score weights 1/2/3 (app.py:24-26), sorted tag serialization
+(app.py:68), all-matches posts (app.py:98), first-match-wins comments
+(app.py:142), u_/NSFW/tombstone/blank filters (app.py:41,49,93,121-129).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from audience_finder_pro_spark.functions.text import norm_ws
+from audience_finder_pro_spark.operators.keyword_match import keyword_theta_join
+from audience_finder_pro_spark.plans.audience import discover_communities, scan_signals
+from audience_finder_pro_spark.plans.views import ORACLE_VIEW_CTES, keywords_df
+from audience_finder_pro_spark.session import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+SIGNAL_SUBREDDITS = ["r/src1", "src2", "src3", "src4", "src5"]
+SIGNAL_KEYWORDS = ["spark", "vector", "dup", "slow merge"]
+DISCOVERY_QUERIES = ["spark", "src1", "vector"]
+
+_KW_VALUES = ", ".join(f"({i + 1}, '{kw}')" for i, kw in enumerate(SIGNAL_KEYWORDS))
+_Q_VALUES = ", ".join(f"({i + 1}, '{q}')" for i, q in enumerate(sorted(DISCOVERY_QUERIES)))
+
+_NORM = "trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+
+
+_SIGNAL_ORACLE = f"""
+WITH {ORACLE_VIEW_CTES.strip()},
+keywords(kw_pos, keyword) AS (SELECT * FROM (VALUES {_KW_VALUES})),
+top_posts AS (
+  SELECT * FROM posts
+  WHERE subreddit IN ('src1', 'src2', 'src3', 'src4', 'src5')
+  QUALIFY row_number() OVER (PARTITION BY subreddit ORDER BY score DESC, post_id) <= 50
+),
+live_posts AS (
+  SELECT *, {_NORM.format(c="title || ' ' || selftext")} AS content
+  FROM top_posts
+  WHERE author IS NOT NULL AND author <> '[deleted]'
+),
+post_matches AS (
+  SELECT p.post_id, string_agg(DISTINCT k.keyword, ', ' ORDER BY k.keyword) AS matched
+  FROM live_posts p JOIN keywords k ON contains(lower(p.content), lower(k.keyword))
+  GROUP BY p.post_id
+),
+post_signals AS (
+  SELECT p.subreddit AS signal_subreddit, m.matched, 'Post' AS signal_type,
+         {_NORM.format(c="p.title")} AS signal_text, p.author, p.permalink AS link,
+         p.post_id AS src_id
+  FROM live_posts p JOIN post_matches m ON p.post_id = m.post_id
+),
+sampled AS (
+  SELECT c.*, t.subreddit FROM comments c JOIN top_posts t ON c.post_id = t.post_id
+  QUALIFY row_number() OVER (PARTITION BY c.post_id ORDER BY c.pos, c.comment_id) <= 100
+),
+live_comments AS (
+  SELECT *, {_NORM.format(c="body")} AS norm_body
+  FROM sampled
+  WHERE author IS NOT NULL AND author <> '[deleted]'
+    AND body NOT IN ('[deleted]', '[removed]')
+    AND length({_NORM.format(c="body")}) > 0
+),
+comment_first AS (
+  SELECT * FROM (
+    SELECT c.subreddit, c.norm_body, c.author, c.permalink, c.comment_id, k.keyword,
+           row_number() OVER (PARTITION BY c.comment_id ORDER BY k.kw_pos) AS rn
+    FROM live_comments c JOIN keywords k ON contains(lower(c.norm_body), lower(k.keyword))
+  ) WHERE rn = 1
+),
+comment_signals AS (
+  SELECT subreddit AS signal_subreddit, keyword AS matched, 'Comment' AS signal_type,
+         norm_body AS signal_text, author, permalink AS link, comment_id AS src_id
+  FROM comment_first
+)
+SELECT * FROM post_signals UNION ALL SELECT * FROM comment_signals
+"""
+
+
+@_q("signal_scan", _SIGNAL_ORACLE)
+def signal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query — the reference's opportunity scan end-to-end (SURVEY §7.1)."""
+    return scan_signals(
+        spark,
+        sf_dir,
+        subreddits=SIGNAL_SUBREDDITS,
+        keywords=SIGNAL_KEYWORDS,
+        post_limit=50,
+        comment_limit=100,
+    )
+
+
+_DISCOVERY_ORACLE = f"""
+WITH {ORACLE_VIEW_CTES.strip()},
+queries(kw_pos, keyword) AS (SELECT * FROM (VALUES {_Q_VALUES})),
+direct AS (
+  SELECT s.name AS community, q.keyword AS query, 'Direct Search' AS found_via
+  FROM subreddits s JOIN queries q ON contains(lower(s.name), lower(q.keyword))
+  WHERE NOT starts_with(s.name, 'u_')
+),
+post_hits AS (
+  SELECT p.subreddit AS community, q.keyword AS query, 'Relevant Post' AS found_via
+  FROM posts p JOIN queries q
+    ON (contains(lower({_NORM.format(c="p.title")}), lower(q.keyword))
+        OR contains(lower({_NORM.format(c="p.selftext")}), lower(q.keyword)))
+  WHERE NOT p.over18 AND NOT starts_with(p.subreddit, 'u_')
+),
+sampled AS (
+  SELECT * FROM comments
+  QUALIFY row_number() OVER (PARTITION BY post_id ORDER BY pos, comment_id) <= 20
+),
+comment_hits AS (
+  SELECT DISTINCT p.subreddit AS community, q.keyword AS query, 'Relevant Comment' AS found_via
+  FROM sampled c
+  JOIN posts p ON c.post_id = p.post_id
+  JOIN queries q ON contains(lower({_NORM.format(c="c.body")}), lower(q.keyword))
+  WHERE NOT p.over18 AND NOT starts_with(p.subreddit, 'u_')
+),
+tagged AS (
+  SELECT * FROM direct
+  UNION ALL SELECT * FROM post_hits
+  UNION ALL SELECT * FROM comment_hits
+),
+merged AS (
+  SELECT community,
+         string_agg(DISTINCT found_via, ', ' ORDER BY found_via) AS found_via,
+         string_agg(DISTINCT query, ', ' ORDER BY query) AS found_by_keywords,
+         max(CASE WHEN found_via = 'Direct Search' THEN 1 ELSE 0 END)
+         + 2 * max(CASE WHEN found_via = 'Relevant Post' THEN 1 ELSE 0 END)
+         + 3 * max(CASE WHEN found_via = 'Relevant Comment' THEN 1 ELSE 0 END) AS relevance_score
+  FROM tagged GROUP BY community
+)
+SELECT 'r/' || m.community AS community,
+       CAST(m.relevance_score AS INT) AS relevance_score,
+       m.found_via,
+       m.found_by_keywords,
+       s.subscribers AS members,
+       'https://www.reddit.com/r/' || m.community AS community_link,
+       'https://www.reddit.com/r/' || m.community || '/top/?t=month' AS top_posts_link
+FROM merged m LEFT JOIN subreddits s ON s.name = m.community
+"""
+
+
+@_q("community_discovery", _DISCOVERY_ORACLE)
+def community_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return discover_communities(spark, sf_dir, queries=DISCOVERY_QUERIES, comment_limit=20)
+
+
+@_q(
+    "keyword_doc_freq",
+    f"""
+    WITH keywords(kw_pos, keyword) AS (SELECT * FROM (VALUES {_KW_VALUES}))
+    SELECT k.keyword, count(*) AS n_docs
+    FROM documents d
+    JOIN keywords k ON contains(lower({_NORM.format(c="d.text")}), lower(k.keyword))
+    GROUP BY k.keyword
+    """,
+)
+def keyword_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 in isolation: broadcast theta-join document frequency per keyword."""
+    docs = load_table(spark, sf_dir, "documents")
+    kdf = keywords_df(spark, SIGNAL_KEYWORDS)
+    pairs = keyword_theta_join(docs, kdf, text_col="text")
+    return pairs.groupBy("keyword").agg(F.count("*").alias("n_docs"))

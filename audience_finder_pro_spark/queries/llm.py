@@ -1,0 +1,429 @@
+"""LLM-data-pipeline declared queries (north star tier):
+
+dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), embedding
+similarity search (brute-force + LSH), text analysis (stats, language
+ID, quality, fingerprints, token counting), multimodal binary-column
+plumbing.
+
+Oracle notes: exact/deterministic ops hash-match DuckDB (md5/sha256 are
+engine-independent). MinHash/SimHash/LSH use xxhash64 (Spark-side only)
+→ declared without oracle SQL; the driver records rows-only checks and
+tests/test_llm_ops.py asserts planted-pair recall against the exact
+variants instead (SURVEY §7.4 hard part 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from audience_finder_pro_spark.functions.text import norm_text_hash, norm_ws, shingles, tokens
+from audience_finder_pro_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from audience_finder_pro_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    lsh_bucketed_topk,
+)
+from audience_finder_pro_spark.session import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------- A9 exact dedup
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_hash,
+           min(doc_id) AS doc_id
+    FROM documents
+    GROUP BY text_hash
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    reps = exact_dedup(docs, "text", "doc_id")
+    return reps.select("text_hash", "doc_id")
+
+
+# ---------------------------------------------------------------- A9 duplicate groups
+@_q(
+    "dedup_groups",
+    """
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS representative_id
+    FROM documents
+    GROUP BY text_hash
+    HAVING count(*) > 1
+    """,
+)
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster inventory — the 'what did dedup remove' report."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_hash", norm_text_hash("text"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("representative_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------- A9 n-gram Jaccard
+@_q(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS tok
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tok) - 2, 0) + 1),
+               i -> array_to_string(list_slice(tok, i, i + 2), ' ')
+             )) AS shingles
+      FROM toks
+    ),
+    idx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM common
+    JOIN (SELECT doc_id, len(shingles) AS n_sh FROM sh) sa ON sa.doc_id = id_a
+    JOIN (SELECT doc_id, len(shingles) AS n_sh FROM sh) sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+# ---------------------------------------------------------------- A9 MinHash (no oracle)
+@_q("dedup_minhash_lsh", None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate generation is approximate (xxhash64 MinHash bands); the
+    emitted pairs are exact-Jaccard-verified, recall asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+# ---------------------------------------------------------------- A9 SimHash (no oracle)
+@_q("dedup_simhash", None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_buckets(docs)
+
+
+# ---------------------------------------------------------------- A10 brute-force ANN
+_ANN_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+         AS sim
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, round(sim, 4) AS cosine_sim, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk FROM scored)
+WHERE rnk <= 10
+"""
+
+
+@_q("ann_cosine_topk", _ANN_ORACLE)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(emb, queries, k=10)
+
+
+# ---------------------------------------------------------------- A10 LSH ANN (no oracle)
+@_q("ann_lsh_topk", None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed approximate variant; recall vs ann_cosine_topk asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_bucketed_topk(emb, queries, k=10, n_bits=4)
+
+
+# ---------------------------------------------------------------- A9/A10 embedding near-dup
+_NEARDUP_ORACLE = """
+WITH e AS (SELECT label, vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+       , 4) AS cosine_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+      >= 0.9
+"""
+
+
+@_q("embedding_cosine_neardup", _NEARDUP_ORACLE)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.9, block_col="label")
+
+
+# ---------------------------------------------------------------- F17 text stats
+@_q(
+    "text_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS tok
+      FROM documents
+    )
+    SELECT d.doc_id,
+           length(d.text) AS n_chars,
+           len(t.tok) AS n_tokens,
+           len(list_distinct(t.tok)) AS n_distinct_tokens,
+           round(len(list_distinct(t.tok)) / len(t.tok), 4) AS type_token_ratio,
+           round(list_sum(list_transform(t.tok, x -> length(x))) / len(t.tok), 4) AS avg_token_len,
+           round(len(list_filter(t.tok, x -> x IN ('the', 'a'))) / len(t.tok), 4) AS stopword_ratio
+    FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    n_tok = F.size(tok)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tok)).cast("long").alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(tok)) / n_tok, 4).alias("type_token_ratio"),
+        F.round(
+            F.aggregate(tok, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)) / n_tok, 4
+        ).alias("avg_token_len"),
+        F.round(F.size(F.filter(tok, lambda x: x.isin("the", "a"))) / n_tok, 4).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- F17 language ID
+@_q(
+    "lang_id",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS tok
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN len(list_filter(tok, x -> x IN ('the', 'a'))) / len(tok) >= 0.05
+                THEN 'en' ELSE 'unk' END AS predicted_lang,
+           round(len(list_filter(tok, x -> x IN ('the', 'a'))) / len(tok), 4) AS en_score
+    FROM toks
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language ID heuristic (deterministic, oracle-checkable).
+
+    The fixture vocabulary is English-ish for every row, so the heuristic
+    is exercised via its score, not its accuracy against `lang`.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    en_score = F.size(F.filter(tok, lambda x: x.isin("the", "a"))) / F.size(tok)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(en_score >= 0.05, "en").otherwise("unk").alias("predicted_lang"),
+        F.round(en_score, 4).alias("en_score"),
+    )
+
+
+# ---------------------------------------------------------------- F17 fingerprints
+@_q(
+    "doc_fingerprint",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS tok
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(tok) - 2, 0) + 1),
+                            i -> array_to_string(list_slice(tok, i, i + 2), ' ')) AS shingles
+      FROM toks
+    )
+    SELECT d.doc_id,
+           md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g')))) AS full_hash,
+           list_min(list_transform(s.shingles, x -> md5(x))) AS min_shingle_hash
+    FROM documents d JOIN sh s ON d.doc_id = s.doc_id
+    WHERE len(s.shingles) > 0
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: full-text hash + min hash over shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(tokens("text"), 3)
+    return (
+        docs.select(
+            "doc_id",
+            norm_text_hash("text").alias("full_hash"),
+            F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("min_shingle_hash"),
+            F.size(sh).alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        .drop("_n")
+    )
+
+
+# ---------------------------------------------------------------- F17 quality score
+@_q(
+    "quality_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS tok
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             least(len(tok) / 100.0, 1.0) AS len_score,
+             len(list_distinct(tok)) / len(tok) AS ttr,
+             len(list_filter(tok, x -> x IN ('the', 'a'))) / len(tok) AS stop_ratio
+      FROM toks
+    )
+    SELECT doc_id,
+           round(0.4 * len_score + 0.4 * ttr + 0.2 * (1 - stop_ratio), 4) AS quality,
+           CASE WHEN 0.4 * len_score + 0.4 * ttr + 0.2 * (1 - stop_ratio) >= 0.5 THEN 'keep'
+                ELSE 'drop' END AS verdict
+    FROM feat
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    len_score = F.least(F.size(tok) / 100.0, F.lit(1.0))
+    ttr = F.size(F.array_distinct(tok)) / F.size(tok)
+    stop_ratio = F.size(F.filter(tok, lambda x: x.isin("the", "a"))) / F.size(tok)
+    q = 0.4 * len_score + 0.4 * ttr + 0.2 * (1 - stop_ratio)
+    return docs.select(
+        "doc_id",
+        F.round(q, 4).alias("quality"),
+        F.when(q >= 0.5, "keep").otherwise("drop").alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------- F17 token counting
+@_q(
+    "token_count",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS tok,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(tok)) AS BIGINT) AS total_words,
+           CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS est_subword_tokens
+    FROM toks GROUP BY source
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + a chars/4 BPE-ish subword estimate, per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    return (
+        docs.select("source", F.size(tok).alias("n_words"), F.length("text").alias("n_chars"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum(F.ceil(F.col("n_chars") / 4.0)).cast("long").alias("est_subword_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- D4 multimodal metadata
+@_q(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha256,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary multimodal convention: payload BinaryType + typed metadata.
+
+    The fixture has no real media, so the payload is the UTF-8 text bytes;
+    the plumbing (binary column, byte length, content hash, media-type
+    dispatch) is exactly what a real 100 TB media table needs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("content_sha256"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+    )
+
+
+# ---------------------------------------------------------------- D4 decode pipeline (no oracle)
+@_q("multimodal_decode", None)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode/feature-extract plumbing with a deterministic stub decoder.
+
+    Real image/audio libs are absent in this container (SURVEY env
+    constraints), so decode is a deterministic fake over the payload
+    bytes; the Spark-side contract — Arrow batch iterator in/out, schema,
+    binary handling — is real. See multimodal.py for the stub boundary.
+    """
+    from audience_finder_pro_spark.multimodal import decode_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+    )
+    return decode_features(payload)

@@ -1,0 +1,738 @@
+"""Relational-core declared queries (SURVEY §2.2-2.7: P, J, A, W, O, U families).
+
+Each query exercises one operator family over the TPC-H-ish fixtures and
+carries its DuckDB oracle SQL. Plans are declarative DataFrame code —
+Catalyst handles pushdown/pruning/join strategy; dimension sides are
+explicitly broadcast where provably small (region/nation/customer vs
+lineitem at any SF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from audience_finder_pro_spark.operators.asof import asof_join, range_join
+from audience_finder_pro_spark.operators.sessionize import sessionize
+from audience_finder_pro_spark.operators.topk import top_k_per_group
+from audience_finder_pro_spark.session import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------- A7/F14/O1
+@_q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter (pushed to parquet) → hash agg (partial+final)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- J5 star join
+@_q(
+    "q02_revenue_by_nation",
+    """
+    SELECT r_name AS region_name, n_name AS nation_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact lineitem keeps its partitioning; every dim is broadcast —
+    zero shuffle until the final (small-key) aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- J5 + O5 top-k
+@_q(
+    "q03_top_orders",
+    """
+    SELECT o_orderkey, strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS order_date,
+           c_mktsegment AS mktsegment,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, order_date, c_mktsegment
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit → TakeOrderedAndProject (heap, no full sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- J6 semi
+@_q(
+    "q04_semi_join",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------- J6 anti
+@_q(
+    "q05_anti_join",
+    """
+    SELECT c_mktsegment AS mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------- J8 cross
+@_q(
+    "q06_cross_join",
+    """
+    SELECT a.r_name AS region_a, b.r_name AS region_b
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey <> b.r_regionkey
+    """,
+)
+def q06_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    a = region.alias("a")
+    b = region.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.r_regionkey") != F.col("b.r_regionkey"))
+        .select(F.col("a.r_name").alias("region_a"), F.col("b.r_name").alias("region_b"))
+    )
+
+
+# ---------------------------------------------------------------- J7 range join
+@_q(
+    "q07_range_join",
+    """
+    SELECT strftime(bucket_start, '%Y-%m-%d') AS day, event_type,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM events
+    JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-29', INTERVAL 1 DAY)) AS bucket_start) b
+      ON ts >= bucket_start AND ts < bucket_start + INTERVAL 1 DAY
+    GROUP BY day, event_type
+    """,
+)
+def q07_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via the bucketized equi-join path of operators.asof.range_join."""
+    events = load_table(spark, sf_dir, "events")
+    buckets = spark.sql(
+        """
+        SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+                                timestamp'2024-02-29 00:00:00', interval 1 day)) AS bucket_start
+        """
+    ).withColumn("bucket_end", F.col("bucket_start") + F.expr("interval 1 day"))
+    joined = range_join(events, buckets, "ts", "bucket_start", "bucket_end", bucket_width_expr="86400")
+    return joined.groupBy(
+        F.date_format("bucket_start", "yyyy-MM-dd").alias("day"), F.col("event_type")
+    ).agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+# ---------------------------------------------------------------- J7 as-of join
+@_q(
+    "q08_asof_join",
+    """
+    SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           e.event_type, round(p.value, 4) AS last_purchase_value
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q08_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of via the scalable union+window pattern (operators.asof.asof_join)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    joined = asof_join(
+        events.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        ["user_id"],
+        "ts",
+        "ts",
+        ["last_purchase_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+        F.round("last_purchase_value", 4).alias("last_purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------- W1 top-k/group
+@_q(
+    "q09_window_topk",
+    """
+    SELECT c_mktsegment AS mktsegment, o_orderkey, round(o_totalprice, 4) AS totalprice, rnk
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rnk <= 3
+    """,
+)
+def q09_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    out = top_k_per_group(
+        joined,
+        ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+        rank_col="rnk",
+    )
+    return out.select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("totalprice"),
+        "rnk",
+    )
+
+
+# ---------------------------------------------------------------- W2 ranking
+@_q(
+    "q10_window_rank",
+    """
+    SELECT c_custkey, n_name AS nation_name,
+           rank()        OVER w AS rnk,
+           dense_rank()  OVER w AS drnk,
+           ntile(4)      OVER w AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q10_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("nation_name"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- W4 frames
+@_q(
+    "q11_window_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+    FROM orders
+    """,
+)
+def q11_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).alias(
+            "running_total"
+        ),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+    )
+
+
+# ---------------------------------------------------------------- W3 lag sessionize
+@_q(
+    "q12_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def q12_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize(events, "user_id", "ts", 1800)
+    return s.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------- A8 rollup
+@_q(
+    "q13_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------- A8 cube
+@_q(
+    "q14_cube",
+    """
+    SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderpriority)
+    """,
+)
+def q14_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("mktsegment"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n",
+            "total",
+        )
+    )
+
+
+# ---------------------------------------------------------------- A8 grouping sets
+@_q(
+    "q15_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice), 4) AS total_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q15_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_extendedprice), 4) AS total_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------- U3 intersect
+@_q(
+    "q16_intersect",
+    """
+    SELECT n_name AS nation_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+    INTERSECT
+    SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def q16_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).select(
+        F.col("n_name").alias("nation_name")
+    )
+    sn = supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey).select(
+        F.col("n_name").alias("nation_name")
+    )
+    return cn.intersect(sn)
+
+
+# ---------------------------------------------------------------- U3 except
+@_q(
+    "q17_except",
+    """
+    SELECT n_name AS nation_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+    EXCEPT
+    SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def q17_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).select(
+        F.col("n_name").alias("nation_name")
+    )
+    sn = supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey).select(
+        F.col("n_name").alias("nation_name")
+    )
+    return cn.subtract(sn)  # distinct EXCEPT semantics, matching SQL EXCEPT
+
+
+# ---------------------------------------------------------------- U1/U2 union+dedup
+@_q(
+    "q18_union_distinct",
+    """
+    SELECT DISTINCT nation_name, role FROM (
+      SELECT n_name AS nation_name, 'customer' AS role
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      UNION ALL
+      SELECT n_name, 'supplier' FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    )
+    """,
+)
+def q18_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).select(
+        F.col("n_name").alias("nation_name"), F.lit("customer").alias("role")
+    )
+    sn = supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey).select(
+        F.col("n_name").alias("nation_name"), F.lit("supplier").alias("role")
+    )
+    return cn.unionByName(sn).distinct()
+
+
+# ---------------------------------------------------------------- A7 stats
+@_q(
+    "q19_distinct_stats",
+    """
+    SELECT c_mktsegment AS mktsegment,
+           count(*) AS n,
+           count(DISTINCT c_nationkey) AS n_nations,
+           round(stddev_samp(c_acctbal), 4) AS sd_bal,
+           round(min(c_acctbal), 4) AS min_bal,
+           round(max(c_acctbal), 4) AS max_bal,
+           round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q19_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+        F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_bal"),
+    )
+
+
+# ---------------------------------------------------------------- F13 date/time
+@_q(
+    "q20_date_funcs",
+    """
+    SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+           EXTRACT(month FROM o_orderdate) AS order_month,
+           count(*) AS n_orders,
+           round(avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))), 4) AS avg_ship_days,
+           strftime(min(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS first_order,
+           strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS last_order
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY order_year, order_month
+    """,
+)
+def q20_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg(F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))), 4).alias(
+                "avg_ship_days"
+            ),
+            F.date_format(F.min(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias("first_order"),
+            F.date_format(F.max(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias("last_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- F14 math
+@_q(
+    "q21_math_funcs",
+    """
+    SELECT p_partkey,
+           round(abs(p_retailprice - 1000), 4) AS abs_delta,
+           CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+           CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+           round(sqrt(p_retailprice), 4) AS sqrt_price,
+           round(ln(p_retailprice), 4) AS ln_price,
+           round(pow(p_size, 2), 4) AS size_sq,
+           round(exp(p_size / 100.0), 4) AS exp_size
+    FROM part WHERE p_retailprice > 0
+    """,
+)
+def q21_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_retailprice") > 0).select(
+        "p_partkey",
+        F.round(F.abs(F.col("p_retailprice") - 1000), 4).alias("abs_delta"),
+        F.floor("p_retailprice").alias("floor_price"),
+        F.ceil("p_retailprice").alias("ceil_price"),
+        F.round(F.sqrt("p_retailprice"), 4).alias("sqrt_price"),
+        F.round(F.log("p_retailprice"), 4).alias("ln_price"),
+        F.round(F.pow("p_size", F.lit(2)), 4).alias("size_sq"),
+        F.round(F.exp(F.col("p_size") / 100.0), 4).alias("exp_size"),
+    )
+
+
+# ---------------------------------------------------------------- F1-F11 strings
+@_q(
+    "q22_string_funcs",
+    """
+    SELECT doc_id,
+           length(text) AS n_len,
+           upper(substr(text, 1, 10)) AS head_upper,
+           replace(substr(text, 1, 40), 'the', '___') AS replaced,
+           reverse(substr(text, 1, 10)) AS head_rev,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+           (lang || ':' || source) AS lang_source,
+           starts_with(source, 'src1') AS is_src1x,
+           CASE WHEN lang IN ('en', 'de') THEN 'germanic' ELSE 'other' END AS lang_family
+    FROM documents
+    """,
+)
+def q22_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_len"),
+        F.upper(F.substring("text", 1, 10)).alias("head_upper"),
+        F.replace(F.substring("text", 1, 40), F.lit("the"), F.lit("___")).alias("replaced"),
+        F.reverse(F.substring("text", 1, 10)).alias("head_rev"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.concat("lang", F.lit(":"), "source").alias("lang_source"),
+        F.col("source").startswith("src1").alias("is_src1x"),
+        F.when(F.col("lang").isin("en", "de"), "germanic").otherwise("other").alias("lang_family"),
+    )
+
+
+# ---------------------------------------------------------------- F15 arrays
+@_q(
+    "q23_array_funcs",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           list_contains(toks, 'spark') AS has_spark,
+           array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 5), ',') AS first5,
+           len(list_filter(toks, x -> length(x) > 5)) AS n_long
+    FROM t
+    """,
+)
+def q23_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), ",").alias("first5"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).cast("long").alias("n_long"),
+    )
+
+
+# ---------------------------------------------------------------- F16 JSON
+@_q(
+    "q24_json_funcs",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q24_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.sum(F.when(k > 50, 1).otherwise(0)).cast("long").alias("n_big_k"),
+    )
+
+
+# ---------------------------------------------------------------- F12 CASE bands
+@_q(
+    "q25_case_scoring",
+    """
+    SELECT c_mktsegment AS mktsegment,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 3000 THEN 'low'
+                WHEN c_acctbal < 7000 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           count(*) AS n, round(sum(c_acctbal), 4) AS total_bal
+    FROM customer GROUP BY mktsegment, bal_band
+    """,
+)
+def q25_case_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    return customer.groupBy(
+        F.col("c_mktsegment").alias("mktsegment"), band.alias("bal_band")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 4).alias("total_bal"))
+
+
+# ---------------------------------------------------------------- pivot (conditional agg)
+@_q(
+    "q26_pivot",
+    """
+    SELECT l_returnflag AS returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 4) AS qty_open,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 4) AS qty_filled,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q26_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0)), 4).alias(
+            "qty_open"
+        ),
+        F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0)), 4).alias(
+            "qty_filled"
+        ),
+        F.count("*").alias("n"),
+    )

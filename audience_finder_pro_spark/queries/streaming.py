@@ -1,0 +1,125 @@
+"""Streaming-tier declared queries (SURVEY §2.9 T1-T2).
+
+These run the *batch* form of the streaming aggregations — Spark's
+window()/session_window() have identical semantics in batch and
+streaming, so the oracle checks the semantics while
+tests/test_streaming.py replays the same plans through readStream +
+memory sink and asserts batch≡stream (T1-T4, watermarks, stateful dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from audience_finder_pro_spark.session import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------- T1 tumbling
+@_q(
+    "stream_tumbling_agg",
+    """
+    SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 * 1000000 AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour tumbling windows × event_type (epoch-aligned, same as streaming)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------- T1 sliding
+@_q(
+    "stream_sliding_agg",
+    """
+    WITH slides AS (
+      SELECT *, unnest(range(
+        CAST(floor((epoch(ts) - 10800) / 3600) + 1 AS BIGINT),
+        CAST(floor(epoch(ts) / 3600) AS BIGINT) + 1
+      )) AS slide_idx
+      FROM events
+    )
+    SELECT strftime(make_timestamp(slide_idx * 3600 * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM slides
+    GROUP BY window_start
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hour windows sliding hourly: each event lands in 3 windows."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "3 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------- T2 session windows
+@_q(
+    "stream_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(ts, 30 min) per user — gap-merged sessions; the oracle
+    is the lag-gap islands algorithm, proving the two formulations agree."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,86 @@
+"""SparkSession factory + table catalog.
+
+Replaces the reference's Streamlit session/auth state machine
+(/root/reference/app.py:325-348) with a plain SparkSession builder and
+parquet-table registration (SURVEY §3.3/§3.4).
+
+Scale notes (100 TB design point):
+- AQE on: runtime join-strategy switch, skew-join splitting, partition
+  coalescing — the knobs that matter when stats are wrong at scale.
+- shuffle.partitions is sized for local[32] here; on a real cluster it
+  should be ~2-3× total executor cores, and AQE coalescing makes the
+  exact number less critical.
+- Arrow on: every pandas exchange (Pandas UDFs, toPandas on small final
+  results) goes through columnar Arrow batches, not pickled rows.
+- session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle (UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "audience_finder_pro_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    local[N] for tests/bench; on a cluster the master/memory settings come
+    from spark-submit and everything here still applies.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
+        # type for — read as long and convert in load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan — Catalyst pushes filters/column pruning into it."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # nanos → microsecond timestamp (floor), matching DuckDB's ns→µs read
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_catalog(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (SQL + DataFrame access)."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

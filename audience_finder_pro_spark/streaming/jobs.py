@@ -1,0 +1,94 @@
+"""Streaming jobs over the events table (SURVEY §2.9).
+
+The reference is strictly batch; its nearest streaming analogues are
+cancellation flags and progress callbacks (app.py:35-62). This tier is
+the engine's generalization: the same declarative aggregations run
+incrementally with watermark-bounded state.
+
+Scale notes: watermarks bound state size (late rows beyond the horizon
+are dropped, so state never grows unboundedly at 100 TB/day ingest);
+stream-static joins broadcast the static dim per micro-batch;
+dropDuplicatesWithinWatermark keeps only the watermark-window's key set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet-directory stream source (one file = one micro-batch locally);
+    in production this is the Kafka/queue source with the same schema."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/")
+    )
+
+
+def tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T1+T3: watermarked tumbling windows; append-mode emits finalized windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """T2: gap-based session windows with watermark-bounded state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stateful_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T4: exactly-once-per-key within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def stream_static_join(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """T4: stream ⋈ static dim — the dim is re-broadcast per micro-batch."""
+    return events.join(F.broadcast(user_dim), "user_id", "left")
+
+
+def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming plan to completion over the available files and
+    return the SparkSession-queryable memory table name (test harness;
+    production sinks are kafka/parquet/foreachBatch)."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name

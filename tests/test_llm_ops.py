@@ -1,0 +1,131 @@
+"""Planted-pair / recall tests for the approximate LLM-pipeline ops
+(SURVEY §7.4 hard part 3: near-dup & ANN aren't hash-checkable).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from audience_finder_pro_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+    simhash_candidate_pairs,
+)
+from audience_finder_pro_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+from audience_finder_pro_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def docs_with_planted_dups(spark, sf_smoke):
+    """Documents plus near-duplicates: drop the last 2 words of 30 docs —
+    high-Jaccard pairs (planted_id = doc_id + 1_000_000)."""
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    planted = (
+        docs.filter(F.col("doc_id") % 17 == 0)
+        .filter(F.size(toks) > 20)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.array_join(F.slice(toks, 1, F.size(toks) - 2), " ").alias("text"),
+        )
+    )
+    return docs.unionByName(planted), planted.select((F.col("doc_id") - 1_000_000).alias("orig_id"))
+
+
+def test_minhash_recall_vs_exact(spark, docs_with_planted_dups):
+    """MinHash-LSH must recover ≥90% of the exact-Jaccard pairs ≥ 0.7."""
+    docs, _ = docs_with_planted_dups
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    assert exact, "planted duplicates should produce exact pairs"
+    approx = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.7, num_hashes=64, bands=16).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9 ({len(exact)} exact pairs)"
+
+
+def test_minhash_verification_precision(spark, docs_with_planted_dups):
+    """Emitted pairs are exact-verified, so every pair must be ≥ threshold."""
+    docs, _ = docs_with_planted_dups
+    for r in minhash_lsh_pairs(docs, threshold=0.7).collect():
+        assert r.jaccard >= 0.7
+
+
+def test_simhash_banded_candidates_catch_planted_dups(spark, docs_with_planted_dups):
+    """Banded SimHash blocking must surface nearly all planted near-dup pairs
+    (single-prefix blocking provably misses pairs whose differing bits hit
+    the prefix — the banded operator is the blocking that scales)."""
+    docs, planted = docs_with_planted_dups
+    n_planted = planted.count()
+    cand = simhash_candidate_pairs(docs, bands=4, max_hamming=8)
+    hits = cand.filter(F.col("id_b") - F.col("id_a") == 1_000_000).count()
+    assert n_planted > 0 and hits / n_planted >= 0.8, f"simhash recall {hits}/{n_planted}"
+
+
+def test_simhash_signature_close_for_planted_dups(spark, docs_with_planted_dups):
+    """Hamming distance between a doc and its near-dup stays small (≤ 12/64)."""
+    docs, _ = docs_with_planted_dups
+    sh = simhash_buckets(docs).select("doc_id", "simhash")
+    a = sh.filter(F.col("doc_id") < 1_000_000).select(
+        F.col("doc_id").alias("orig_id"), F.col("simhash").alias("s1")
+    )
+    b = sh.filter(F.col("doc_id") >= 1_000_000).select(
+        (F.col("doc_id") - 1_000_000).alias("orig_id"), F.col("simhash").alias("s2")
+    )
+    joined = a.join(b, "orig_id").withColumn(
+        "hd", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    )
+    assert joined.filter(F.col("hd") > 12).count() == 0
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, sf_smoke):
+    """Bucketed ANN top-10 must overlap brute-force top-10 by ≥50% avg
+    (4-bit LSH on 500 vectors — recall bound is loose by design; the
+    exact variant is the correctness path, this is the scale path)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = lsh_bucketed_topk(emb, queries, k=10, n_bits=4).collect()
+    by_q_exact: dict[int, set] = {}
+    for r in exact:
+        by_q_exact.setdefault(r.query_id, set()).add(r.vec_id)
+    by_q_approx: dict[int, set] = {}
+    for r in approx:
+        by_q_approx.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(by_q_exact[q] & by_q_approx.get(q, set())) / len(by_q_exact[q]) for q in by_q_exact
+    ]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.5, f"avg ANN recall {avg:.2f}"
+    # self-match sanity: every query's own vector is its top hit in the exact path
+    for r in exact:
+        if r.rnk == 1:
+            assert r.vec_id == r.query_id
+
+
+def test_multimodal_decode_schema(spark, sf_smoke):
+    """Arrow-batched decode plumbing: stable schema, one row per payload."""
+    from audience_finder_pro_spark.queries.llm import multimodal_decode
+
+    out = multimodal_decode(spark, sf_smoke)
+    assert out.columns == [
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "width",
+        "height",
+        "duration_ms",
+        "feature_norm",
+    ]
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    assert out.count() == n_docs
+    img = out.filter(F.col("media_type") == "image/png").first()
+    assert img.width is not None and img.height is not None and img.duration_ms is None

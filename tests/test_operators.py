@@ -1,0 +1,140 @@
+"""Unit + property tests for engine operators and plumbing
+(SURVEY §5 item 3: dedup idempotence, union commutativity, filter⊆scan,
+top-k tie-break stability; plus sinks/cache/control wrappers).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from audience_finder_pro_spark.cache import TTLCache
+from audience_finder_pro_spark.operators.asof import asof_join
+from audience_finder_pro_spark.operators.dedup import exact_dedup
+from audience_finder_pro_spark.operators.keyword_match import (
+    all_matches_agg,
+    first_match_wins,
+    keyword_theta_join,
+)
+from audience_finder_pro_spark.operators.topk import top_k_per_group
+from audience_finder_pro_spark.session import load_table
+from audience_finder_pro_spark.sources.sinks import to_csv_bytes, write_csv
+
+
+def test_asof_join_micro(spark):
+    """Hand-checked as-of semantics incl. exact-tie (ts equal) inclusion."""
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        "user_id long, t long, tag string",
+    ).withColumn("ts", F.timestamp_seconds("t"))
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 99, 900.0)],
+        "user_id long, t long, val double",
+    ).withColumn("ts", F.timestamp_seconds("t")).select("user_id", "ts", "val")
+    out = asof_join(
+        left.select("user_id", "ts", "tag"), right, ["user_id"], "ts", "ts", ["val"]
+    )
+    got = {r.tag: r.val for r in out.collect()}
+    assert got == {"a": 100.0, "b": 150.0, "c": None, "d": None}
+
+
+def test_topk_tiebreak_stable(spark, sf_smoke):
+    """Same scores must resolve identically across runs (unique tiebreak key)."""
+    orders = load_table(spark, sf_smoke, "orders")
+    a = top_k_per_group(orders, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 2)
+    b = top_k_per_group(orders, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_exact_dedup_idempotent(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    once = exact_dedup(docs)
+    twice = exact_dedup(once.select("doc_id", "text", "lang", "source", "n_chars"))
+    assert once.count() == twice.count()
+
+
+def test_union_commutative_under_canonical_sort(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    ab = sorted(r.doc_id for r in a.unionByName(b).collect())
+    ba = sorted(r.doc_id for r in b.unionByName(a).collect())
+    assert ab == ba
+
+
+def test_filter_subset_of_scan(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem")
+    assert li.filter(F.col("l_quantity") > 25).count() <= li.count()
+
+
+def test_keyword_match_first_vs_all(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta only"), (3, "nothing here")],
+        "doc_id long, text string",
+    )
+    kws = spark.createDataFrame(
+        [(1, "beta"), (2, "alpha")], "kw_pos int, keyword string"
+    )
+    pairs = keyword_theta_join(docs, kws)
+    # all-matches: doc 1 hits both, serialized sorted
+    allm = {r.doc_id: r.matched for r in all_matches_agg(pairs, ["doc_id"], out_col="matched").collect()}
+    assert allm == {1: "alpha, beta", 2: "beta"}
+    # first-match-wins by kw_pos: doc 1 keeps 'beta' (kw_pos 1)
+    first = {r.doc_id: r.keyword for r in first_match_wins(pairs, "doc_id").collect()}
+    assert first == {1: "beta", 2: "beta"}
+
+
+def test_csv_sinks(spark, sf_smoke, tmp_path):
+    df = load_table(spark, sf_smoke, "region")
+    data = to_csv_bytes(df.orderBy("r_regionkey"))
+    assert data.decode("utf-8").splitlines()[0] == "r_regionkey,r_name"
+    out = tmp_path / "csv_out"
+    write_csv(df, str(out))
+    back = spark.read.option("header", True).csv(str(out))
+    assert back.count() == df.count()
+
+
+def test_csv_cap_guard(spark, sf_smoke):
+    from audience_finder_pro_spark.sources import sinks
+
+    df = load_table(spark, sf_smoke, "lineitem")
+    old = sinks.DRIVER_COLLECT_CAP
+    sinks.DRIVER_COLLECT_CAP = 10
+    try:
+        with pytest.raises(ValueError, match="collect cap"):
+            to_csv_bytes(df)
+    finally:
+        sinks.DRIVER_COLLECT_CAP = old
+
+
+def test_ttl_cache(spark, sf_smoke):
+    clock = {"t": 0.0}
+    cache = TTLCache(ttl_seconds=100, clock=lambda: clock["t"])
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return load_table(spark, sf_smoke, "region")
+
+    a = cache.get_or_compute("k", compute)
+    b = cache.get_or_compute("k", compute)
+    assert calls["n"] == 1 and a is b
+    clock["t"] = 200.0  # expired
+    cache.get_or_compute("k", compute)
+    assert calls["n"] == 2
+    cache.invalidate()
+
+
+def test_views_deterministic(spark, sf_smoke):
+    """Reddit-shaped views: planted quirk rows exist (filters P4-P7 exercised)."""
+    from audience_finder_pro_spark.plans.views import reddit_views
+
+    v = reddit_views(spark, sf_smoke)
+    subs = v["subreddits"]
+    assert subs.filter(F.col("name").startswith("u_")).count() > 0
+    assert subs.filter(F.col("over18")).count() > 0
+    posts = v["posts"]
+    assert posts.filter(F.col("author") == "[deleted]").count() > 0
+    comments = v["comments"]
+    assert comments.filter(F.col("body").isin("[deleted]", "[removed]")).count() > 0
+    assert comments.filter(F.col("body") == "").count() > 0

@@ -1,0 +1,26 @@
+"""Differential tests: every declared query with an oracle must hash-match
+DuckDB at sf0.01 — the same gate the driver runs (CORRECTNESS_r{N}.json)."""
+
+from __future__ import annotations
+
+import pytest
+
+from audience_finder_pro_spark.queries import ORACLES, QUERIES
+from tests.oracle import compare
+
+WITH_ORACLE = sorted(ORACLES)
+NO_ORACLE = sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_match(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    compare(df, ORACLES[name], sf_dir, name)
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_rows_only(spark, sf_dir, name):
+    """Non-SQL-expressible ops: plan must execute and yield a stable schema."""
+    df = QUERIES[name](spark, sf_dir)
+    assert df.columns
+    assert df.count() >= 0

@@ -1,0 +1,162 @@
+"""Streaming replay tests (SURVEY §5 item 4, §2.9 T1-T5):
+drive the streaming plans over the events fixture with readStream +
+memory sink and assert equivalence with the batch oracle-checked plans.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from audience_finder_pro_spark.queries.streaming import (
+    stream_session_window,
+    stream_tumbling_agg,
+)
+from audience_finder_pro_spark.session import load_table
+from audience_finder_pro_spark.streaming import (
+    read_events_stream,
+    run_stream_to_memory,
+    session_agg,
+    stateful_dedup,
+    stream_static_join,
+    tumbling_agg,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_smoke, tmp_path_factory):
+    """Split events into several files so the stream sees multiple micro-batches."""
+    out = tmp_path_factory.mktemp("events_stream")
+    load_table(spark, sf_smoke, "events").repartition(4).write.mode("overwrite").parquet(str(out))
+    return str(out)
+
+
+def _read_stream(spark, events_dir):
+    from audience_finder_pro_spark.streaming.jobs import EVENTS_SCHEMA
+
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(events_dir)
+    )
+
+
+def test_tumbling_stream_equals_batch(spark, sf_smoke, events_dir):
+    """T1: watermarked tumbling agg over the replay == batch plan (complete mode
+    so every window is emitted regardless of watermark progress)."""
+    stream = _read_stream(spark, events_dir)
+    name = run_stream_to_memory(tumbling_agg(stream), "t1_out", output_mode="complete")
+    got = _rows(spark.table(name))
+    want = _rows(stream_tumbling_agg(spark, sf_smoke))
+    assert got == want
+
+
+def test_session_stream_equals_batch(spark, sf_smoke, events_dir):
+    """T2: session windows (gap merge) over the replay == batch session_window."""
+    # Files arrive in random time order, so a short watermark would mark most
+    # rows late (session windows filter late input even in complete mode);
+    # use a horizon wider than the fixture's time span to test pure merge logic.
+    stream = _read_stream(spark, events_dir)
+    name = run_stream_to_memory(
+        session_agg(stream, watermark="3650 days"), "t2_out", output_mode="complete"
+    )
+    got = _rows(spark.table(name))
+    want = _rows(stream_session_window(spark, sf_smoke))
+    assert got == want
+
+
+def test_stateful_dedup(spark, events_dir):
+    """T4: duplicated input stream → dropDuplicatesWithinWatermark restores
+    exactly-once per event_id within the watermark horizon."""
+    stream = _read_stream(spark, events_dir)
+    doubled = stream.unionByName(stream)  # every event arrives twice
+    name = run_stream_to_memory(stateful_dedup(doubled), "t4_out", output_mode="append")
+    got = spark.table(name)
+    n_distinct = got.select("event_id").distinct().count()
+    assert got.count() == n_distinct  # no duplicate survived
+
+
+def test_stream_static_join(spark, sf_smoke, events_dir):
+    """T4: stream ⋈ static dim matches the batch join."""
+    user_dim = (
+        load_table(spark, sf_smoke, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("user_tag", F.concat(F.lit("u"), F.col("user_id")))
+    )
+    stream = _read_stream(spark, events_dir)
+    joined = stream_static_join(stream, user_dim).select("event_id", "user_id", "user_tag")
+    name = run_stream_to_memory(joined, "t4b_out", output_mode="append")
+    got = _rows(spark.table(name))
+    want = _rows(
+        stream_static_join(load_table(spark, sf_smoke, "events"), user_dim).select(
+            "event_id", "user_id", "user_tag"
+        )
+    )
+    assert got == want
+
+
+def test_watermark_gates_append_emission(spark, tmp_path):
+    """T3: append-mode windowed aggregation emits exactly the windows the
+    watermark has closed and withholds still-open windows.
+
+    Note: Spark's *drop* of late input is explicitly best-effort (the guarantee
+    is that on-time data is never dropped) — on 4.1.2 a late row for a window
+    with no live state is still aggregated and finalized immediately, so the
+    deterministic, guaranteed semantics to pin are watermark advancement and
+    emission gating."""
+    import time
+    from datetime import datetime
+
+    d = tmp_path / "late"
+    d.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # batch 1: fresh rows advancing the watermark far past the late row
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 10, 12, 0), 1, "view", 1.0, "{}"),
+         (2, datetime(2024, 1, 10, 12, 30), 1, "view", 1.0, "{}")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    # pin micro-batch order: the file source orders files by modification time,
+    # so force batch-1 files older than the late file written next
+    import os
+
+    now = time.time()
+    for p in d.rglob("*"):
+        os.utime(p, (now - 300, now - 300))
+    # batch 2: a row 9 days late — beyond the 1 hour watermark
+    spark.createDataFrame(
+        [(3, datetime(2024, 1, 1, 0, 0), 1, "view", 99.0, "{}")], schema
+    ).coalesce(1).write.mode("append").parquet(str(d))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.sum("value").alias("v"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("ws"), "v")
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName("t3_out").start()
+    q.processAllAvailable()
+    watermark = q.lastProgress["eventTime"].get("watermark", "")
+    q.stop()
+    rows = {r["ws"]: r["v"] for r in spark.table("t3_out").collect()}
+    # batch 1 (12:00/12:30 rows) advanced the watermark to 11:30
+    assert watermark.startswith("2024-01-10T11:30")
+    # the 12:00-18:00 window is still open (end > watermark) → withheld
+    assert "2024-01-10 12:00" not in rows
+    # the late row's window (end 06:00 < watermark) was closed → finalized
+    assert rows == {"2024-01-01 00:00": 99.0}
+
+
+def test_cancellation_and_progress(spark, sf_smoke):
+    """T5: job-group cancellation wrapper + progress snapshot are wired."""
+    from audience_finder_pro_spark.control import job_group, progress_snapshot
+
+    with job_group(spark, "t5-group", "smoke"):
+        n = load_table(spark, sf_smoke, "events").count()
+    assert n > 0
+    snap = progress_snapshot(spark)
+    assert "active_jobs" in snap and "stages" in snap
