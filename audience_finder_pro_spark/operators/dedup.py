@@ -96,13 +96,35 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_signature(sh: Column, num_hashes: int) -> Column:
-    """array<bigint> of length num_hashes: min over shingles of seeded xxhash64."""
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
-            for i in range(num_hashes)
-        ]
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, m0..m{num_hashes-1}) MinHash signature per doc.
+
+    Scale-shaped: the tokenize→shingle pipeline runs ONCE per doc
+    (explode), each shingle is xxhash64'd ONCE, and the num_hashes
+    permutations are cheap fixed-width rehashes ``xxhash64(seed_i, h)``
+    folded by flat min-aggregates in a single groupBy — map-side partial
+    mins make the shuffle carry one 8·num_hashes-byte row per doc per
+    partition. (The naive per-doc form — num_hashes nested lambda
+    transforms over the shingle array — re-runs the regex tokenizer
+    num_hashes× and overflows whole-stage codegen into interpreted
+    evaluation; at sf0.01 that was ~100s vs ~2s for this shape.)
+
+    Docs with fewer than ``n`` tokens have no shingles → no signature row
+    (same exclusion the array form expressed with size(sig) > 0).
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias("shingle"),
+    )
+    hashed = shingled.select(id_col, F.xxhash64("shingle").alias("h"))
+    return hashed.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}") for i in range(num_hashes)]
     )
 
 
@@ -119,14 +141,11 @@ def minhash_lsh_pairs(
 
     bands=16 × rows=4 over 64 hashes → S-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
     Jaccard. All hashing is xxhash64 expressions inside codegen; the only
-    shuffles are the band-bucket groupBy and the final verification join.
+    shuffles are the signature groupBy, the band-bucket self-join, and the
+    final verification join.
     """
     rows_per_band = num_hashes // bands
-    sh = F.array_distinct(shingles(tokens(text_col), n))
-    sig = df.select(
-        F.col(id_col),
-        _minhash_signature(sh, num_hashes).alias("sig"),
-    ).filter(F.size(F.col("sig")) > 0)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
 
     banded = sig.select(
         F.col(id_col),
@@ -135,9 +154,9 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
-                            "bucket"
-                        ),
+                        F.xxhash64(
+                            F.lit(b), *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -159,7 +178,7 @@ def minhash_lsh_pairs(
     )
 
     # verify candidates with exact Jaccard (join back to shingle sets)
-    shdf = df.select(F.col(id_col), sh.alias("sh"))
+    shdf = df.select(F.col(id_col), F.array_distinct(shingles(tokens(text_col), n)).alias("sh"))
     verified = (
         cand.join(shdf.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(shdf.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")

@@ -54,6 +54,35 @@ def first_match_wins(
     )
 
 
+def all_matches_expr(text: Column, keywords: list[str]) -> Column:
+    """Sorted, comma-joined set of every keyword contained in ``text``
+    (case-insensitive) — the plan-time-constant form of J1+A3.
+
+    When the keyword set is known when the plan is built (the reference's
+    case: a UI-entered list, app.py:98), the broadcast theta-join +
+    groupBy collapses to a pure projection over a literal array: zero
+    joins, zero shuffles, evaluated inside whole-stage codegen. Use
+    keyword_theta_join + all_matches_agg when keywords are a table.
+    """
+    kws = F.array(*[F.lit(k) for k in keywords])
+    hit = F.filter(kws, lambda k: F.contains(F.lower(text), F.lower(k)))
+    return F.array_join(F.array_sort(hit), ", ")
+
+
+def first_match_expr(text: Column, keywords: list[str]) -> Column:
+    """First keyword (in list order) contained in ``text``, else NULL — the
+    plan-time-constant form of J1+J2 (ref ``break`` at app.py:142).
+
+    ``coalesce`` evaluates in argument order, which IS first-match-wins;
+    no join, no window, no shuffle. Use keyword_theta_join +
+    first_match_wins when keywords are a table.
+    """
+    return F.coalesce(
+        *[F.when(F.contains(F.lower(text), F.lower(F.lit(k))), F.lit(k)) for k in keywords],
+        F.lit(None).cast("string"),
+    )
+
+
 def all_matches_agg(
     pairs: DataFrame,
     probe_keys: list[str],

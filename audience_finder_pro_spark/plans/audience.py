@@ -24,17 +24,16 @@ sequential per-subreddit loop (app.py:294) becomes one partitioned plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from audience_finder_pro_spark.functions.text import norm_ws
 from audience_finder_pro_spark.operators.keyword_match import (
-    all_matches_agg,
-    first_match_wins,
-    keyword_theta_join,
+    all_matches_expr,
+    first_match_expr,
 )
 from audience_finder_pro_spark.operators.topk import top_k_per_group
-from audience_finder_pro_spark.plans.views import keywords_df, reddit_views
+from audience_finder_pro_spark.plans.views import reddit_views
 
 # tag weights, ref app.py:24-26
 TAG_DIRECT = "Direct Search"
@@ -51,42 +50,50 @@ def discover_communities(
     """Ranked community table (schema per SURVEY §1.2, app.py:72)."""
     v = reddit_views(spark, sf_dir)
     subs, posts, comments = v["subreddits"], v["posts"], v["comments"]
-    qdf = keywords_df(spark, sorted(queries))  # canonical query order, ref app.py:205
+    qs = sorted(queries)  # canonical query order, ref app.py:205
+
+    def hits(df: DataFrame, community_col: str, texts: list, tag: str) -> DataFrame:
+        # J1 with a plan-time-constant query list: filter a literal array and
+        # explode — the matching runs as a projection inside codegen, no join
+        qarr = F.array(*[F.lit(q) for q in qs])
+
+        def any_contains(q):
+            pred = None
+            for t in texts:
+                c = F.contains(F.lower(t), F.lower(q))
+                pred = c if pred is None else (pred | c)
+            return pred
+
+        return df.select(
+            F.col(community_col).alias("community"),
+            F.explode(F.filter(qarr, any_contains)).alias("query"),
+            F.lit(tag).alias("found_via"),
+        )
 
     # Source 1 — direct name search (app.py:39-43), u_ filter (app.py:41)
-    direct = (
-        subs.filter(~F.col("name").startswith("u_"))
-        .crossJoin(F.broadcast(qdf))
-        .filter(F.contains(F.lower("name"), F.lower("keyword")))
-        .select(F.col("name").alias("community"), F.col("keyword").alias("query"), F.lit(TAG_DIRECT).alias("found_via"))
-    )
+    direct = hits(subs.filter(~F.col("name").startswith("u_")), "name", [F.col("name")], TAG_DIRECT)
 
     # Source 2 — post text search (app.py:47-52), u_/NSFW filters (app.py:49)
-    post_hits = (
-        posts.filter(~F.col("over18"))
-        .filter(~F.col("subreddit").startswith("u_"))
-        .crossJoin(F.broadcast(qdf))
-        .filter(
-            F.contains(F.lower(norm_ws("title")), F.lower("keyword"))
-            | F.contains(F.lower(norm_ws("selftext")), F.lower("keyword"))
-        )
-        .select(F.col("subreddit").alias("community"), F.col("keyword").alias("query"), F.lit(TAG_POST).alias("found_via"))
+    post_hits = hits(
+        posts.filter(~F.col("over18")).filter(~F.col("subreddit").startswith("u_")),
+        "subreddit",
+        [norm_ws("title"), norm_ws("selftext")],
+        TAG_POST,
     )
 
     # Source 3 — sampled comments (app.py:55-59): first `comment_limit`
-    # comments per post by position; existential semi-join semantics —
-    # the ref breaks on first hit, so a community+query pair appears once.
+    # comments per post by position; existential semantics (ref breaks on
+    # first hit) fall out of collect_set dedup in the merge below.
     sampled = top_k_per_group(
         comments, ["post_id"], [F.col("pos").asc(), F.col("comment_id").asc()], comment_limit
     )
-    comment_hits = (
+    comment_hits = hits(
         sampled.join(posts.select("post_id", "subreddit", "over18"), "post_id")
         .filter(~F.col("over18"))
-        .filter(~F.col("subreddit").startswith("u_"))
-        .crossJoin(F.broadcast(qdf))
-        .filter(F.contains(F.lower(norm_ws("body")), F.lower("keyword")))
-        .select(F.col("subreddit").alias("community"), F.col("keyword").alias("query"), F.lit(TAG_COMMENT).alias("found_via"))
-        .distinct()
+        .filter(~F.col("subreddit").startswith("u_")),
+        "subreddit",
+        [norm_ws("body")],
+        TAG_COMMENT,
     )
 
     tagged = direct.unionByName(post_hits).unionByName(comment_hits)
@@ -132,7 +139,6 @@ def scan_signals(
     """Signal rows (Subreddit, Match, Type, Text, Author, Link) — app.py:100-141."""
     v = reddit_views(spark, sf_dir)
     posts, comments = v["posts"], v["comments"]
-    kdf = keywords_df(spark, keywords)
 
     # normalize 'r/' prefixes in the input list (app.py:296)
     wanted = [s.replace("r/", "") for s in subreddits]
@@ -145,16 +151,18 @@ def scan_signals(
         post_limit,
     )
 
+    # The keyword list is a plan-time constant (the ref's UI-entered list),
+    # so J1/J2/A3 collapse to projection expressions — zero extra shuffles;
+    # the table-valued operators (keyword_theta_join & co) cover the
+    # dynamic-keyword case elsewhere.
+
     # post path: tombstone filter (app.py:93), all-matches set (app.py:98,102)
     live_posts = top_posts.filter(
         F.col("author").isNotNull() & (F.col("author") != "[deleted]")
     ).withColumn("content", norm_ws(F.concat_ws(" ", "title", "selftext")))
-    post_pairs = live_posts.crossJoin(F.broadcast(kdf)).filter(
-        F.contains(F.lower("content"), F.lower("keyword"))
-    )
-    post_matches = all_matches_agg(post_pairs, ["post_id"], out_col="matched")
     post_signals = (
-        live_posts.join(post_matches, "post_id")
+        live_posts.withColumn("matched", all_matches_expr(F.col("content"), keywords))
+        .filter(F.col("matched") != "")
         .select(
             F.col("subreddit").alias("signal_subreddit"),
             F.col("matched"),
@@ -180,18 +188,18 @@ def scan_signals(
         .withColumn("norm_body", norm_ws("body"))
         .filter(F.length("norm_body") > 0)
     )
-    comment_pairs = live_comments.crossJoin(F.broadcast(kdf)).filter(
-        F.contains(F.lower("norm_body"), F.lower("keyword"))
-    )
-    comment_first = first_match_wins(comment_pairs, "comment_id", "kw_pos")
-    comment_signals = comment_first.select(
-        F.col("subreddit").alias("signal_subreddit"),
-        F.col("keyword").alias("matched"),
-        F.lit("Comment").alias("signal_type"),
-        F.col("norm_body").alias("signal_text"),
-        F.col("author"),
-        F.col("permalink").alias("link"),
-        F.col("comment_id").alias("src_id"),
+    comment_signals = (
+        live_comments.withColumn("matched", first_match_expr(F.col("norm_body"), keywords))
+        .filter(F.col("matched").isNotNull())
+        .select(
+            F.col("subreddit").alias("signal_subreddit"),
+            F.col("matched"),
+            F.lit("Comment").alias("signal_type"),
+            F.col("norm_body").alias("signal_text"),
+            F.col("author"),
+            F.col("permalink").alias("link"),
+            F.col("comment_id").alias("src_id"),
+        )
     )
 
     # U1 + deterministic total order

@@ -22,6 +22,20 @@ from pyspark.sql import functions as F
 
 COMMENT_CHUNK = 10  # words per synthetic comment
 
+# doc-count cache keyed by the parquet input paths: the count is a plan
+# constant (post_id = f(doc_id) % n_docs), and re-running the count job on
+# every view construction costs a driver-blocking action per query
+_N_DOCS_CACHE: dict[tuple[str, ...], int] = {}
+
+
+def _doc_count(documents) -> int:
+    from pyspark.sql import functions as F  # local import keeps module header tidy
+
+    key = tuple(documents.inputFiles())
+    if key not in _N_DOCS_CACHE:
+        _N_DOCS_CACHE[key] = documents.select(F.count("*")).first()[0]
+    return _N_DOCS_CACHE[key]
+
 
 def _src_num(col="source"):
     """source is always 'src' || (doc_id % 20) (verified against all SFs)."""
@@ -67,7 +81,7 @@ def comments_view(documents: DataFrame) -> DataFrame:
     10-word chunks; chunk p of doc d attaches to post (d*31+p*7) % n_docs
     — models the flattened ``comments.list()`` of app.py:55-56,115-116.
     """
-    n_docs = documents.select(F.count("*")).first()[0]
+    n_docs = _doc_count(documents)
     toks = documents.select(
         F.col("doc_id"),
         F.split("text", " ").alias("toks"),
