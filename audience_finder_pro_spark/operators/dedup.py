@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from audience_finder_pro_spark.functions.text import norm_text_hash, shingles, tokens
+from audience_finder_pro_spark.functions.text import (
+    norm_text_hash,
+    shingle_stream,
+    shingles,
+    tokens,
+)
 
 
 def exact_dedup(
@@ -48,9 +53,7 @@ def exact_dedup(
 
 def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int, df_cap: int | None) -> DataFrame:
     """Inverted index: (shingle, id), stopword-like shingles optionally dropped."""
-    idx = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias("shingle"))
-    )
+    idx = shingle_stream(df, id_col, text_col, n).distinct()
     if df_cap is not None:
         hot = idx.groupBy("shingle").count().filter(F.col("count") > df_cap).select("shingle")
         idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
@@ -71,8 +74,10 @@ def ngram_jaccard_pairs(
     shingle. ``df_cap`` prunes ubiquitous shingles — the skew/blowup
     control at scale.
     """
-    sizes = df.select(
-        F.col(id_col), F.size(F.array_distinct(shingles(tokens(text_col), n))).alias("n_sh")
+    sizes = (
+        shingle_stream(df, id_col, text_col, n)
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_sh"))
     )
     idx = _shingle_index(df, id_col, text_col, n, df_cap)
     a = idx.alias("a")
@@ -118,11 +123,10 @@ def minhash_signatures(
     Docs with fewer than ``n`` tokens have no shingles → no signature row
     (same exclusion the array form expressed with size(sig) > 0).
     """
-    shingled = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias("shingle"),
+    hashed = shingle_stream(df, id_col, text_col, n).select(
+        id_col, F.xxhash64("shingle").alias("h")
     )
-    hashed = shingled.select(id_col, F.xxhash64("shingle").alias("h"))
+    # duplicate shingle occurrences don't change a min-fold — no distinct pass
     return hashed.groupBy(id_col).agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}") for i in range(num_hashes)]
     )
@@ -164,21 +168,35 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
-    a = banded.alias("a")
-    b_ = banded.alias("b")
+    # pair generation WITHOUT a self-join: a self-join would execute the whole
+    # signature pipeline twice (no exchange reuse across join branches under
+    # AQE) — instead collect bucket membership once and expand id pairs.
+    # Bucket lists are small by construction (a giant bucket means the band
+    # hash degenerated); the |bucket|² expansion is the LSH candidate set
+    # itself, so it's the algorithm's output size, not overhead.
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # persist: the candidate set is tiny (LSH's whole point) but its lineage
+    # contains the full signature pipeline — the two verification join
+    # branches below would otherwise re-execute that pipeline per branch
     cand = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        buckets.select(F.posexplode("ids").alias("i", "id_a"), "ids")
+        .select("id_a", F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"))
         .distinct()
+        .persist()
     )
 
-    # verify candidates with exact Jaccard (join back to shingle sets)
-    shdf = df.select(F.col(id_col), F.array_distinct(shingles(tokens(text_col), n)).alias("sh"))
+    # verify candidates with exact Jaccard — shingle-set arrays are built only
+    # for docs that appear in a candidate pair (≪ corpus), semi-joined first
+    cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    shdf = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), F.array_distinct(shingles(tokens(text_col), n)).alias("sh"))
+        .persist()
+    )
     verified = (
         cand.join(shdf.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(shdf.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
