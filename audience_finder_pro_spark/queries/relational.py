@@ -85,16 +85,18 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join: fact lineitem keeps its partitioning; every dim is broadcast —
-    zero shuffle until the final (small-key) aggregation."""
+    """Star join. Only constant-size dims (nation=25, region=5 rows at ANY
+    scale factor) carry an explicit broadcast hint; orders/customer scale
+    with SF, so their join strategy is left to AQE — broadcast while they
+    fit under autoBroadcastJoinThreshold, shuffle join at 100 TB."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
@@ -126,8 +128,8 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
         .groupBy(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
@@ -275,7 +277,7 @@ def q08_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q09_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    joined = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
     out = top_k_per_group(
         joined,
         ["c_mktsegment"],
@@ -414,7 +416,7 @@ def q14_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .cube("c_mktsegment", "o_orderpriority")
         .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
         .select(
