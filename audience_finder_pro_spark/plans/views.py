@@ -126,6 +126,13 @@ def keywords_df(spark: SparkSession, keywords: list[str]) -> DataFrame:
 
 def reddit_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the comment-forest view does CPU-heavy per-row expansion (token
+    # chunking through higher-order lambdas); a small fixture file arrives
+    # as ONE split, serializing that work — fan out when the scan gives
+    # fewer splits than cores (no-op at real scale where inputs are wide)
+    par = spark.sparkContext.defaultParallelism
+    if documents.rdd.getNumPartitions() < par:
+        documents = documents.repartition(par)
     return {
         "subreddits": subreddits_view(documents),
         "posts": posts_view(documents),

@@ -738,3 +738,43 @@ def q26_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------- skew-salted agg
+@_q(
+    "q27_salted_agg",
+    """
+    SELECT l_returnflag AS returnflag,
+           round(sum(l_extendedprice), 4) AS total_price,
+           count(*) AS n_items,
+           round(sum(l_quantity) / count(l_quantity), 4) AS avg_qty,
+           round(max(l_discount), 4) AS max_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q27_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over an EXTREMELY skewed key (l_returnflag has 3 values —
+    a naive shuffle lands a third of 100 TB on one reducer). salted_agg
+    splits each key into uniform sub-keys, merges partials; results equal
+    the plain GROUP BY (oracle-checked)."""
+    from audience_finder_pro_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "total_price": ("l_extendedprice", "sum"),
+            "n_items": ("*", "count"),
+            "avg_qty": ("l_quantity", "avg"),
+            "max_disc": ("l_discount", "max"),
+        },
+        salt=16,
+    )
+    return out.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.round("total_price", 4).alias("total_price"),
+        F.col("n_items"),
+        F.round("avg_qty", 4).alias("avg_qty"),
+        F.round("max_disc", 4).alias("max_disc"),
+    )

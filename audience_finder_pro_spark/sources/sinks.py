@@ -50,3 +50,45 @@ def to_excel_bytes(df: DataFrame) -> bytes:
     buf = io.BytesIO()
     _small_pandas(df).to_excel(buf, index=False, engine="openpyxl")
     return buf.getvalue()
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-layout parquet sink — the 100 TB table format.
+
+    Readers that filter on ``partition_cols`` get partition PRUNING (whole
+    directories skipped before any IO; shows as PartitionFilters in the
+    scan node). ``max_records_per_file`` bounds file size so a skewed
+    partition value still splits into parallel-readable files.
+    """
+    w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table — pre-shuffled storage for co-located joins.
+
+    Two tables bucketed on the same keys with the same bucket count join
+    WITHOUT a shuffle (no Exchange under the SortMergeJoin): at 100 TB
+    the repeated fact⋈fact shuffle is paid once at write time instead of
+    per query. Requires saveAsTable (bucket metadata lives in the
+    catalog, not in parquet files).
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

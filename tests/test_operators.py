@@ -138,3 +138,92 @@ def test_views_deterministic(spark, sf_smoke):
     comments = v["comments"]
     assert comments.filter(F.col("body").isin("[deleted]", "[removed]")).count() > 0
     assert comments.filter(F.col("body") == "").count() > 0
+
+
+def test_salted_agg_equals_plain_groupby(spark, sf_smoke):
+    """Skew-salted two-phase aggregation == plain groupBy (SURVEY §4.3)."""
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.skew import salted_agg
+    from audience_finder_pro_spark.session import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    got = {
+        r["l_returnflag"]: (round(r["s"], 2), r["n"], round(r["a"], 4), r["m"])
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            {"s": ("l_extendedprice", "sum"), "n": ("*", "count"),
+             "a": ("l_quantity", "avg"), "m": ("l_discount", "max")},
+            salt=8,
+        ).select("l_returnflag", "s", "n", "a", "m").collect()
+    }
+    want = {
+        r["l_returnflag"]: (round(r["s"], 2), r["n"], round(r["a"], 4), r["m"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_extendedprice").alias("s"), F.count("*").alias("n"),
+             F.avg("l_quantity").alias("a"), F.max("l_discount").alias("m"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_agg_rejects_holistic(spark, sf_smoke):
+    import pytest as _pytest
+
+    from audience_finder_pro_spark.operators.skew import salted_agg
+    from audience_finder_pro_spark.session import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    with _pytest.raises(ValueError):
+        salted_agg(li, ["l_returnflag"], {"x": ("l_quantity", "median")})
+
+
+def test_partitioned_parquet_sink_prunes(spark, sf_smoke, tmp_path):
+    """Partitioned sink round-trips and a partition filter prunes the scan."""
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.session import load_table
+    from audience_finder_pro_spark.sources.sinks import write_parquet_partitioned
+
+    orders = load_table(spark, sf_smoke, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    write_parquet_partitioned(orders, out, ["o_year"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    one_year = back.filter(F.col("o_year") == 1995)
+    plan = one_year._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_year" in plan.split("PartitionFilters", 1)[1][:200]
+    assert one_year.count() == orders.filter(F.col("o_year") == 1995).count()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_smoke):
+    """Co-bucketed fact tables sort-merge join without an Exchange."""
+    from audience_finder_pro_spark.session import load_table
+    from audience_finder_pro_spark.sources.sinks import write_bucketed_table
+
+    orders = load_table(spark, sf_smoke, "orders")
+    li = load_table(spark, sf_smoke, "lineitem")
+    write_bucketed_table(orders.select("o_orderkey", "o_totalprice"), "b_orders", ["o_orderkey"], 8)
+    write_bucketed_table(li.select("l_orderkey", "l_quantity"), "b_lineitem", ["l_orderkey"], 8)
+    try:
+        a = spark.table("b_orders")
+        b = spark.table("b_lineitem")
+        # disable broadcast so the join strategy is the bucketed SMJ path
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, a.o_orderkey == b.l_orderkey)
+            n = joined.count()
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert n == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert "Exchange" not in plan, plan[:2000]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
