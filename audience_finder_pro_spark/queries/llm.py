@@ -427,3 +427,69 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("media_type"),
     )
     return decode_features(payload)
+
+
+# ---------------------------------------------------------------- curation pipeline
+@_q(
+    "curation_pipeline",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS tok
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source, text,
+             0.4 * least(len(tok) / 100.0, 1.0)
+             + 0.4 * (len(list_distinct(tok)) / len(tok))
+             + 0.2 * (1 - len(list_filter(tok, x -> x IN ('the', 'a'))) / len(tok)) AS quality,
+             len(tok) AS n_words
+      FROM toks
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+    deduped AS (
+      SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_hash,
+             min(doc_id) AS doc_id,
+             arg_min(source, doc_id) AS source,
+             arg_min(n_words, doc_id) AS n_words
+      FROM kept GROUP BY text_hash
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           round(avg(n_words), 4) AS avg_words
+    FROM deduped GROUP BY source
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: quality gate → exact dedup (min-id
+    representative) → per-source corpus stats. The composition the engine
+    exists for — each stage is the oracle-checked operator used alone
+    elsewhere (quality_score, dedup_exact, token_count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    len_score = F.least(F.size(tok) / 100.0, F.lit(1.0))
+    ttr = F.size(F.array_distinct(tok)) / F.size(tok)
+    stop_ratio = F.size(F.filter(tok, lambda x: x.isin("the", "a"))) / F.size(tok)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        (0.4 * len_score + 0.4 * ttr + 0.2 * (1 - stop_ratio)).alias("quality"),
+        F.size(tok).alias("n_words"),
+    )
+    kept = scored.filter(F.col("quality") >= 0.5)
+    deduped = (
+        kept.withColumn("text_hash", norm_text_hash("text"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("source", "doc_id").alias("source"),
+            F.min_by("n_words", "doc_id").alias("n_words"),
+        )
+    )
+    return deduped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.round(F.avg("n_words"), 4).alias("avg_words"),
+    )

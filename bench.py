@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "community_discovery",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "curation_pipeline",
     "ann_cosine_topk",
     "text_stats",
     "stream_tumbling_agg",
@@ -61,12 +62,16 @@ def main() -> None:
         except Exception as ex:  # never let warmup kill the bench
             print(f"# warmup {name} failed: {ex}", file=sys.stderr)
 
+    # best-of-2: this box runs shared load; the min is the engine's cost,
+    # the delta is scheduler noise
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

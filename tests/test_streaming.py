@@ -160,3 +160,33 @@ def test_cancellation_and_progress(spark, sf_smoke):
     assert n > 0
     snap = progress_snapshot(spark)
     assert "active_jobs" in snap and "stages" in snap
+
+
+def test_stateful_running_totals(spark, sf_smoke, events_dir):
+    """D3/T-tier: applyInPandasWithState carries per-key state across
+    micro-batches; the last emission per user equals the batch totals."""
+    from audience_finder_pro_spark.streaming.stateful import running_totals
+
+    stream = _read_stream(spark, events_dir)
+    q = (
+        running_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("t_state_out").toPandas()
+    # update mode appends one row per (user, batch); the final cumulative row
+    # per user (max n_events) must equal the batch aggregate
+    last = out.sort_values("n_events").groupby("user_id").last()
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 4))
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    got = {uid: (row["n_events"], round(row["total_value"], 4)) for uid, row in last.iterrows()}
+    assert got == want
