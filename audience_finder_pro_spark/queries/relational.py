@@ -778,3 +778,38 @@ def q27_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_qty", 4).alias("avg_qty"),
         F.round("max_disc", 4).alias("max_disc"),
     )
+
+
+# ---------------------------------------------------------------- F16 map functions
+@_q(
+    "q28_map_funcs",
+    """
+    WITH kv AS (
+      SELECT event_type,
+             unnest(json_keys(props)) AS k,
+             CAST(json_extract(props, '$.' || unnest(json_keys(props))) AS BIGINT) AS v
+      FROM events
+    )
+    SELECT event_type, k AS prop_key,
+           count(*) AS n,
+           CAST(min(v) AS BIGINT) AS min_v,
+           CAST(max(v) AS BIGINT) AS max_v,
+           round(avg(v), 4) AS avg_v
+    FROM kv GROUP BY event_type, k
+    """,
+)
+def q28_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 map/JSON surface: from_json into a real MapType column, explode to
+    (key, value) rows, aggregate per event_type — the props column parsed
+    on demand per SURVEY §1.3."""
+    from pyspark.sql import types as T
+
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    kv = events.select("event_type", F.explode(m).alias("prop_key", "v"))
+    return kv.groupBy("event_type", "prop_key").agg(
+        F.count("*").alias("n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.round(F.avg("v"), 4).alias("avg_v"),
+    )

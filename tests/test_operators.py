@@ -227,3 +227,43 @@ def test_bucketed_join_has_no_shuffle(spark, sf_smoke):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_jsonl_quarantine(spark, tmp_path):
+    """§4.1 per-row error quarantine: malformed JSON lines route to the bad
+    side with raw text preserved; good rows parse clean."""
+    from pyspark.sql import types as T
+
+    from audience_finder_pro_spark.sources.quarantine import read_jsonl_quarantined
+
+    p = tmp_path / "events.jsonl"
+    p.write_text(
+        '{"event_id": 1, "value": 1.5}\n'
+        "this is not json\n"
+        '{"event_id": 2, "value": 2.5}\n'
+        '{"event_id": "boom{', # truncated record
+    )
+    schema = T.StructType(
+        [T.StructField("event_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    good, bad = read_jsonl_quarantined(spark, str(p), schema)
+    assert sorted(r["event_id"] for r in good.collect()) == [1, 2]
+    raws = [r["raw"] for r in bad.collect()]
+    assert len(raws) == 2 and "this is not json" in raws[0] + raws[1]
+
+
+def test_quarantine_invalid_split(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.plans.views import reddit_views
+    from audience_finder_pro_spark.sources.quarantine import quarantine_invalid
+
+    comments = reddit_views(spark, sf_smoke)["comments"]
+    valid = (
+        F.col("author").isNotNull()
+        & (F.col("author") != "[deleted]")
+        & ~F.col("body").isin("[deleted]", "[removed]")
+    )
+    good, bad = quarantine_invalid(comments, valid, ["comment_id", "body", "author"])
+    assert good.count() + bad.count() == comments.count()
+    assert bad.filter(F.col("author") == "[deleted]").count() > 0

@@ -1,0 +1,93 @@
+"""Property-based tests (SURVEY §5 item 3) — hypothesis-generated inputs
+through the REAL Spark expressions (batched: one DataFrame per example
+keeps the JVM round-trips tolerable).
+
+Properties pinned:
+- norm_ws is idempotent and never leaves runs of whitespace
+- tokens emits only non-empty lowercase alphanumerics
+- shingle count == max(0, n_tokens - n + 1) exactly
+- first_match_expr ∈ keywords ∪ {NULL}; all_matches_expr is the sorted
+  join of exactly the containing keywords
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from audience_finder_pro_spark.functions.text import norm_ws, shingle_stream, tokens
+from audience_finder_pro_spark.operators.keyword_match import (
+    all_matches_expr,
+    first_match_expr,
+)
+
+TEXT = st.text(
+    alphabet=st.sampled_from("ab c\t\nXY1.!-é"), min_size=0, max_size=60
+)
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _df(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+
+
+@settings(**SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=16))
+def test_norm_ws_idempotent(spark, texts):
+    rows = (
+        _df(spark, texts)
+        .select(norm_ws("t").alias("once"), norm_ws(norm_ws("t")).alias("twice"))
+        .collect()
+    )
+    for r in rows:
+        assert r["once"] == r["twice"]
+        assert not re.search(r"\s\s|^\s|\s$", r["once"] or "")
+
+
+@settings(**SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=16))
+def test_tokens_shape(spark, texts):
+    rows = _df(spark, texts).select(tokens("t").alias("tok")).collect()
+    for r in rows:
+        for t in r["tok"]:
+            assert t and re.fullmatch(r"[a-z0-9]+", t)
+
+
+@settings(**SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=16), st.integers(min_value=2, max_value=4))
+def test_shingle_count_exact(spark, texts, n):
+    df = _df(spark, texts)
+    counts = {
+        r["i"]: r["c"]
+        for r in shingle_stream(df, "i", "t", n).groupBy("i").agg(F.count("*").alias("c")).collect()
+    }
+    ntok = {r["i"]: len(r["tok"]) for r in df.select("i", tokens("t").alias("tok")).collect()}
+    for i, k in ntok.items():
+        assert counts.get(i, 0) == max(0, k - n + 1)
+
+
+@settings(**SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=12))
+def test_keyword_exprs_consistent(spark, texts):
+    kws = ["ab", "c", "x y"]
+    rows = (
+        _df(spark, texts)
+        .select(
+            "t",
+            first_match_expr(F.col("t"), kws).alias("first"),
+            all_matches_expr(F.col("t"), kws).alias("all"),
+        )
+        .collect()
+    )
+    for r in rows:
+        low = (r["t"] or "").lower()
+        expect = [k for k in kws if k.lower() in low]
+        assert r["first"] == (next(iter(expect), None))
+        assert r["all"] == ", ".join(sorted(expect))
