@@ -164,3 +164,102 @@ def cosine_neardup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
     )
+
+
+def _centroid_rows(df, id_col: str, vec_col: str, n_lists: int):
+    """Deterministic centroid seeds: the n_lists lowest-id vectors."""
+    return (
+        df.orderBy(id_col)
+        .limit(n_lists)
+        .select(F.col(id_col).alias("cent_seed"), F.col(vec_col).alias("cvec"))
+    )
+
+
+def _assign(df, cents, vec_col: str):
+    """Nearest-centroid assignment: broadcast the (tiny) centroid table,
+    score every (vector, centroid) pair in codegen, keep the argmax —
+    one narrow pass over the corpus + a min_by aggregate, no corpus
+    shuffle beyond the groupBy on the vector id."""
+    scored = df.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", cosine_similarity(F.col(vec_col), F.col("cvec"))
+    )
+    keys = [c for c in df.columns]
+    # tie-break deterministically: highest sim, then lowest cent_id
+    return scored.groupBy(*keys).agg(
+        F.max_by("cent_id", F.struct(F.col("_sim"), -F.col("cent_id"))).alias("cent_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the partition-the-corpus
+    alternative to sign-LSH.
+
+    Build: deterministic seed centroids → optional Lloyd refinement steps
+    (mean of assigned vectors, computed distributed via posexplode +
+    groupBy(centroid, dim) and collected — centroids are n_lists×dim
+    floats, driver-safe model state). Search: each query probes its
+    n_probe nearest lists only, exact cosine rerank inside them; cost
+    scales with n_probe/n_lists of the corpus per query instead of the
+    full corpus.
+    """
+    spark = corpus.sparkSession
+    cents = _centroid_rows(corpus, id_col, vec_col, n_lists).withColumn(
+        "cent_id", F.row_number().over(Window.orderBy("cent_seed")) - 1
+    ).select("cent_id", "cvec")
+
+    for _ in range(refine_iters):
+        assigned = _assign(corpus.select(id_col, vec_col), cents, vec_col)
+        means = (
+            assigned.select("cent_id", F.posexplode(F.col(vec_col)).alias("dim", "x"))
+            .groupBy("cent_id", "dim")
+            .agg(F.avg("x").alias("m"))
+        )
+        rows = means.collect()  # n_lists × dim scalars — model state, not data
+        by_cent: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cent.setdefault(r["cent_id"], {})[r["dim"]] = float(r["m"])
+        new = [
+            (cid, [dims[i] for i in sorted(dims)])
+            for cid, dims in sorted(by_cent.items())
+        ]
+        cents = spark.createDataFrame(new, "cent_id int, cvec array<float>")
+
+    cents = cents.persist()
+    assigned = _assign(corpus.select(id_col, vec_col), cents, vec_col).persist()
+
+    # each query probes its n_probe nearest centroids
+    qscored = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", cosine_similarity(F.col(query_vec_col), F.col("cvec"))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("_sim").desc(), F.col("cent_id"))
+    probes = (
+        qscored.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select(query_id_col, query_vec_col, "cent_id")
+    )
+
+    cand = probes.join(assigned, "cent_id").select(
+        query_id_col, query_vec_col, id_col, vec_col
+    )
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(query_vec_col), F.col(vec_col)).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, F.round("cosine_sim", 4).alias("cosine_sim"), "rnk")
+    )

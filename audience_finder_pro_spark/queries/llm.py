@@ -493,3 +493,17 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").cast("long").alias("total_words"),
         F.round(F.avg("n_words"), 4).alias("avg_words"),
     )
+
+
+# ---------------------------------------------------------------- A10 IVF ANN (no oracle)
+@_q("ann_ivf_topk", None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-k; recall vs brute force asserted in
+    tests (the corpus-partitioning scale path, complementing sign-LSH)."""
+    from audience_finder_pro_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries, k=10, n_lists=16, n_probe=6)

@@ -129,3 +129,26 @@ def test_multimodal_decode_schema(spark, sf_smoke):
     assert out.count() == n_docs
     img = out.filter(F.col("media_type") == "image/png").first()
     assert img.width is not None and img.height is not None and img.duration_ms is None
+
+
+def test_ivf_ann_recall_vs_brute_force(spark, sf_smoke):
+    """IVF with n_probe/n_lists high enough must recover most true top-k."""
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.similarity import brute_force_topk, ivf_topk
+    from audience_finder_pro_spark.session import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, queries, k=10, n_lists=8, n_probe=4).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"IVF recall {recall:.2f}"

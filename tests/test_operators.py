@@ -267,3 +267,18 @@ def test_quarantine_invalid_split(spark, sf_smoke):
     good, bad = quarantine_invalid(comments, valid, ["comment_id", "body", "author"])
     assert good.count() + bad.count() == comments.count()
     assert bad.filter(F.col("author") == "[deleted]").count() > 0
+
+
+def test_approx_count_distinct_tolerance(spark, sf_smoke):
+    """A7: approx_count_distinct declared tolerance-checked, not hash-checked
+    (SURVEY §2.4) — rsd is a 1-sigma bound, so assert within 3*rsd of exact."""
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.session import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.05).alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] <= 3 * 0.05
