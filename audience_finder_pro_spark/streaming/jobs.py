@@ -92,3 +92,25 @@ def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.awaitTermination()
     return name
+
+
+def run_stream_to_parquet(
+    df: DataFrame, out_path: str, checkpoint: str, output_mode: str = "append"
+):
+    """Production file sink: checkpointed, exactly-once per restart cycle.
+
+    The checkpoint directory carries source offsets + sink commit log, so a
+    restarted query resumes after the last committed batch instead of
+    reprocessing (verified by the restart test). availableNow drains what
+    exists and stops — the batch-ingest pattern for a 100 TB backfill.
+    """
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

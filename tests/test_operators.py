@@ -282,3 +282,21 @@ def test_approx_count_distinct_tolerance(spark, sf_smoke):
         F.countDistinct("l_orderkey").alias("exact"),
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] <= 3 * 0.05
+
+
+def test_python_udtf_parse_lines(spark):
+    """D3: Spark 4 Python UDTF — table function from SQL and DataFrame API."""
+    from audience_finder_pro_spark.functions.udtf import ParseLines, register_udtfs
+
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT * FROM parse_lines('  spark \n\n vector \n  ')"
+    ).collect()
+    assert [(r["pos"], r["line"]) for r in rows] == [(0, "spark"), (1, "vector")]
+    # lateral join form over a table
+    df = spark.createDataFrame([(1, "a\n b\n"), (2, None)], "id int, txt string")
+    df.createOrReplaceTempView("udtf_in")
+    out = spark.sql(
+        "SELECT id, pos, line FROM udtf_in, LATERAL parse_lines(txt)"
+    ).collect()
+    assert [(r["id"], r["pos"], r["line"]) for r in out] == [(1, 0, "a"), (1, 1, "b")]

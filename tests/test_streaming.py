@@ -190,3 +190,33 @@ def test_stateful_running_totals(spark, sf_smoke, events_dir):
     }
     got = {uid: (row["n_events"], round(row["total_value"], 4)) for uid, row in last.iterrows()}
     assert got == want
+
+
+def test_parquet_sink_checkpoint_restart_exactly_once(spark, tmp_path):
+    """T-tier production sink: restarting from the same checkpoint must not
+    duplicate already-committed batches."""
+    from audience_finder_pro_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        run_stream_to_parquet,
+    )
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    base = load_table(spark, "/root/testdata/sf0.001", "events")
+    base.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(str(src))
+    run_stream_to_parquet(stream.select("event_id", "ts", "value"), out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == base.filter(F.col("event_id") % 2 == 0).count()
+
+    # new data arrives; restart from the same checkpoint
+    base.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(str(src))
+    stream2 = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(str(src))
+    run_stream_to_parquet(stream2.select("event_id", "ts", "value"), out, ckpt)
+
+    sunk = spark.read.parquet(out)
+    assert sunk.count() == base.count()  # every event exactly once
+    assert sunk.select("event_id").distinct().count() == base.count()
