@@ -178,3 +178,41 @@ def keyword_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     kdf = keywords_df(spark, SIGNAL_KEYWORDS)
     pairs = keyword_theta_join(docs, kdf, text_col="text")
     return pairs.groupBy("keyword").agg(F.count("*").alias("n_docs"))
+
+
+_SIGNAL_V1_ORACLE = f"""
+WITH base AS ({_SIGNAL_ORACLE.strip()})
+SELECT signal_subreddit, matched, signal_type,
+       CASE WHEN signal_type = 'Comment'
+            THEN substr(replace(signal_text, chr(10), ' '), 1, 300) || '...'
+            ELSE replace(signal_text, chr(10), ' ') END AS signal_text,
+       author, link, src_id,
+       'Not Started' AS status, '' AS priority, '' AS notes
+FROM base
+"""
+
+
+@_q("signal_scan_v1_export", _SIGNAL_V1_ORACLE)
+def signal_scan_v1_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v1 reference's CSV-download shape (SURVEY P3/F3/F5): comment text
+    truncated to 300 chars + '...' (v1:75), newline-stripped for CSV hygiene
+    (v1:61,253), constant enrichment columns Status/Priority/Notes
+    (v1:145-147) appended for the downstream tracking sheet."""
+    from audience_finder_pro_spark.functions.text import strip_newlines, truncate_ellipsis
+
+    base = signal_scan(spark, sf_dir)
+    clean = strip_newlines(F.col("signal_text"))
+    return base.select(
+        "signal_subreddit",
+        "matched",
+        "signal_type",
+        F.when(F.col("signal_type") == "Comment", truncate_ellipsis(clean, 300))
+        .otherwise(clean)
+        .alias("signal_text"),
+        "author",
+        "link",
+        "src_id",
+        F.lit("Not Started").alias("status"),
+        F.lit("").alias("priority"),
+        F.lit("").alias("notes"),
+    )
