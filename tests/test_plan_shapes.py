@@ -1,0 +1,74 @@
+"""Physical-plan shape regression tests (SURVEY §4 / 100 TB discipline).
+
+Correctness tests can't catch a plan that silently starts shuffling the
+fact table or stops pushing a filter — these pin the plan properties the
+scale design depends on. Counts are textual on the non-AQE plan (stable
+across runs; the AQE printer hides codegen/exchange structure inside
+query stages).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from audience_finder_pro_spark.queries import QUERIES
+
+
+@pytest.fixture()
+def no_aqe(spark):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def _plan(spark, name, sf):
+    return QUERIES[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_pushed_to_scan(spark, sf_smoke, no_aqe):
+    plan = _plan(spark, "q01_pricing_summary", sf_smoke)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+
+
+def test_q01_single_exchange_partial_agg(spark, sf_smoke, no_aqe):
+    plan = _plan(spark, "q01_pricing_summary", sf_smoke)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_q02_star_join_all_broadcast_locally(spark, sf_smoke, no_aqe):
+    """At fixture scale every dim fits the broadcast threshold: the fact side
+    must not shuffle for any of the four joins."""
+    plan = _plan(spark, "q02_revenue_by_nation", sf_smoke)
+    assert len(re.findall(r"BroadcastHashJoin", plan)) == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q03_heap_topk_not_full_sort(spark, sf_smoke, no_aqe):
+    plan = _plan(spark, "q03_top_orders", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q04_exists_becomes_semi_join(spark, sf_smoke, no_aqe):
+    plan = _plan(spark, "q04_semi_join", sf_smoke)
+    assert "LeftSemi" in plan
+
+
+def test_signal_scan_no_join_for_keyword_match(spark, sf_smoke, no_aqe):
+    """The plan-time-constant keyword match must stay a projection: the only
+    joins allowed are the comment⇄post attach (and whatever AQE turns them
+    into) — no BroadcastNestedLoopJoin / CartesianProduct from keywords."""
+    plan = _plan(spark, "signal_scan", sf_smoke)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_smoke, no_aqe):
+    """q26 touches 3 lineitem columns — the scan must not read all 16."""
+    plan = _plan(spark, "q26_pivot", sf_smoke)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:500]
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert set(cols) == {"l_quantity", "l_returnflag", "l_linestatus"}
