@@ -63,29 +63,35 @@ def main() -> None:
             print(f"# warmup {name} failed: {ex}", file=sys.stderr)
 
     # best-of-2: this box runs shared load; the min is the engine's cost,
-    # the delta is scheduler noise
+    # the delta is scheduler noise. One failing query must not cost the
+    # whole bench record — it reports as failed and is excluded from total.
     timings: dict[str, float] = {}
+    failed: dict[str, str] = {}
     for name in BENCH_QUERIES:
         best, n = float("inf"), 0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            n = QUERIES[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = QUERIES[name](spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as ex:
+            failed[name] = str(ex).splitlines()[0][:200]
+            print(f"# {name}: FAILED {failed[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "bench_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failed:
+        result["failed"] = failed
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
