@@ -813,3 +813,35 @@ def q28_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("max_v"),
         F.round(F.avg("v"), 4).alias("avg_v"),
     )
+
+
+# ---------------------------------------------------------------- SQL-string facade
+@_q(
+    "q29_sql_interface",
+    """
+    SELECT n_name AS nation_name,
+           count(DISTINCT c_custkey) AS n_customers,
+           round(sum(o_totalprice), 4) AS total_order_value
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN orders ON o_custkey = c_custkey
+    GROUP BY n_name
+    """,
+)
+def q29_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.4: the engine's second public surface — ANSI SQL strings over the
+    registered catalog (spark.sql + temp views), same Catalyst pipeline as
+    the DataFrame builder. The SQL here is intentionally the oracle text
+    modulo dialect (both engines parse the same query shape)."""
+    from audience_finder_pro_spark.session import register_catalog
+
+    register_catalog(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name AS nation_name,
+               count(DISTINCT c_custkey) AS n_customers,
+               round(sum(o_totalprice), 4) AS total_order_value
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN orders ON o_custkey = c_custkey
+        GROUP BY n_name
+        """
+    )
