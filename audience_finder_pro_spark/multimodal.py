@@ -70,3 +70,71 @@ def decode_features(payload_df: DataFrame) -> DataFrame:
             ]
 
     return payload_df.mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, media_type string, width int, height int, payload binary"
+
+
+def resize_images(payload_df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image-resize plumbing (mapInPandas, one row in → one row out).
+
+    Stub transform: deterministic byte-stream resample (stride-sampled /
+    zero-padded to width*height bytes) standing in for a real
+    interpolating resize; the contract — binary in/out, fixed target
+    dims, Arrow batches — is the production shape.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            outs = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if len(b) >= target:
+                    step = max(1, len(b) // target)
+                    b = b[::step][:target]
+                b = b.ljust(target, b"\0")
+                outs.append(b)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "width": width,
+                    "height": height,
+                    "payload": outs,
+                }
+            )
+
+    return payload_df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame_payload binary"
+
+
+def sample_frames(payload_df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing (mapInPandas flat-map: one row → many).
+
+    Stub decoder reuses _decode_stub's deterministic duration (10 ms per
+    payload byte); each sampled frame carries a deterministic byte slice
+    as its payload. Real implementation would seek/decode at ts_ms.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for doc_id, p, m in zip(pdf["doc_id"], pdf["payload"], pdf["media_type"]):
+                if m != "video/mp4":
+                    continue
+                b = bytes(p)
+                duration = _decode_stub(b, m)["duration_ms"] or 0
+                for i, ts in enumerate(range(0, duration, every_ms)):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(ts)
+                    off = (ts // 10) % max(1, len(b))
+                    frames.append(b[off : off + 16].ljust(16, b"\0"))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame_payload": frames}
+            )
+
+    return payload_df.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -152,3 +152,41 @@ def test_ivf_ann_recall_vs_brute_force(spark, sf_smoke):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.8, f"IVF recall {recall:.2f}"
+
+
+def test_multimodal_resize_contract(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.multimodal import resize_images
+    from audience_finder_pro_spark.session import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(20)
+    payload = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"), F.lit("image/png").alias("media_type")
+    )
+    out = resize_images(payload, width=8, height=8).collect()
+    assert len(out) == 20
+    assert all(len(bytes(r["payload"])) == 64 and r["width"] == 8 for r in out)
+
+
+def test_multimodal_frame_sample_flatmap(spark, sf_smoke):
+    """One video row fans out to duration/every_ms frames; non-video rows drop."""
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.multimodal import _decode_stub, sample_frames
+    from audience_finder_pro_spark.session import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(9)
+    payload = docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 2, "video/mp4").otherwise("image/png").alias("media_type"),
+    )
+    out = sample_frames(payload, every_ms=5000).toPandas()
+    vids = payload.filter(F.col("media_type") == "video/mp4").collect()
+    expect = sum(
+        len(range(0, _decode_stub(bytes(r["payload"]), "video/mp4")["duration_ms"], 5000))
+        for r in vids
+    )
+    assert len(out) == expect and expect > 0
+    assert set(out.columns) == {"doc_id", "frame_idx", "ts_ms", "frame_payload"}
