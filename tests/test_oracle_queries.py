@@ -24,3 +24,19 @@ def test_rows_only(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.columns
     assert df.count() >= 0
+
+
+def test_all_queries_smoke_tiny_sf(spark, sf_smoke):
+    """Every declared query must run at the smallest SF (degenerate/empty
+    intermediate edge cases) and return a stable, non-empty schema."""
+    from audience_finder_pro_spark.queries import QUERIES
+
+    failures = {}
+    for name, fn in sorted(QUERIES.items()):
+        try:
+            df = fn(spark, sf_smoke)
+            assert df.columns, "empty schema"
+            df.count()
+        except Exception as ex:  # collect all failures, not just the first
+            failures[name] = str(ex).splitlines()[0][:120]
+    assert not failures, failures
