@@ -67,6 +67,14 @@ def get_spark(app_name: str = "audience_finder_pro_spark", cpus: int | None = No
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/column pruning into it."""
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects unless
+        # nanosAsLong is on. The session factory sets it, but queries() may
+        # be driven by a FOREIGN SparkSession (the driver's) — set it
+        # defensively here; it is a dynamic SQL conf. Same for the session
+        # timezone: formatted-timestamp outputs assume UTC (oracle parity).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # nanos → microsecond timestamp (floor), matching DuckDB's ns→µs read
