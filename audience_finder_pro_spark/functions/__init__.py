@@ -10,8 +10,10 @@ from audience_finder_pro_spark.functions.text import (
     truncate_ellipsis,
     tokens,
     shingles,
+    shingle_stream,
     norm_text_hash,
 )
+from audience_finder_pro_spark.functions.udtf import ParseLines, register_udtfs
 from audience_finder_pro_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 __all__ = [
@@ -21,6 +23,9 @@ __all__ = [
     "tokens",
     "shingles",
     "norm_text_hash",
+    "shingle_stream",
+    "ParseLines",
+    "register_udtfs",
     "cosine_similarity",
     "dot",
     "l2_norm",

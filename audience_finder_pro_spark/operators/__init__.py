@@ -20,9 +20,17 @@ from audience_finder_pro_spark.operators.dedup import (
 )
 from audience_finder_pro_spark.operators.similarity import (
     brute_force_topk,
+    cosine_neardup_pairs,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from audience_finder_pro_spark.operators.sessionize import sessionize
+from audience_finder_pro_spark.operators.skew import salted_agg
+from audience_finder_pro_spark.operators.keyword_match import (
+    all_matches_expr,
+    first_match_expr,
+)
+from audience_finder_pro_spark.operators.dedup import minhash_signatures
 
 __all__ = [
     "keyword_theta_join",
@@ -39,4 +47,10 @@ __all__ = [
     "brute_force_topk",
     "lsh_bucketed_topk",
     "sessionize",
+    "salted_agg",
+    "all_matches_expr",
+    "first_match_expr",
+    "minhash_signatures",
+    "cosine_neardup_pairs",
+    "ivf_topk",
 ]

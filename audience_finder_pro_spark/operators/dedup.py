@@ -24,7 +24,7 @@ tests (SURVEY §7.4 hard part 3).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from audience_finder_pro_spark.functions.text import (

@@ -13,7 +13,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from audience_finder_pro_spark.functions.text import norm_ws
 from audience_finder_pro_spark.operators.keyword_match import keyword_theta_join
 from audience_finder_pro_spark.plans.audience import discover_communities, scan_signals
 from audience_finder_pro_spark.plans.views import ORACLE_VIEW_CTES, keywords_df

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from audience_finder_pro_spark.functions.text import norm_text_hash, norm_ws, shingles, tokens
+from audience_finder_pro_spark.functions.text import norm_text_hash, shingles, tokens
 from audience_finder_pro_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
