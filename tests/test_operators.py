@@ -300,3 +300,46 @@ def test_python_udtf_parse_lines(spark):
         "SELECT id, pos, line FROM udtf_in, LATERAL parse_lines(txt)"
     ).collect()
     assert [(r["id"], r["pos"], r["line"]) for r in out] == [(1, 0, "a"), (1, 1, "b")]
+
+
+def test_asof_join_forward(spark):
+    """Forward as-of: earliest right row with ts >= left ts, ties included."""
+    from audience_finder_pro_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 16, "b"), (2, 50, "c")], "user_id long, t long, tag string"
+    ).withColumn("ts", F.timestamp_seconds("t"))
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (1, 20, 200.0)], "user_id long, t long, val double"
+    ).withColumn("ts", F.timestamp_seconds("t")).select("user_id", "ts", "val")
+    out = asof_join(
+        left.select("user_id", "ts", "tag"), right, ["user_id"], "ts", "ts", ["val"],
+        direction="forward",
+    )
+    got = {r.tag: r.val for r in out.collect()}
+    # a: ts=10 matches right ts=10 (tie inclusive); b: ts=16 -> next is 20; c: none
+    assert got == {"a": 100.0, "b": 200.0, "c": None}
+
+
+def test_ngram_jaccard_df_cap_prunes_hot_shingles(spark):
+    """df_cap drops ubiquitous shingles: a boilerplate phrase shared by all
+    docs stops creating pairs, while genuine near-dups still match."""
+    from audience_finder_pro_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved by the example corp"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta epsilon {boiler}"),
+            (2, f"alpha beta gamma delta epsilon {boiler}"),  # true near-dup of 1
+            (3, f"one two three four five six {boiler}"),
+            (4, f"seven eight nine ten eleven twelve {boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    # uncapped: boilerplate shingles connect everything at low jaccard
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.05).count()
+    capped = ngram_jaccard_pairs(docs, threshold=0.05, df_cap=2).count()
+    assert uncapped == 6  # all pairs share the boilerplate
+    assert capped == 1  # only the true near-dup pair (1,2) survives
+    pair = ngram_jaccard_pairs(docs, threshold=0.05, df_cap=2).first()
+    assert (pair["id_a"], pair["id_b"]) == (1, 2)
