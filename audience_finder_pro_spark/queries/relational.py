@@ -845,3 +845,43 @@ def q29_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+# ---------------------------------------------------------------- P9 input parsing
+@_q(
+    "q30_parse_lines",
+    """
+    WITH raw AS (
+      SELECT source,
+             string_agg(substr(text, 1, 30), chr(10) || '  ') AS blob
+      FROM documents WHERE doc_id < 40 GROUP BY source
+    ),
+    lines AS (
+      SELECT source, trim(unnest(string_split(blob, chr(10)))) AS line FROM raw
+    )
+    SELECT source, count(*) AS n_lines,
+           min(line) AS first_line
+    FROM lines WHERE length(line) > 0 GROUP BY source
+    """,
+)
+def q30_parse_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 (ref app.py:205, 265-266): split multi-line input, trim each line,
+    drop empties — as pure expressions (split/transform/filter) over a
+    synthesized multi-line blob; the UDTF form (functions/udtf.ParseLines)
+    covers the same semantics for SQL callers."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    raw = docs.groupBy("source").agg(
+        F.concat_ws("\n  ", F.collect_list(F.substring("text", 1, 30))).alias("blob")
+    )
+    lines = raw.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.transform(F.split("blob", "\n"), lambda x: F.trim(x)),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("line"),
+    )
+    return lines.groupBy("source").agg(
+        F.count("*").alias("n_lines"), F.min("line").alias("first_line")
+    )

@@ -343,3 +343,18 @@ def test_ngram_jaccard_df_cap_prunes_hot_shingles(spark):
     assert capped == 1  # only the true near-dup pair (1,2) survives
     pair = ngram_jaccard_pairs(docs, threshold=0.05, df_cap=2).first()
     assert (pair["id_a"], pair["id_b"]) == (1, 2)
+
+
+def test_percentile_approx_tolerance(spark, sf_smoke):
+    """A7: percentile_approx declared tolerance-checked — with accuracy=1000
+    the estimate must land within 1% of the exact percentile's rank range."""
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.session import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    row = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] <= 0.01
