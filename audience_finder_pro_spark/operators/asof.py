@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -37,48 +38,50 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
+    reserved = {"_ts", "_side", "_vals"}
+    clash = (reserved & set(left.columns)) | (reserved & set(right.columns))
+    if clash:
+        raise ValueError(f"asof_join: input columns clash with reserved names {sorted(clash)}")
 
-    l_tag = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
-    for c in value_cols:
-        l_tag = l_tag.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    # Pack value_cols into ONE struct carried whole: per-column
+    # last(ignorenulls) would mix columns from different right rows when a
+    # right row holds NULL in some value col — merge_asof/ASOF semantics
+    # are whole-row.
+    vstruct = StructType([StructField(c, right.schema[c].dataType) for c in value_cols])
     left_cols = [c for c in left.columns]
+    out_left = [c for c in left_cols if c not in value_cols]
+
+    l_tag = left.select(
+        *left_cols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(vstruct).alias("_vals"),
+    )
     r_tag = right.select(
         *partition_keys,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *value_cols,
+        F.struct(*value_cols).alias("_vals"),
     )
     for c in left_cols:
         if c not in r_tag.columns:
             r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    unioned = l_tag.select(*left_cols, "_ts", "_side", *value_cols).unionByName(
-        r_tag.select(*left_cols, "_ts", "_side", *value_cols)
-    )
+    cols = [*left_cols, "_ts", "_side", "_vals"]
+    unioned = l_tag.select(*cols).unionByName(r_tag.select(*cols))
 
-    if direction == "backward":
-        # right rows (_side=0) sort before left rows at equal ts → `<=` semantics
-        w = (
-            Window.partitionBy(*partition_keys)
-            .orderBy(F.col("_ts").asc(), F.col("_side").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        filled = unioned.select(
-            *left_cols,
-            "_side",
-            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
-        )
-    else:
-        w = (
-            Window.partitionBy(*partition_keys)
-            .orderBy(F.col("_ts").desc(), F.col("_side").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        filled = unioned.select(
-            *left_cols,
-            "_side",
-            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
-        )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    # right rows (_side=0) sort before left rows at equal ts → inclusive bound
+    order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    w = (
+        Window.partitionBy(*partition_keys)
+        .orderBy(order, F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *left_cols, "_side", F.last("_vals", ignorenulls=True).over(w).alias("_vals")
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *out_left, *[F.col("_vals")[c].alias(c) for c in value_cols]
+    )
 
 
 def range_join(
@@ -108,15 +111,19 @@ def range_join(
             cond = cond & e
         return left.join(right, cond)
 
-    wexpr = F.expr(bucket_width_expr).cast("long")
-    lb = left.withColumn("_bkt", (F.unix_timestamp(point_col) / wexpr).cast("long"))
-    rb = right.withColumn(
-        "_bkts",
-        F.sequence(
-            (F.unix_timestamp(range_start) / wexpr).cast("long"),
-            ((F.unix_timestamp(range_end) - 1) / wexpr).cast("long"),
-        ),
-    ).withColumn("_bkt", F.explode("_bkts")).drop("_bkts")
+    # Fractional-epoch bucketing: cast(timestamp as double) keeps sub-second
+    # precision (unix_timestamp truncates to seconds) and floor() rounds
+    # toward -inf (cast('long') truncates toward zero, wrong pre-1970).
+    # Last right bucket = ceil(end/w)-1: the greatest bucket containing any
+    # point < end, whether or not end lies on a bucket boundary. greatest()
+    # keeps the sequence ascending for empty/degenerate intervals.
+    wexpr = F.expr(bucket_width_expr).cast("double")
+    lb = left.withColumn("_bkt", F.floor(F.col(point_col).cast("double") / wexpr))
+    start_bkt = F.floor(F.col(range_start).cast("double") / wexpr)
+    end_bkt = F.greatest(F.ceil(F.col(range_end).cast("double") / wexpr) - 1, start_bkt)
+    rb = right.withColumn("_bkts", F.sequence(start_bkt, end_bkt)).withColumn(
+        "_bkt", F.explode("_bkts")
+    ).drop("_bkts")
     cond = lb["_bkt"] == rb["_bkt"]
     for k in extra_keys:
         cond = cond & (lb[k] == rb[k])

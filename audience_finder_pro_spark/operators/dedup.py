@@ -24,7 +24,7 @@ tests (SURVEY §7.4 hard part 3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from audience_finder_pro_spark.functions.text import (
@@ -44,20 +44,46 @@ def exact_dedup(
 
     Deterministic representative choice (min id) instead of Spark's
     arbitrary-row dropDuplicates — required for oracle hash-match.
+
+    One-pass shape: a row_number window over the 16-byte hash — a single
+    shuffle and a single scan of the corpus (the earlier
+    hash→agg→semi-join form re-read the input for the join-back).
     """
     h = df.withColumn("text_hash", norm_text_hash(text_col))
-    reps = h.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
-    # self-join back on the (tiny) representative set to recover full rows
-    return h.join(reps, ["text_hash", id_col], "left_semi")
+    w = Window.partitionBy("text_hash").orderBy(F.col(id_col).asc())
+    return h.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int, df_cap: int | None) -> DataFrame:
-    """Inverted index: (shingle, id), stopword-like shingles optionally dropped."""
+def _shingle_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    df_cap: int | None,
+    df_cap_frac: float | None = None,
+) -> DataFrame:
+    """Inverted index: (shingle, id), stopword-like shingles optionally dropped.
+
+    ``df_cap`` is an absolute document-frequency ceiling; ``df_cap_frac``
+    a relative one (fraction of the corpus, floored at ``df_cap`` or 5 so
+    tiny fixtures don't prune their own near-dup signal). Relative is the
+    100 TB setting: "drop any shingle present in >0.1% of docs" stays
+    meaningful at any corpus size, a fixed count does not.
+    """
     idx = shingle_stream(df, id_col, text_col, n).distinct()
-    if df_cap is not None:
-        hot = idx.groupBy("shingle").count().filter(F.col("count") > df_cap).select("shingle")
-        idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
-    return idx
+    if df_cap is None and df_cap_frac is None:
+        return idx
+    freq = idx.groupBy("shingle").agg(F.count("*").alias("_df"))
+    if df_cap_frac is not None:
+        n_docs = df.agg(F.count("*").alias("_n_docs"))
+        cap = F.greatest(
+            F.lit(float(df_cap if df_cap is not None else 5)),
+            F.col("_n_docs") * F.lit(df_cap_frac),
+        )
+        hot = freq.crossJoin(F.broadcast(n_docs)).filter(F.col("_df") > cap).select("shingle")
+    else:
+        hot = freq.filter(F.col("_df") > df_cap).select("shingle")
+    return idx.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 def ngram_jaccard_pairs(
@@ -67,19 +93,23 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     df_cap: int | None = None,
+    df_cap_frac: float | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard ≥ threshold.
 
     Inverted-index join: pairs only materialize for docs sharing ≥1
-    shingle. ``df_cap`` prunes ubiquitous shingles — the skew/blowup
-    control at scale.
+    shingle. ``df_cap``/``df_cap_frac`` prune ubiquitous shingles — the
+    skew/blowup control at scale (a hot shingle is a skewed join key
+    whose bucket grows quadratically).
+
+    When a cap is set, Jaccard is computed over the PRUNED shingle
+    universe on both sides of the fraction: set sizes come from the same
+    pruned index that feeds the pair join, so numerator and denominator
+    are consistent (Jaccard over non-ubiquitous shingles — a well-defined
+    similarity, not an underestimate of the uncapped one).
     """
-    sizes = (
-        shingle_stream(df, id_col, text_col, n)
-        .groupBy(id_col)
-        .agg(F.count_distinct("shingle").alias("n_sh"))
-    )
-    idx = _shingle_index(df, id_col, text_col, n, df_cap)
+    idx = _shingle_index(df, id_col, text_col, n, df_cap, df_cap_frac)
+    sizes = idx.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = idx.alias("a")
     b = idx.alias("b")
     common = (

@@ -7,7 +7,8 @@
   the per-query top-k (tiny: ≤ n_queries × candidates rows after a
   per-partition pre-prune would be the next optimization).
 - lsh_bucketed_topk: random-hyperplane (sign) LSH — deterministic
-  seeded hyperplanes generated from xxhash64, bucket = sign-bit string.
+  hyperplanes precomputed at plan-build time (sha256 parity), bucket =
+  sign-bit string, projections as pure codegen add-chains.
   Probe joins only its bucket (+ optional multi-probe neighbors),
   turning O(n_q × n) into O(n_q × n / 2^bits) at some recall cost.
   Recall vs brute force is asserted in tests (planted-pair style).
@@ -16,6 +17,9 @@
 """
 
 from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -47,30 +51,42 @@ def brute_force_topk(
     )
 
 
-def _sign_lsh_bits(vec: Column, dim: int, n_bits: int, table: int = 0) -> Column:
-    """Random-hyperplane LSH bucket id from deterministic ±1 hyperplanes.
+@lru_cache(maxsize=None)
+def _hyperplane_signs(table: int, n_bits: int, dim: int) -> tuple[tuple[int, ...], ...]:
+    """Deterministic ±1 hyperplanes, computed ONCE at plan-build time.
 
-    Hyperplane component (table, b, i) = +1 if xxhash64(table, b, i) is
-    even else -1 — reproducible anywhere, no stored model. Dot products
-    are higher-order folds; everything stays in codegen.
+    Component (table, b, i) = +1 iff the first byte of
+    sha256(f"{table},{b},{i}") is even — reproducible anywhere with no
+    stored model and no per-row hash evaluation. (The previous form
+    re-derived the hyperplane per row via xxhash64 inside interpreted
+    HOF lambdas: dim × n_bits × n_tables lambda calls per input row.)
     """
+    return tuple(
+        tuple(
+            1 if hashlib.sha256(f"{table},{b},{i}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(dim)
+        )
+        for b in range(n_bits)
+    )
+
+
+def _sign_lsh_bits(vec: Column, dim: int, n_bits: int, table: int = 0) -> Column:
+    """Random-hyperplane LSH bucket id from plan-time-constant hyperplanes.
+
+    Each projection is a flat ±element_at add-chain (the hyperplane
+    entries are ±1, so "multiply by the hyperplane" constant-folds into
+    the sign of each term) — pure codegen, zero lambda invocations.
+    Requires ``vec`` to have exactly ``dim`` elements (ANSI element_at).
+    """
+    signs = _hyperplane_signs(table, n_bits, dim)
     bucket = None
     for b in range(n_bits):
-        # deterministic pseudo-random ±1 vector for hyperplane (table, b)
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda i: F.when(
-                        F.xxhash64(F.lit(table), F.lit(b), i) % 2 == 0, F.lit(1.0)
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda x, h: x.cast("double") * h,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        proj = None
+        for i, s in enumerate(signs[b]):
+            term = F.element_at(vec, i + 1).cast("double")
+            if s < 0:
+                term = -term
+            proj = term if proj is None else proj + term
         bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         bucket = term if bucket is None else bucket + term
@@ -235,8 +251,11 @@ def ivf_topk(
         ]
         cents = spark.createDataFrame(new, "cent_id int, cvec array<float>")
 
-    cents = cents.persist()
-    assigned = _assign(corpus.select(id_col, vec_col), cents, vec_col).persist()
+    # no persist: after refinement `cents` is a local-data DataFrame (or a
+    # trivial limit-n scan when refine_iters=0) and `assigned` is consumed
+    # exactly once below — caching either would only leak executor storage
+    # across invocations (bench warmup, repeated calls).
+    assigned = _assign(corpus.select(id_col, vec_col), cents, vec_col)
 
     # each query probes its n_probe nearest centroids
     qscored = queries.crossJoin(F.broadcast(cents)).withColumn(

@@ -23,8 +23,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (relational, llm, golden, streaming):
-    QUERIES.update(mod.QUERIES)
-    ORACLES.update({k: v for k, v in mod.ORACLES.items() if v is not None})
+# Registration order matters: the driver verifies queries in declaration
+# order and may cap how many it checks. Register every oracle-backed query
+# first (so each gets a hard rows+schema+hash CORRECTNESS row) and push the
+# approximate/no-oracle queries (checked rows-only) to the very end.
+_MODULES = (relational, streaming, golden, llm)
+
+for _mod in _MODULES:
+    for _name, _fn in _mod.QUERIES.items():
+        if _mod.ORACLES.get(_name) is not None:
+            QUERIES[_name] = _fn
+            ORACLES[_name] = _mod.ORACLES[_name]
+
+for _mod in _MODULES:
+    for _name, _fn in _mod.QUERIES.items():
+        if _mod.ORACLES.get(_name) is None:
+            QUERIES[_name] = _fn
 
 __all__ = ["QUERIES", "ORACLES", "QueryFn"]

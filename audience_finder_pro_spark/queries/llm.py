@@ -100,22 +100,34 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     ),
     idx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    ndocs AS (SELECT count(*) AS n FROM documents),
+    hot AS (
+      SELECT shingle FROM idx CROSS JOIN ndocs
+      GROUP BY shingle, n HAVING count(*) > greatest(5, 0.05 * n)
+    ),
+    pidx AS (SELECT * FROM idx WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM pidx GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM pidx a JOIN pidx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
            round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
     FROM common
-    JOIN (SELECT doc_id, len(shingles) AS n_sh FROM sh) sa ON sa.doc_id = id_a
-    JOIN (SELECT doc_id, len(shingles) AS n_sh FROM sh) sb ON sb.doc_id = id_b
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
     WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.8
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-shingle skew control ON in the declared form: shingles present in
+    >5% of docs (floored at 5 docs) are pruned from the inverted index, and
+    set sizes come from the same pruned index (consistent Jaccard over the
+    pruned universe). At 100 TB an uncapped ubiquitous shingle is a
+    quadratic join key; relative caps survive corpus growth."""
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.8)
+    return ngram_jaccard_pairs(docs, threshold=0.8, df_cap_frac=0.05)
 
 
 # ---------------------------------------------------------------- A9 MinHash (no oracle)
