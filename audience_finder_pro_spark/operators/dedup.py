@@ -237,7 +237,14 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    out = verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    # Caller-owned cleanup: Spark's CacheManager keys persisted plans by
+    # logical plan and never frees them on driver GC, so repeated
+    # invocations (bench warmup + timed runs) accumulate executor storage.
+    # Callers that invoke this more than once should unpersist these
+    # handles after consuming the result.
+    out._owned_caches = [cand, shdf]  # type: ignore[attr-defined]
+    return out
 
 
 def simhash_buckets(

@@ -7,8 +7,8 @@
   the per-query top-k (tiny: ≤ n_queries × candidates rows after a
   per-partition pre-prune would be the next optimization).
 - lsh_bucketed_topk: random-hyperplane (sign) LSH — deterministic
-  hyperplanes precomputed at plan-build time (sha256 parity), bucket =
-  sign-bit string, projections as pure codegen add-chains.
+  hyperplanes precomputed at plan-build time (sha256 parity); all
+  table buckets computed in one Arrow-batched matmul per record batch.
   Probe joins only its bucket (+ optional multi-probe neighbors),
   turning O(n_q × n) into O(n_q × n / 2^bits) at some recall cost.
   Recall vs brute force is asserted in tests (planted-pair style).
@@ -21,8 +21,11 @@ from __future__ import annotations
 import hashlib
 from functools import lru_cache
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from audience_finder_pro_spark.functions.vectors import cosine_similarity
 
@@ -71,41 +74,58 @@ def _hyperplane_signs(table: int, n_bits: int, dim: int) -> tuple[tuple[int, ...
 
 
 def _sign_lsh_bits(vec: Column, dim: int, n_bits: int, table: int = 0) -> Column:
-    """Random-hyperplane LSH bucket id from plan-time-constant hyperplanes.
-
-    Each projection is a flat ±element_at add-chain (the hyperplane
-    entries are ±1, so "multiply by the hyperplane" constant-folds into
-    the sign of each term) — pure codegen, zero lambda invocations.
-    Requires ``vec`` to have exactly ``dim`` elements (ANSI element_at).
-    """
+    """Single-table bucket id from plan-time-constant hyperplanes, as a
+    pure-expression fold over a LITERAL ±1 array (no per-row hash
+    evaluation). Fine for one table of a few bits (e.g. as a blocking
+    key for ``cosine_neardup_pairs``); the multi-table hot path uses the
+    vectorized ``_multi_table_buckets`` instead."""
     signs = _hyperplane_signs(table, n_bits, dim)
     bucket = None
     for b in range(n_bits):
-        proj = None
-        for i, s in enumerate(signs[b]):
-            term = F.element_at(vec, i + 1).cast("double")
-            if s < 0:
-                term = -term
-            proj = term if proj is None else proj + term
+        harr = F.array(*[F.lit(float(s)) for s in signs[b]])
+        proj = F.aggregate(
+            F.zip_with(vec, harr, lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
         bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         bucket = term if bucket is None else bucket + term
     return bucket
 
 
+def _bucket_udf(dim: int, n_bits: int, n_tables: int):
+    """Arrow-batched bucket computation: ONE matmul per record batch
+    against the (dim × n_tables·n_bits) constant hyperplane matrix,
+    returning all table buckets as array<long>.
+
+    Measured at sf0.1 (NOTES.md): n_bits×n_tables separate expression
+    folds are interpreted per element (the round-1 shape additionally
+    re-hashed the hyperplanes per row), and a constant-folded add-chain
+    explodes plan-compile time — BLAS over Arrow batches beats both by
+    ~4-10× and is the 100 TB shape (cost: one column transfer per batch).
+    """
+    hyper = np.array(
+        [_hyperplane_signs(t, n_bits, dim) for t in range(n_tables)], dtype=np.float64
+    ).reshape(n_tables * n_bits, dim)
+    proj_matrix = np.ascontiguousarray(hyper.T)  # (dim, n_tables*n_bits)
+    bit_weights = 1 << np.arange(n_bits, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        x = np.vstack(v.to_numpy())  # (batch, dim)
+        bits = (x @ proj_matrix >= 0).astype(np.int64)
+        bkt = bits.reshape(len(x), n_tables, n_bits) @ bit_weights  # (batch, n_tables)
+        return pd.Series(list(bkt))
+
+    return buckets
+
+
 def _multi_table_buckets(vec: Column, dim: int, n_bits: int, n_tables: int) -> Column:
-    """array<struct<tbl, bucket>> — one bucket per LSH table. Multi-table
+    """array<long> — bucket id per LSH table (index = table). Multi-table
     probing is the standard recall lever: a neighbor missed by one table's
     random cut is caught by another (recall ≈ 1-(1-p^bits)^tables)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                _sign_lsh_bits(vec, dim, n_bits, table=t).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
+    return _bucket_udf(dim, n_bits, n_tables)(vec)
 
 
 def lsh_bucketed_topk(
@@ -130,13 +150,17 @@ def lsh_bucketed_topk(
     cb = corpus.select(
         F.col(id_col),
         F.col(vec_col),
-        F.explode(_multi_table_buckets(F.col(vec_col), dim, n_bits, n_tables)).alias("tb"),
-    ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
+        F.posexplode(_multi_table_buckets(F.col(vec_col), dim, n_bits, n_tables)).alias(
+            "tbl", "bucket"
+        ),
+    )
     qb = queries.select(
         F.col(query_id_col),
         F.col(query_vec_col),
-        F.explode(_multi_table_buckets(F.col(query_vec_col), dim, n_bits, n_tables)).alias("tb"),
-    ).select(query_id_col, query_vec_col, "tb.tbl", "tb.bucket")
+        F.posexplode(_multi_table_buckets(F.col(query_vec_col), dim, n_bits, n_tables)).alias(
+            "tbl", "bucket"
+        ),
+    )
     cand = (
         cb.join(qb, ["tbl", "bucket"])
         .select(query_id_col, query_vec_col, id_col, vec_col)

@@ -33,12 +33,39 @@ from audience_finder_pro_spark.operators.keyword_match import (
     first_match_expr,
 )
 from audience_finder_pro_spark.operators.topk import top_k_per_group
-from audience_finder_pro_spark.plans.views import reddit_views
+from audience_finder_pro_spark.plans.views import (
+    POST_TS_SPACING,
+    _doc_count,
+    reddit_views,
+)
 
 # tag weights, ref app.py:24-26
 TAG_DIRECT = "Direct Search"
 TAG_POST = "Relevant Post"
 TAG_COMMENT = "Relevant Comment"
+
+# the reference's time_filter radio (app.py:256); 'all' = no window
+TIME_FILTER_HOURS = {"day": 24, "week": 168, "month": 720, "year": 8760}
+
+
+def _time_window_pred(spark: SparkSession, sf_dir: str, time_filter: str):
+    """Time-window predicate for the synthetic post timeline, rewritten
+    onto the post_id key.
+
+    Semantics: created_ts >= as_of - window, with as_of = the timeline's
+    end (epoch + n_docs·spacing). Because created_ts is monotone in
+    post_id (views.POST_TS_EPOCH/POST_TS_SPACING), the predicate is
+    EXACTLY post_id >= n_docs - window_seconds/spacing — a base-column
+    comparison that reaches the parquet scan as a PushedFilter, where a
+    raw created_ts filter on the derived column could not. The DuckDB
+    oracle filters on created_ts itself, so this rewrite is
+    differentially verified, not just asserted.
+    """
+    if time_filter not in TIME_FILTER_HOURS:
+        raise ValueError(f"time_filter must be one of {[*TIME_FILTER_HOURS, 'all']}")
+    n_docs = _doc_count(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    window_docs = TIME_FILTER_HOURS[time_filter] * 3600 // POST_TS_SPACING
+    return F.col("post_id") >= F.lit(n_docs - window_docs)
 
 
 def discover_communities(
@@ -46,8 +73,14 @@ def discover_communities(
     sf_dir: str,
     queries: list[str],
     comment_limit: int = 20,
+    search_time_filter: str = "all",
 ) -> DataFrame:
-    """Ranked community table (schema per SURVEY §1.2, app.py:72)."""
+    """Ranked community table (schema per SURVEY §1.2, app.py:72).
+
+    ``search_time_filter`` models the hardcoded time_filter="month" on the
+    reference's post search (app.py:47); 'all' (default) keeps the
+    declared golden query's historical shape.
+    """
     v = reddit_views(spark, sf_dir)
     subs, posts, comments = v["subreddits"], v["posts"], v["comments"]
     qs = sorted(queries)  # canonical query order, ref app.py:205
@@ -74,8 +107,11 @@ def discover_communities(
     direct = hits(subs.filter(~F.col("name").startswith("u_")), "name", [F.col("name")], TAG_DIRECT)
 
     # Source 2 — post text search (app.py:47-52), u_/NSFW filters (app.py:49)
+    searched = posts
+    if search_time_filter != "all":
+        searched = searched.filter(_time_window_pred(spark, sf_dir, search_time_filter))
     post_hits = hits(
-        posts.filter(~F.col("over18")).filter(~F.col("subreddit").startswith("u_")),
+        searched.filter(~F.col("over18")).filter(~F.col("subreddit").startswith("u_")),
         "subreddit",
         [norm_ws("title"), norm_ws("selftext")],
         TAG_POST,
@@ -135,17 +171,26 @@ def scan_signals(
     keywords: list[str],
     post_limit: int = 50,
     comment_limit: int = 100,
+    time_filter: str = "all",
 ) -> DataFrame:
-    """Signal rows (Subreddit, Match, Type, Text, Author, Link) — app.py:100-141."""
+    """Signal rows (Subreddit, Match, Type, Text, Author, Link) — app.py:100-141.
+
+    ``time_filter`` reproduces subreddit.top(time_filter=...) at app.py:83:
+    only posts created inside the window compete for the top-k slots.
+    """
     v = reddit_views(spark, sf_dir)
     posts, comments = v["posts"], v["comments"]
 
     # normalize 'r/' prefixes in the input list (app.py:296)
     wanted = [s.replace("r/", "") for s in subreddits]
 
+    scoped = posts.filter(F.col("subreddit").isin(wanted))
+    if time_filter != "all":
+        scoped = scoped.filter(_time_window_pred(spark, sf_dir, time_filter))
+
     # S3/W1: top-k posts per subreddit by score (app.py:83), deterministic tiebreak
     top_posts = top_k_per_group(
-        posts.filter(F.col("subreddit").isin(wanted)),
+        scoped,
         ["subreddit"],
         [F.col("score").desc(), F.col("post_id").asc()],
         post_limit,

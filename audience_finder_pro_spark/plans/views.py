@@ -22,6 +22,15 @@ from pyspark.sql import functions as F
 
 COMMENT_CHUNK = 10  # words per synthetic comment
 
+# Synthetic post timeline: post doc_id is created POST_TS_SPACING seconds
+# after the previous one, starting 2024-01-01 00:00:00 UTC. Monotone in
+# doc_id by construction, so time-window predicates (the reference's
+# time_filter ∈ day/week/month/year/all, app.py:83,256) rewrite exactly
+# onto the doc_id key and reach the parquet scan as PushedFilters — the
+# same rewrite a real deployment gets from time-partitioned layout.
+POST_TS_EPOCH = 1704067200  # 2024-01-01 00:00:00 UTC
+POST_TS_SPACING = 10800  # seconds between consecutive synthetic posts (3 h)
+
 # doc-count cache keyed by the parquet input paths: the count is a plan
 # constant (post_id = f(doc_id) % n_docs), and re-running the count job on
 # every view construction costs a driver-blocking action per query
@@ -73,6 +82,9 @@ def posts_view(documents: DataFrame) -> DataFrame:
         ).alias("permalink"),
         ((F.col("n_chars") * 37 + F.col("doc_id")) % 1000).cast("long").alias("score"),
         (F.col("doc_id") % 20 == 19).alias("over18"),
+        F.timestamp_seconds(
+            F.lit(POST_TS_EPOCH) + F.col("doc_id") * F.lit(POST_TS_SPACING)
+        ).alias("created_ts"),
     )
 
 
@@ -161,7 +173,8 @@ posts AS (
               ELSE 'user' || CAST(doc_id % 50 AS VARCHAR) END AS author,
          '/r/' || source || '/comments/' || CAST(doc_id AS VARCHAR) AS permalink,
          CAST(MOD(n_chars * 37 + doc_id, 1000) AS BIGINT) AS score,
-         (doc_id % 20 = 19) AS over18
+         (doc_id % 20 = 19) AS over18,
+         TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id * {POST_TS_SPACING}) AS created_ts
   FROM documents
 ),
 comments_base AS (

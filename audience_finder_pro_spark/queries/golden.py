@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 
 from audience_finder_pro_spark.operators.keyword_match import keyword_theta_join
 from audience_finder_pro_spark.plans.audience import discover_communities, scan_signals
-from audience_finder_pro_spark.plans.views import ORACLE_VIEW_CTES, keywords_df
+from audience_finder_pro_spark.plans.views import (
+    ORACLE_VIEW_CTES,
+    POST_TS_SPACING,
+    keywords_df,
+)
 from audience_finder_pro_spark.session import load_table
 
 QUERIES = {}
@@ -41,12 +45,25 @@ _Q_VALUES = ", ".join(f"({i + 1}, '{q}')" for i, q in enumerate(sorted(DISCOVERY
 _NORM = "trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
 
 
-_SIGNAL_ORACLE = f"""
+def _time_pred_sql(hours: int) -> str:
+    """created_ts window predicate, END of the synthetic timeline as as_of.
+
+    Deliberately expressed on created_ts (the semantic form) while the
+    Spark plan filters the rewritten post_id key — the differential
+    compare proves the rewrite correct."""
+    return (
+        "AND created_ts >= TIMESTAMP '2024-01-01 00:00:00'"
+        f" + to_seconds((SELECT count(*) FROM documents) * {POST_TS_SPACING} - {hours * 3600})"
+    )
+
+
+def _signal_oracle(time_pred: str = "") -> str:
+    return f"""
 WITH {ORACLE_VIEW_CTES.strip()},
 keywords(kw_pos, keyword) AS (SELECT * FROM (VALUES {_KW_VALUES})),
 top_posts AS (
   SELECT * FROM posts
-  WHERE subreddit IN ('src1', 'src2', 'src3', 'src4', 'src5')
+  WHERE subreddit IN ('src1', 'src2', 'src3', 'src4', 'src5') {time_pred}
   QUALIFY row_number() OVER (PARTITION BY subreddit ORDER BY score DESC, post_id) <= 50
 ),
 live_posts AS (
@@ -92,6 +109,9 @@ SELECT * FROM post_signals UNION ALL SELECT * FROM comment_signals
 """
 
 
+_SIGNAL_ORACLE = _signal_oracle()
+
+
 @_q("signal_scan", _SIGNAL_ORACLE)
 def signal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query — the reference's opportunity scan end-to-end (SURVEY §7.1)."""
@@ -102,6 +122,24 @@ def signal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         keywords=SIGNAL_KEYWORDS,
         post_limit=50,
         comment_limit=100,
+    )
+
+
+@_q("signal_scan_month", _signal_oracle(_time_pred_sql(720)))
+def signal_scan_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship scan with the reference's default time_filter='month'
+    (app.py:83,256): only posts created in the last 30 days of the
+    synthetic timeline compete for the top-k slots. The Spark plan pushes
+    the window as a post_id PushedFilter (monotone-timeline rewrite,
+    plans/audience._time_window_pred); the oracle filters created_ts."""
+    return scan_signals(
+        spark,
+        sf_dir,
+        subreddits=SIGNAL_SUBREDDITS,
+        keywords=SIGNAL_KEYWORDS,
+        post_limit=50,
+        comment_limit=100,
+        time_filter="month",
     )
 
 
@@ -177,6 +215,64 @@ def keyword_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     kdf = keywords_df(spark, SIGNAL_KEYWORDS)
     pairs = keyword_theta_join(docs, kdf, text_col="text")
     return pairs.groupBy("keyword").agg(F.count("*").alias("n_docs"))
+
+
+_QUARANTINE_ORACLE = f"""
+WITH {ORACLE_VIEW_CTES.strip()},
+post_bad AS (
+  SELECT 'post' AS entity, 'author_tombstone' AS reason
+  FROM posts WHERE author = '[deleted]'
+),
+comment_bad AS (
+  SELECT 'comment' AS entity,
+         CASE WHEN author = '[deleted]' THEN 'author_tombstone'
+              WHEN body IN ('[deleted]', '[removed]') THEN 'body_tombstone'
+              ELSE 'body_blank' END AS reason
+  FROM comments
+  WHERE author = '[deleted]'
+     OR body IN ('[deleted]', '[removed]')
+     OR length({_NORM.format(c="body")}) = 0
+)
+SELECT entity, reason, count(*) AS n_rows
+FROM (SELECT * FROM post_bad UNION ALL SELECT * FROM comment_bad)
+GROUP BY entity, reason
+"""
+
+
+@_q("quarantine_report", _QUARANTINE_ORACLE)
+def quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-reason counts of rows the golden pipelines quarantine (SURVEY §4.1):
+    the reference skips-and-warns on tombstoned/blank rows (app.py:93,
+    121-129); the engine routes them through quarantine_invalid so dropped
+    data is observable, and this query is the observability surface —
+    counts by (entity, reason), first-match reason priority mirroring the
+    pipelines' filter order."""
+    from audience_finder_pro_spark.functions.text import norm_ws
+    from audience_finder_pro_spark.plans.views import reddit_views
+    from audience_finder_pro_spark.sources.quarantine import quarantine_invalid
+
+    v = reddit_views(spark, sf_dir)
+    posts, comments = v["posts"], v["comments"]
+
+    p_reason = F.when(F.col("author") == "[deleted]", "author_tombstone")
+    c_reason = (
+        F.when(F.col("author") == "[deleted]", "author_tombstone")
+        .when(F.col("body").isin("[deleted]", "[removed]"), "body_tombstone")
+        .when(F.length(norm_ws("body")) == 0, "body_blank")
+    )
+    _, bad_p = quarantine_invalid(
+        posts.withColumn("reason", p_reason), F.col("reason").isNull(), ["reason"]
+    )
+    _, bad_c = quarantine_invalid(
+        comments.withColumn("reason", c_reason), F.col("reason").isNull(), ["reason"]
+    )
+    rep_p = bad_p.groupBy("reason").agg(F.count("*").alias("n_rows")).withColumn(
+        "entity", F.lit("post")
+    )
+    rep_c = bad_c.groupBy("reason").agg(F.count("*").alias("n_rows")).withColumn(
+        "entity", F.lit("comment")
+    )
+    return rep_p.unionByName(rep_c).select("entity", "reason", "n_rows")
 
 
 _SIGNAL_V1_ORACLE = f"""

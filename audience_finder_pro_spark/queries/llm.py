@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from audience_finder_pro_spark.functions.text import norm_text_hash, shingles, tokens
+from audience_finder_pro_spark.functions.text import (
+    norm_text_hash,
+    shingle_stream,
+    tokens,
+)
 from audience_finder_pro_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -301,18 +305,23 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style fingerprint: full-text hash + min hash over shingles."""
+    """Winnowing-style fingerprint: full-text hash + min hash over shingles.
+
+    Shape: shingle_stream (posexplode + lead window, all codegen) → one
+    groupBy(doc_id) min-fold, joined back to the full-text hash. The
+    array form — array_min(transform(shingles, md5)) — evaluates md5 in
+    an INTERPRETED lambda per shingle and measured 5.2s at sf0.1 vs ~1s
+    for this plan (BASELINE.md ratio table flagged it round 2). The
+    inner join drops shingle-less docs (< n tokens), matching the
+    oracle's len(shingles) > 0."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(tokens("text"), 3)
-    return (
-        docs.select(
-            "doc_id",
-            norm_text_hash("text").alias("full_hash"),
-            F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("min_shingle_hash"),
-            F.size(sh).alias("_n"),
-        )
-        .filter(F.col("_n") > 0)
-        .drop("_n")
+    mins = (
+        shingle_stream(docs, "doc_id", "text", 3)
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("shingle")).alias("min_shingle_hash"))
+    )
+    return docs.select("doc_id", norm_text_hash("text").alias("full_hash")).join(
+        mins, "doc_id"
     )
 
 
@@ -511,11 +520,17 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("ann_ivf_topk", None)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned approximate top-k; recall vs brute force asserted in
-    tests (the corpus-partitioning scale path, complementing sign-LSH)."""
+    tests (the corpus-partitioning scale path, complementing sign-LSH).
+
+    Parameters chosen from the measured recall sweep (scripts/ivf_recall.py
+    at sf0.1, NOTES.md): n_lists=32/n_probe=4/refine_iters=0 gives 0.965
+    top-10 recall scanning ~12% of the corpus per query — higher recall AND
+    3× less scanned than the previous 16/6/1 (Lloyd refinement measurably
+    hurt recall on this data by merging seed lists)."""
     from audience_finder_pro_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk(emb, queries, k=10, n_lists=16, n_probe=6)
+    return ivf_topk(emb, queries, k=10, n_lists=32, n_probe=4, refine_iters=0)

@@ -453,16 +453,27 @@ def q15_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------- U3 intersect
+# ---------------------------------------------------------------- U3 intersect+except
 @_q(
-    "q16_intersect",
+    "q16_intersect_except",
     """
-    SELECT n_name AS nation_name FROM customer JOIN nation ON c_nationkey = n_nationkey
-    INTERSECT
-    SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    SELECT 'intersect' AS op, n_name AS nation_name FROM (
+      SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+      INTERSECT
+      SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    )
+    UNION ALL
+    SELECT 'except' AS op, n_name AS nation_name FROM (
+      SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+      EXCEPT
+      SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    )
     """,
 )
-def q16_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q16_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both U3 set operators in one tagged result: nations with both
+    customers and suppliers ('intersect') and customer-only nations
+    ('except', distinct EXCEPT semantics via subtract)."""
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -472,29 +483,9 @@ def q16_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey).select(
         F.col("n_name").alias("nation_name")
     )
-    return cn.intersect(sn)
-
-
-# ---------------------------------------------------------------- U3 except
-@_q(
-    "q17_except",
-    """
-    SELECT n_name AS nation_name FROM customer JOIN nation ON c_nationkey = n_nationkey
-    EXCEPT
-    SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
-    """,
-)
-def q17_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    cn = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).select(
-        F.col("n_name").alias("nation_name")
-    )
-    sn = supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey).select(
-        F.col("n_name").alias("nation_name")
-    )
-    return cn.subtract(sn)  # distinct EXCEPT semantics, matching SQL EXCEPT
+    inter = cn.intersect(sn).select(F.lit("intersect").alias("op"), "nation_name")
+    exc = cn.subtract(sn).select(F.lit("except").alias("op"), "nation_name")
+    return inter.unionByName(exc)
 
 
 # ---------------------------------------------------------------- U1/U2 union+dedup

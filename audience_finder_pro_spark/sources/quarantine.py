@@ -42,6 +42,10 @@ def read_jsonl_quarantined(
     df = df.cache()
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).withColumnRenamed(CORRUPT_COL, "raw")
+    # caller-owned cleanup handle: unpersist after both splits are consumed
+    # (CacheManager entries are not freed by GC)
+    good._owned_caches = [df]  # type: ignore[attr-defined]
+    bad._owned_caches = [df]  # type: ignore[attr-defined]
     return good, bad
 
 

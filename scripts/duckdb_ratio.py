@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Per-query Spark-vs-DuckDB wall-time table over the FULL oracle set
+(VERDICT r1 lead 5: manufacture the honest 2×-gate comparator).
+
+Runs every oracle-backed declared query in both engines at the given SF
+(best-of-2 after a warmup pass in each engine) and prints a markdown
+table sorted by ratio. Paste into BASELINE.md; rerun per round so
+per-query regressions are visible, not just the bench total.
+
+Usage: python scripts/duckdb_ratio.py [sf_dir] (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from audience_finder_pro_spark.queries import ORACLES, QUERIES
+from audience_finder_pro_spark.session import TABLES, get_spark
+
+
+def best_of(fn, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("duckdb-ratio")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    names = [n for n in QUERIES if n in ORACLES]
+    rows = []
+    for name in names:
+        try:
+            spark_s = best_of(lambda: QUERIES[name](spark, sf_dir).count())
+        except Exception as ex:
+            print(f"# spark {name} FAILED {str(ex).splitlines()[0][:120]}", file=sys.stderr)
+            continue
+        try:
+            duck_s = best_of(lambda: con.execute(ORACLES[name]).fetchall())
+        except Exception as ex:
+            print(f"# duckdb {name} FAILED {str(ex).splitlines()[0][:120]}", file=sys.stderr)
+            continue
+        rows.append((name, spark_s, duck_s, spark_s / max(duck_s, 1e-9)))
+
+    rows.sort(key=lambda r: -r[3])
+    print(f"\n| query | spark s | duckdb s | ratio |")
+    print("|---|---|---|---|")
+    for name, s, d, r in rows:
+        print(f"| {name} | {s:.3f} | {d:.3f} | {r:.1f} |")
+    ts = sum(r[1] for r in rows)
+    td = sum(r[2] for r in rows)
+    print(f"| **total ({len(rows)} queries)** | **{ts:.2f}** | **{td:.2f}** | **{ts / td:.1f}** |")
+
+
+if __name__ == "__main__":
+    main()

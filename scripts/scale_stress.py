@@ -13,7 +13,11 @@ import time
 sys.path.insert(0, ".")
 from pyspark.sql import functions as F
 
-from audience_finder_pro_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from audience_finder_pro_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
 from audience_finder_pro_spark.session import get_spark, load_table
 
 
@@ -43,6 +47,37 @@ def main() -> None:
     print(
         f"docs={n} | minhash(th=0.9): {pairs} verified pairs in {t_mh:.1f}s "
         f"({pairs / max(t_mh, 1e-9):,.0f} pairs/s) | exact_dedup: {kept} reps in {t_ex:.1f}s"
+    )
+
+    # Hot-shingle stress for the capped exact-Jaccard path: every doc gets the
+    # SAME boilerplate tail, so without a df-cap those shingles join all docs
+    # pairwise (quadratic blowup on one key); with the relative cap the join
+    # cost must track the true near-dup volume. Smaller replica factor — exact
+    # Jaccard's answer itself is O(replicas² per original).
+    factor_j = min(factor, 10)
+    boiler = (
+        docs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(factor_j - 1))).alias("rep"), "doc_id", "text"
+        )
+        .select(
+            (F.col("doc_id") * factor_j + F.col("rep")).alias("doc_id"),
+            F.concat(
+                "text",
+                F.lit(" tail"),
+                F.col("rep").cast("string"),
+                F.lit(" all rights reserved by the example corporation boilerplate notice"),
+            ).alias("text"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+    )
+    nj = boiler.count()
+    t0 = time.time()
+    jp = ngram_jaccard_pairs(boiler, threshold=0.9, df_cap_frac=0.001).count()
+    t_j = time.time() - t0
+    print(
+        f"jaccard hot-shingle stress: docs={nj} (universal boilerplate tail) | "
+        f"capped(df_cap_frac=0.001, th=0.9): {jp} pairs in {t_j:.1f}s "
+        f"({jp / max(t_j, 1e-9):,.0f} pairs/s)"
     )
 
 

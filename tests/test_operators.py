@@ -38,6 +38,55 @@ def test_asof_join_micro(spark):
     assert got == {"a": 100.0, "b": 150.0, "c": None, "d": None}
 
 
+def test_asof_join_whole_row_semantics(spark):
+    """A right row with NULL in one of several value cols must NOT mix
+    columns from different right rows — merge_asof/ASOF carries whole rows."""
+    left = spark.createDataFrame([(1, 30, "x")], "k long, t long, tag string").withColumn(
+        "ts", F.timestamp_seconds("t")
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0, "old"), (1, 20, None, "new")],
+        "k long, t long, v double, label string",
+    ).withColumn("ts", F.timestamp_seconds("t")).select("k", "ts", "v", "label")
+    out = asof_join(
+        left.select("k", "ts", "tag"), right, ["k"], "ts", "ts", ["v", "label"]
+    ).collect()
+    assert len(out) == 1
+    # latest right row (t=20) wins WHOLE: v is its NULL, not 100.0 from t=10
+    assert out[0]["v"] is None and out[0]["label"] == "new"
+
+
+def test_asof_join_reserved_name_guard(spark):
+    df = spark.createDataFrame([(1, 1, 1)], "k long, _ts long, v long")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(df, df, ["k"], "_ts", "_ts", ["v"])
+
+
+def test_range_join_subsecond_and_boundary(spark):
+    """An interval whose fractional-second end crosses a bucket boundary
+    must cover the last bucket (the old unix_timestamp form truncated to
+    whole seconds and silently dropped the match), and an end exactly on
+    a boundary must not join points at that boundary."""
+    from audience_finder_pro_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [("in_tail", "2024-01-01 01:00:00.250"), ("at_bound", "2024-01-01 02:00:00.000")],
+        "pid string, t string",
+    ).select("pid", F.to_timestamp("t").alias("pt"))
+    right = spark.createDataFrame(
+        [
+            ("i1", "2024-01-01 00:59:59.000", "2024-01-01 01:00:00.500"),
+            ("i2", "2024-01-01 01:30:00.000", "2024-01-01 02:00:00.000"),
+        ],
+        "iid string, s string, e string",
+    ).select("iid", F.to_timestamp("s").alias("rs"), F.to_timestamp("e").alias("re"))
+    out = range_join(left, right, "pt", "rs", "re", bucket_width_expr="3600")
+    got = [(r.pid, r.iid) for r in out.collect()]
+    # in_tail ∈ i1 (end 01:00:00.500 spills into the hour-1 bucket);
+    # at_bound is NOT in i2 (end-exclusive)
+    assert got == [("in_tail", "i1")]
+
+
 def test_topk_tiebreak_stable(spark, sf_smoke):
     """Same scores must resolve identically across runs (unique tiebreak key)."""
     orders = load_table(spark, sf_smoke, "orders")
@@ -319,6 +368,23 @@ def test_asof_join_forward(spark):
     got = {r.tag: r.val for r in out.collect()}
     # a: ts=10 matches right ts=10 (tie inclusive); b: ts=16 -> next is 20; c: none
     assert got == {"a": 100.0, "b": 200.0, "c": None}
+
+
+def test_time_filter_window_semantics(spark, sf_smoke):
+    """time_filter narrows monotonically (day ⊆ week ⊆ month ⊆ all over the
+    post set feeding top-k) and rejects unknown values."""
+    from audience_finder_pro_spark.plans.audience import scan_signals
+
+    counts = {}
+    for tf in ("day", "month", "all"):
+        counts[tf] = scan_signals(
+            spark, sf_smoke, subreddits=["src1", "src2"], keywords=["the"], time_filter=tf
+        ).count()
+    assert counts["day"] <= counts["month"] <= counts["all"]
+    with pytest.raises(ValueError, match="time_filter"):
+        scan_signals(
+            spark, sf_smoke, subreddits=["src1"], keywords=["the"], time_filter="fortnight"
+        ).count()
 
 
 def test_ngram_jaccard_df_cap_prunes_hot_shingles(spark):

@@ -65,6 +65,26 @@ def test_signal_scan_no_join_for_keyword_match(spark, sf_smoke, no_aqe):
     assert "CartesianProduct" not in plan
 
 
+def test_signal_scan_month_time_window_pushed_to_scan(spark, sf_smoke, no_aqe):
+    """The time_filter window is rewritten onto the monotone post_id key
+    (plans/audience._time_window_pred) and must reach the parquet scan as a
+    PushedFilter on doc_id — a created_ts filter on the derived column
+    would not push."""
+    plan = _plan(spark, "signal_scan_month", sf_smoke)
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(doc_id,", plan), plan[:800]
+
+
+def test_ann_lsh_no_interpreted_hyperplane_regen(spark, sf_smoke, no_aqe):
+    """Sign-LSH hyperplanes are plan-time constants: bucketing must not
+    regenerate them per row via sequence()+xxhash64 inside HOF lambdas
+    (the round-1 form paid dim×bits×tables interpreted calls per row).
+    The only remaining lambdas allowed are the exact-cosine rerank folds
+    over the (small) candidate set."""
+    plan = _plan(spark, "ann_lsh_topk", sf_smoke)
+    assert "xxhash64" not in plan, "hyperplane hash evaluated per row"
+    assert "sequence(" not in plan, "per-row hyperplane index generation"
+
+
 def test_column_pruning_reaches_scan(spark, sf_smoke, no_aqe):
     """q26 touches 3 lineitem columns — the scan must not read all 16."""
     plan = _plan(spark, "q26_pivot", sf_smoke)
