@@ -31,6 +31,7 @@ from audience_finder_pro_spark.operators.keyword_match import (
     first_match_expr,
 )
 from audience_finder_pro_spark.operators.dedup import minhash_signatures
+from audience_finder_pro_spark.operators.graph import connected_components, dedup_clusters
 
 __all__ = [
     "keyword_theta_join",
@@ -53,4 +54,6 @@ __all__ = [
     "minhash_signatures",
     "cosine_neardup_pairs",
     "ivf_topk",
+    "connected_components",
+    "dedup_clusters",
 ]

@@ -24,13 +24,12 @@ tests (SURVEY §7.4 hard part 3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from audience_finder_pro_spark.functions.text import (
     norm_text_hash,
     shingle_stream,
-    shingles,
     tokens,
 )
 
@@ -45,13 +44,20 @@ def exact_dedup(
     Deterministic representative choice (min id) instead of Spark's
     arbitrary-row dropDuplicates — required for oracle hash-match.
 
-    One-pass shape: a row_number window over the 16-byte hash — a single
-    shuffle and a single scan of the corpus (the earlier
-    hash→agg→semi-join form re-read the input for the join-back).
+    Two-pass shape, deliberately: groupBy(hash).min(id) shuffles only the
+    16-byte hash + id, then a left-semi join on (hash, id) recovers the
+    representative rows. A one-pass row_number window was tried (round 2)
+    and REVERTED on measurement: the window carries FULL rows (text
+    payload) through a total sort per hash partition, and under executor
+    memory pressure (other operators' caches resident — the realistic
+    cluster condition) that sort spills: 40.7s vs 5.1s at the 50× scale
+    stress, despite near-parity on an idle executor (2.3-6.2s both).
+    Hash semi-joins degrade gracefully where sorts fall off a cliff, and
+    the second columnar scan is cheap next to a full-payload shuffle.
     """
     h = df.withColumn("text_hash", norm_text_hash(text_col))
-    w = Window.partitionBy("text_hash").orderBy(F.col(id_col).asc())
-    return h.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    reps = h.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
+    return h.join(reps, ["text_hash", id_col], "left_semi")
 
 
 def _shingle_index(
@@ -219,12 +225,19 @@ def minhash_lsh_pairs(
         .persist()
     )
 
-    # verify candidates with exact Jaccard — shingle-set arrays are built only
-    # for docs that appear in a candidate pair (≪ corpus), semi-joined first
+    # verify candidates with exact Jaccard — shingle sets are built only for
+    # docs that appear in a candidate pair (≪ corpus), semi-joined first.
+    # Sets are collected from the codegen shingle_stream (posexplode+window)
+    # as xxhash64 longs, not via shingles() HOF arrays: the lambda transform
+    # evaluates interpreted per shingle (~20µs), and long-array intersection
+    # beats string-array intersection downstream. A 64-bit hash collision
+    # merging two distinct shingles is ~|sh|²/2⁶⁴ — negligible against the
+    # candidate set's own approximation.
     cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
     shdf = (
-        df.join(cand_ids, id_col, "left_semi")
-        .select(F.col(id_col), F.array_distinct(shingles(tokens(text_col), n)).alias("sh"))
+        shingle_stream(df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n)
+        .groupBy(id_col)
+        .agg(F.collect_set(F.xxhash64("shingle")).alias("sh"))
         .persist()
     )
     verified = (

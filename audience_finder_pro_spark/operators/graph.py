@@ -1,0 +1,126 @@
+"""Iterative graph operators — connected components for dedup clustering.
+
+Pairwise near-dup output (ngram_jaccard_pairs / minhash_lsh_pairs /
+cosine_neardup_pairs) is only half of deduplication at scale: a corpus
+with chained near-dups (A~B, B~C, but A!~C) needs the transitive
+closure to pick ONE representative per duplicate *cluster*, not per
+pair. Connected components is that closure.
+
+Spark-first shape: min-label propagation with pointer jumping
+(path halving), the standard DataFrame-only formulation (same family as
+GraphFrames' and GraphX's CC). Each iteration is two self-joins +
+an aggregation — all Catalyst-planned — and pointer jumping makes the
+label tree collapse in O(log d) iterations (d = component diameter)
+instead of O(d), so a 100 TB corpus whose dup chains are thousands of
+docs long still converges in ~a dozen rounds. The per-iteration driver
+action (a bounded `count` to test convergence) is the loop control every
+iterative Spark algorithm pays; the data never leaves the cluster.
+
+Lineage control: every iteration `localCheckpoint`s the new label table
+(truncating the plan so iteration N+1 doesn't re-derive iterations
+1..N) and unpersists the previous one — executor storage stays O(|V|).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; ``component``
+    is the smallest node id in the node's connected component.
+
+    Undirected semantics: each input row is treated as an edge both ways.
+    Raises if not converged within ``max_iter`` (pointer jumping needs
+    O(log d) rounds, so 25 covers any realistic diameter; a non-converged
+    result would be silently wrong, hence the hard failure).
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # materialize the edge list ONCE: its lineage may contain an arbitrarily
+    # expensive upstream plan (e.g. the whole near-dup pair pipeline), and
+    # every iteration joins against it — without this, iteration k re-runs
+    # the pair computation k times (measured 14s → 4s at sf0.1)
+    sym = (
+        sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    # labels start as self: component = node
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    # Convergence metric: labels only ever decrease (least of self,
+    # neighbors, parent), so sum(comp) is strictly monotone until the
+    # fixpoint — comparing sums costs ONE aggregate on the new labels
+    # (which doubles as the job that materializes the lazy checkpoint),
+    # instead of a join-against-previous plus a separate checkpoint job.
+    _sum = lambda df: df.agg(  # noqa: E731  (decimal: ANSI-safe vs long overflow)
+        F.sum(F.col("comp").cast("decimal(38,0)"))
+    ).collect()[0][0]
+    prev_sum = _sum(labels)
+
+    for _ in range(max_iter):
+        # 1. propagate: each node takes the min label over itself + neighbors
+        nbr_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        prop = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+        )
+        # 2. pointer jumping (path halving): comp := comp's comp — collapses
+        #    label chains exponentially, turning O(d) rounds into O(log d)
+        parent = prop.select(F.col("node").alias("p_node"), F.col("comp").alias("p_comp"))
+        jumped = (
+            prop.join(parent, prop.comp == parent.p_node, "left")
+            .select("node", F.coalesce("p_comp", "comp").alias("comp"))
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = _sum(jumped)
+        labels.unpersist()
+        labels = jumped
+        if cur_sum == prev_sum:
+            return labels.select("node", "comp")
+        prev_sum = cur_sum
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """(id, cluster_id) over the FULL corpus: transitive near-dup clusters
+    from pairwise evidence, singletons as their own cluster.
+
+    ``cluster_id`` = min id in the cluster, so `filter(id == cluster_id)`
+    is the canonical keep-one-representative curation step and
+    `groupBy(cluster_id)` the cluster-size histogram.
+    """
+    cc = connected_components(pairs, src=src, dst=dst)
+    return (
+        df.select(F.col(id_col))
+        .join(cc, df[id_col] == cc.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
+        )
+    )

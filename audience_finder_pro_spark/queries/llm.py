@@ -17,6 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from audience_finder_pro_spark.functions.quality import (
+    EMAIL_RE,
+    PHONE_RE,
+    pii_count,
+    redact_pii,
+)
 from audience_finder_pro_spark.functions.text import (
     norm_text_hash,
     shingle_stream,
@@ -88,10 +94,9 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- A9 n-gram Jaccard
-@_q(
-    "dedup_ngram_jaccard",
-    """
-    WITH toks AS (
+# CTE chain shared by the pairwise query and the connected-components
+# clustering oracle (which closes these pairs transitively).
+_JACCARD_CTES = """toks AS (
       SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS tok
       FROM documents
     ),
@@ -115,13 +120,22 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
       FROM pidx a JOIN pidx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    ),
+    jpairs AS (
+      SELECT id_a, id_b,
+             round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    )"""
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_JACCARD_CTES}
+    SELECT id_a, id_b, jaccard FROM jpairs
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,6 +146,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic join key; relative caps survive corpus growth."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, threshold=0.8, df_cap_frac=0.05)
+
+
+# ---------------------------------------------------------------- A9 dedup clustering
+@_q(
+    "dedup_cc_clusters",
+    f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM jpairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM jpairs
+    ),
+    -- min-label reachability: a label walks every edge; only labels
+    -- smaller than the receiving node can be a component min (the true
+    -- min is < every other member), so the filter is a safe prune
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.label FROM reach r JOIN edges e
+        ON r.node = e.b AND r.label < e.a
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: the pairwise Jaccard evidence closed
+    into connected components (operators/graph.py — min-label propagation
+    with pointer jumping, O(log diameter) DataFrame iterations), every doc
+    labeled with its cluster's min doc_id, singletons as themselves.
+
+    This is the step that makes pairwise dedup a curation operator: keep
+    rows where doc_id = cluster_id and chained near-dups (A~B~C with
+    A!~C) still collapse to one representative. The DuckDB oracle closes
+    the same pairs with a recursive min-label CTE — an exact, engine-
+    independent check of the iterative Spark algorithm."""
+    from audience_finder_pro_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, df_cap_frac=0.05)
+    return dedup_clusters(docs, pairs)
 
 
 # ---------------------------------------------------------------- A9 MinHash (no oracle)
@@ -358,6 +413,154 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(q, 4).alias("quality"),
         F.when(q >= 0.5, "keep").otherwise("drop").alias("verdict"),
+    )
+
+
+# ------------------------------------------------- F17 repetition + PII signals
+_AUG_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " ELSE text END"
+)
+
+
+@_q(
+    "quality_signals",
+    f"""
+    WITH aug AS (SELECT doc_id, {_AUG_SQL} AS atext FROM documents),
+    toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS tok
+      FROM documents
+    ),
+    ts AS (SELECT doc_id, unnest(tok) AS t FROM toks),
+    tstats AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             round(avg(length(t)), 4) AS mean_word_len,
+             count(DISTINCT t) AS n_distinct
+      FROM ts GROUP BY doc_id
+    ),
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(
+        range(1, greatest(len(tok) - 1, 0) + 1),
+        i -> array_to_string(list_slice(tok, i, i + 1), ' ')
+      )) AS g FROM toks
+    ),
+    g2top AS (
+      SELECT doc_id, max(c) AS top2_cnt
+      FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY doc_id
+    ),
+    g3 AS (
+      SELECT doc_id, unnest(list_transform(
+        range(1, greatest(len(tok) - 2, 0) + 1),
+        i -> array_to_string(list_slice(tok, i, i + 2), ' ')
+      )) AS g FROM toks
+    ),
+    g3rep AS (
+      SELECT doc_id, count(*) AS total3, count(DISTINCT g) AS dist3
+      FROM g3 GROUP BY doc_id
+    ),
+    pii AS (
+      SELECT doc_id,
+             len(regexp_extract_all(atext, '{EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(atext, '{PHONE_RE}')) AS n_phones,
+             md5(regexp_replace(regexp_replace(atext, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                                '{PHONE_RE}', '[PHONE]', 'g')) AS redacted_hash
+      FROM aug
+    )
+    SELECT t.doc_id, t.n_tokens, t.mean_word_len,
+           round(t.n_distinct * 1.0 / t.n_tokens, 4) AS frac_unique,
+           round(coalesce(g2top.top2_cnt, 0) * 2.0 / t.n_tokens, 4) AS top2gram_frac,
+           round(coalesce(1.0 - g3rep.dist3 * 1.0 / g3rep.total3, 0.0), 4) AS rep3_frac,
+           pii.n_emails, pii.n_phones, pii.redacted_hash,
+           (t.n_tokens >= 20 AND 4 * t.n_distinct >= t.n_tokens
+            AND 4 * coalesce(g2top.top2_cnt, 0) < t.n_tokens
+            AND pii.n_emails + pii.n_phones = 0) AS passes_gate
+    FROM tstats t
+    LEFT JOIN g2top USING (doc_id)
+    LEFT JOIN g3rep USING (doc_id)
+    JOIN pii USING (doc_id)
+    """,
+)
+def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition metrics + PII detect/redact in one pass —
+    the per-doc feature vector a curation gate thresholds on.
+
+    Repetition tier (mean word length, unique-token fraction, most-
+    frequent-2-gram mass, repeated-3-gram mass) aggregates over the
+    codegen token/shingle streams — the explode+window shape, never
+    per-row HOF lambda arrays (functions/text.py). The PII tier
+    (functions/quality.py) runs over a deterministically AUGMENTED copy
+    of the text (1 in 7 docs gets a synthetic email + phone appended,
+    mirrored in the oracle) so the detectors and the redaction hash have
+    real positives on the synthetic fixture, not vacuous zeros.
+
+    ``passes_gate`` uses integer-only comparisons (cross-multiplied
+    thresholds) so the boolean is bit-identical across engines — no
+    float-boundary flakiness in the driver's hash compare.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    pii = docs.select(
+        "doc_id",
+        pii_count(aug, EMAIL_RE).alias("n_emails"),
+        pii_count(aug, PHONE_RE).alias("n_phones"),
+        F.md5(redact_pii(aug)).alias("redacted_hash"),
+    )
+
+    ts = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+    tstats = ts.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(F.length("t")), 4).alias("mean_word_len"),
+        F.countDistinct("t").alias("n_distinct"),
+    )
+    g2top = (
+        shingle_stream(docs, "doc_id", "text", 2)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top2_cnt"))
+    )
+    g3rep = (
+        shingle_stream(docs, "doc_id", "text", 3)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("total3"), F.countDistinct("shingle").alias("dist3"))
+    )
+
+    return (
+        tstats.join(g2top, "doc_id", "left")
+        .join(g3rep, "doc_id", "left")
+        .join(pii, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "mean_word_len",
+            F.round(F.col("n_distinct") * 1.0 / F.col("n_tokens"), 4).alias("frac_unique"),
+            F.round(
+                F.coalesce(F.col("top2_cnt"), F.lit(0)) * 2.0 / F.col("n_tokens"), 4
+            ).alias("top2gram_frac"),
+            F.round(
+                F.coalesce(1.0 - F.col("dist3") * 1.0 / F.col("total3"), F.lit(0.0)), 4
+            ).alias("rep3_frac"),
+            "n_emails",
+            "n_phones",
+            "redacted_hash",
+            (
+                (F.col("n_tokens") >= 20)
+                & (4 * F.col("n_distinct") >= F.col("n_tokens"))
+                & (4 * F.coalesce(F.col("top2_cnt"), F.lit(0)) < F.col("n_tokens"))
+                & (F.col("n_emails") + F.col("n_phones") == 0)
+            ).alias("passes_gate"),
+        )
     )
 
 

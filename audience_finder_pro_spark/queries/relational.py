@@ -143,42 +143,40 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- J6 semi
 @_q(
-    "q04_semi_join",
+    "q04_semi_anti_join",
     """
-    SELECT o_orderpriority, count(*) AS n_orders
+    SELECT 'semi' AS op, o_orderpriority AS grp, count(*) AS n
     FROM orders
     WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
     GROUP BY o_orderpriority
-    """,
-)
-def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
-    return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_orders"))
-    )
-
-
-# ---------------------------------------------------------------- J6 anti
-@_q(
-    "q05_anti_join",
-    """
-    SELECT c_mktsegment AS mktsegment, count(*) AS n_customers
+    UNION ALL
+    SELECT 'anti' AS op, c_mktsegment AS grp, count(*) AS n
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     GROUP BY c_mktsegment
     """,
 )
-def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
+def q04_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both J6 existential forms in one tagged result (the
+    q16_intersect_except pattern — keeps every oracle-backed query inside
+    the driver's 50-slot verification cap): orders with a heavy lineitem
+    (left_semi) and customers with no orders (left_anti)."""
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
-        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
-        .agg(F.count("*").alias("n_customers"))
+    customer = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    semi = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("semi").alias("op"), "grp", "n")
     )
+    anti = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("grp"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("anti").alias("op"), "grp", "n")
+    )
+    return semi.unionByName(anti)
 
 
 # ---------------------------------------------------------------- J8 cross
@@ -379,26 +377,48 @@ def q12_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- A8 rollup
 @_q(
-    "q13_rollup",
+    "q13_rollup_gsets",
     """
-    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+    SELECT 'rollup' AS op, coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+           round(sum(l_quantity), 4) AS val, count(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'gsets' AS op, coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice), 4) AS val, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
 )
-def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q13_rollup_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both A8 multi-grouping forms over lineitem in one tagged result
+    (ROLLUP hierarchy + explicit GROUPING SETS), merged to keep every
+    oracle-backed query inside the driver's 50-slot cap."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    roll = (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count("*").alias("n"))
+        .agg(F.round(F.sum("l_quantity"), 4).alias("val"), F.count("*").alias("n"))
         .select(
+            F.lit("rollup").alias("op"),
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "sum_qty",
+            "val",
             "n",
         )
     )
+    li.createOrReplaceTempView("lineitem")
+    gsets = spark.sql(
+        """
+        SELECT 'gsets' AS op,
+               coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_extendedprice), 4) AS val, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+    return roll.unionByName(gsets)
 
 
 # ---------------------------------------------------------------- A8 cube
@@ -425,31 +445,6 @@ def q14_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "total",
         )
-    )
-
-
-# ---------------------------------------------------------------- A8 grouping sets
-@_q(
-    "q15_grouping_sets",
-    """
-    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-           coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(sum(l_extendedprice), 4) AS total_price
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    """,
-)
-def q15_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("lineitem")
-    return spark.sql(
-        """
-        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-               coalesce(l_linestatus, 'ALL') AS linestatus,
-               round(sum(l_extendedprice), 4) AS total_price
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
     )
 
 

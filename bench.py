@@ -26,17 +26,19 @@ BENCH_QUERIES = [
     "q01_pricing_summary",
     "q02_revenue_by_nation",
     "q03_top_orders",
-    "q04_semi_join",
+    "q04_semi_anti_join",
     "q08_asof_join",
     "q09_window_topk",
     "q12_sessionize",
-    "q13_rollup",
+    "q13_rollup_gsets",
     "q24_json_funcs",
     "signal_scan",
     "signal_scan_month",
     "community_discovery",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_cc_clusters",
+    "quality_signals",
     "curation_pipeline",
     "ann_cosine_topk",
     "ann_lsh_topk",

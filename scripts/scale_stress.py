@@ -39,8 +39,14 @@ def main() -> None:
     )
     n = big.count()
     t0 = time.time()
-    pairs = minhash_lsh_pairs(big, threshold=0.9).count()
+    mh = minhash_lsh_pairs(big, threshold=0.9)
+    pairs = mh.count()
     t_mh = time.time() - t0
+    # release the operator's candidate/shingle caches before the next stage —
+    # resident caches are exactly the memory pressure that made the
+    # window-form exact_dedup's sort spill (40.7s vs 5.1s, see dedup.py)
+    for c in getattr(mh, "_owned_caches", []):
+        c.unpersist()
     t0 = time.time()
     kept = exact_dedup(big).count()
     t_ex = time.time() - t0
@@ -78,6 +84,28 @@ def main() -> None:
         f"jaccard hot-shingle stress: docs={nj} (universal boilerplate tail) | "
         f"capped(df_cap_frac=0.001, th=0.9): {jp} pairs in {t_j:.1f}s "
         f"({jp / max(t_j, 1e-9):,.0f} pairs/s)"
+    )
+
+    # Connected-components worst case: ONE path graph of n_chain nodes
+    # (diameter = n_chain-1). Plain min-label propagation needs O(diameter)
+    # rounds — utterly infeasible here; pointer jumping must close it in
+    # ~log2(n_chain) iterations or the operator's 100 TB story is wrong.
+    from audience_finder_pro_spark.operators.graph import connected_components
+
+    n_chain = 100_000 * factor // 50
+    chain = (
+        spark.range(n_chain - 1)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    t0 = time.time()
+    cc = connected_components(chain, max_iter=40)
+    n_comp = cc.select("comp").distinct().count()
+    t_cc = time.time() - t0
+    assert n_comp == 1, f"path graph must collapse to one component, got {n_comp}"
+    print(
+        f"cc chain stress: {n_chain}-node path (diameter {n_chain - 1}) -> "
+        f"1 component in {t_cc:.1f}s"
     )
 
 

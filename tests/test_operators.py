@@ -424,3 +424,70 @@ def test_percentile_approx_tolerance(spark, sf_smoke):
         F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] <= 0.01
+
+
+# ---------------------------------------------------------------- graph / CC
+def test_connected_components_chain(spark):
+    """A 10-node path graph: min-label must cross the whole chain (forces
+    multiple propagation+pointer-jumping iterations, not just one hop)."""
+    from audience_finder_pro_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    out = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert out == {i: 0 for i in range(10)}
+
+
+def test_connected_components_multiple_components(spark):
+    """Two components + edge direction/duplicate invariance."""
+    from audience_finder_pro_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 5), (3, 4), (10, 11), (11, 10)], "id_a long, id_b long"
+    )
+    out = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert out == {3: 3, 4: 3, 5: 3, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_singletons_and_representative(spark):
+    """Full-corpus labeling: untouched docs are their own cluster; keeping
+    doc_id == cluster_id keeps exactly one representative per component."""
+    from audience_finder_pro_spark.operators.graph import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 4)], "id_a long, id_b long")
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, pairs).collect()}
+    assert out == {0: 0, 1: 1, 2: 1, 3: 3, 4: 1, 5: 5}
+    reps = sorted(d for d, c in out.items() if d == c)
+    assert reps == [0, 1, 3, 5]
+
+
+def test_pii_redact_roundtrip(spark):
+    """Detection counts and redaction must agree: after redact_pii the
+    detectors find nothing, and non-PII text is byte-identical."""
+    from audience_finder_pro_spark.functions.quality import (
+        EMAIL_RE,
+        PHONE_RE,
+        pii_count,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("reach me at jo.doe+x@mail.example.org or 555-0199 today",),
+            ("no contact info here",),
+        ],
+        "text string",
+    )
+    out = df.select(
+        pii_count("text", EMAIL_RE).alias("e"),
+        pii_count("text", PHONE_RE).alias("p"),
+        redact_pii("text").alias("red"),
+        pii_count(redact_pii("text"), EMAIL_RE).alias("e2"),
+        pii_count(redact_pii("text"), PHONE_RE).alias("p2"),
+    ).collect()
+    assert (out[0].e, out[0].p, out[0].e2, out[0].p2) == (1, 1, 0, 0)
+    assert out[0].red == "reach me at [EMAIL] or [PHONE] today"
+    assert (out[1].e, out[1].p) == (0, 0)
+    assert out[1].red == "no contact info here"

@@ -52,8 +52,9 @@ def test_q03_heap_topk_not_full_sort(spark, sf_smoke, no_aqe):
 
 
 def test_q04_exists_becomes_semi_join(spark, sf_smoke, no_aqe):
-    plan = _plan(spark, "q04_semi_join", sf_smoke)
+    plan = _plan(spark, "q04_semi_anti_join", sf_smoke)
     assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
 
 
 def test_signal_scan_no_join_for_keyword_match(spark, sf_smoke, no_aqe):
