@@ -32,6 +32,11 @@ from audience_finder_pro_spark.operators.keyword_match import (
 )
 from audience_finder_pro_spark.operators.dedup import minhash_signatures
 from audience_finder_pro_spark.operators.graph import connected_components, dedup_clusters
+from audience_finder_pro_spark.operators.sampling import (
+    hash_bucket,
+    hash_split,
+    mixture_sample,
+)
 
 __all__ = [
     "keyword_theta_join",
@@ -56,4 +61,7 @@ __all__ = [
     "ivf_topk",
     "connected_components",
     "dedup_clusters",
+    "hash_bucket",
+    "hash_split",
+    "mixture_sample",
 ]

@@ -59,38 +59,24 @@ def _q(name: str, oracle: str | None):
     "dedup_exact",
     """
     SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_hash,
-           min(doc_id) AS doc_id
+           min(doc_id) AS doc_id, count(*) AS n_copies
     FROM documents
     GROUP BY text_hash
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative per fingerprint (the exact_dedup operator's two-pass
+    semi-join) annotated with group size — subsumes the former
+    dedup_groups report (filter n_copies > 1), merged to free a slot
+    under the driver's 50-query verification cap."""
     docs = load_table(spark, sf_dir, "documents")
     reps = exact_dedup(docs, "text", "doc_id")
-    return reps.select("text_hash", "doc_id")
-
-
-# ---------------------------------------------------------------- A9 duplicate groups
-@_q(
-    "dedup_groups",
-    """
-    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_hash,
-           count(*) AS n_copies,
-           min(doc_id) AS representative_id
-    FROM documents
-    GROUP BY text_hash
-    HAVING count(*) > 1
-    """,
-)
-def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-duplicate cluster inventory — the 'what did dedup remove' report."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.withColumn("text_hash", norm_text_hash("text"))
+    counts = (
+        docs.select(norm_text_hash("text").alias("text_hash"))
         .groupBy("text_hash")
-        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("representative_id"))
-        .filter(F.col("n_copies") > 1)
+        .agg(F.count("*").alias("n_copies"))
     )
+    return reps.select("text_hash", "doc_id").join(counts, "text_hash")
 
 
 # ---------------------------------------------------------------- A9 n-gram Jaccard
@@ -562,6 +548,51 @@ def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("passes_gate"),
         )
     )
+
+
+# ------------------------------------------------- mixture weighting + splits
+_WEIGHT_SQL = "CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 1.0 ELSE 0.3 END"
+
+
+def _mixture_oracle() -> str:
+    from audience_finder_pro_spark.operators.sampling import hash_bucket_sql
+
+    return f"""
+    WITH b AS (
+      SELECT doc_id, source,
+             {hash_bucket_sql("doc_id", "split")} AS sb,
+             {hash_bucket_sql("doc_id", "sample")} AS mb
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN sb < 9000 THEN 'train' WHEN sb < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           mb < CAST(round(({_WEIGHT_SQL}) * 10000) AS BIGINT) AS sampled
+    FROM b
+    """
+
+
+@_q("mixture_split", _mixture_oracle())
+def mixture_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment (90/5/5) + per-source mixture
+    subsampling (operators/sampling.py) — the 'data mixing' step of a
+    training pipeline, as one shuffle-free projection.
+
+    Split and sample key on independently-salted md5 buckets of doc_id, so
+    the answer is identical on any cluster/partitioning/engine (the DuckDB
+    oracle recomputes the same buckets), and subsampling a source cannot
+    bias its split proportions. The demo mixture config weights
+    even-numbered sources 1.0 and odd 0.3; real use passes any per-row
+    weight Column (e.g. joined from a mixture table)."""
+    from audience_finder_pro_spark.operators.sampling import hash_split, mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    weight = F.when(F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(1.0)).otherwise(
+        F.lit(0.3)
+    )
+    out = hash_split(docs, "doc_id")
+    out = mixture_sample(out, weight, "doc_id")
+    return out.select("doc_id", "source", "split", "sampled")
 
 
 # ---------------------------------------------------------------- F17 token counting

@@ -491,3 +491,37 @@ def test_pii_redact_roundtrip(spark):
     assert out[0].red == "reach me at [EMAIL] or [PHONE] today"
     assert (out[1].e, out[1].p) == (0, 0)
     assert out[1].red == "no contact info here"
+
+
+# ---------------------------------------------------------------- sampling
+def test_hash_split_deterministic_and_proportional(spark):
+    """Same rows -> same split on re-run; fractions near targets; unknown
+    fraction sums rejected."""
+    from audience_finder_pro_spark.operators.sampling import hash_split
+
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(df).collect()}
+    b = {r.doc_id: r.split for r in hash_split(df).collect()}
+    assert a == b
+    from collections import Counter
+
+    frac = Counter(a.values())
+    assert abs(frac["train"] / 20_000 - 0.90) < 0.01
+    assert abs(frac["val"] / 20_000 - 0.05) < 0.005
+    assert abs(frac["test"] / 20_000 - 0.05) < 0.005
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, splits={"train": 0.5, "val": 0.1})
+
+
+def test_mixture_sample_rate_and_independence(spark):
+    """Sample rate lands near the weight, and sampling is independent of
+    split assignment (a sampled subset keeps the split proportions)."""
+    from audience_finder_pro_spark.operators.sampling import hash_split, mixture_sample
+
+    df = hash_split(spark.range(20_000).withColumnRenamed("id", "doc_id"))
+    out = mixture_sample(df, F.lit(0.3)).collect()
+    kept = [r for r in out if r.sampled]
+    assert abs(len(kept) / 20_000 - 0.3) < 0.01
+    train_frac_all = sum(r.split == "train" for r in out) / len(out)
+    train_frac_kept = sum(r.split == "train" for r in kept) / len(kept)
+    assert abs(train_frac_all - train_frac_kept) < 0.02
