@@ -503,28 +503,43 @@ def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(redact_pii(aug)).alias("redacted_hash"),
     )
 
-    ts = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
-    tstats = ts.groupBy("doc_id").agg(
+    # ONE tokenize + ONE doc-keyed exchange feeds every repetition metric:
+    # posexplode the token stream, lead(1)/lead(2) in a single window give
+    # the 2- and 3-grams, and the two aggregation branches below reuse the
+    # same exchange (the 3-scans-of-documents form this replaced tokenized
+    # the corpus three times — at 100 TB the tokenizer is the CPU cost).
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "t0"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    stream = toks.select(
+        "doc_id",
+        "t0",
+        F.lead("t0", 1).over(w).alias("t1"),
+        F.lead("t0", 2).over(w).alias("t2"),
+    ).select(
+        "doc_id",
+        "t0",
+        F.when(F.col("t1").isNotNull(), F.concat_ws(" ", "t0", "t1")).alias("g2"),
+        F.when(F.col("t2").isNotNull(), F.concat_ws(" ", "t0", "t1", "t2")).alias("g3"),
+    )
+    tstats = stream.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        F.round(F.avg(F.length("t")), 4).alias("mean_word_len"),
-        F.countDistinct("t").alias("n_distinct"),
+        F.round(F.avg(F.length("t0")), 4).alias("mean_word_len"),
+        F.countDistinct("t0").alias("n_distinct"),
+        F.count("g3").alias("total3"),
+        F.countDistinct("g3").alias("dist3"),
     )
     g2top = (
-        shingle_stream(docs, "doc_id", "text", 2)
-        .groupBy("doc_id", "shingle")
+        stream.filter(F.col("g2").isNotNull())
+        .groupBy("doc_id", "g2")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
         .agg(F.max("c").alias("top2_cnt"))
     )
-    g3rep = (
-        shingle_stream(docs, "doc_id", "text", 3)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("total3"), F.countDistinct("shingle").alias("dist3"))
-    )
 
     return (
         tstats.join(g2top, "doc_id", "left")
-        .join(g3rep, "doc_id", "left")
         .join(pii, "doc_id")
         .select(
             "doc_id",
@@ -535,7 +550,10 @@ def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("top2_cnt"), F.lit(0)) * 2.0 / F.col("n_tokens"), 4
             ).alias("top2gram_frac"),
             F.round(
-                F.coalesce(1.0 - F.col("dist3") * 1.0 / F.col("total3"), F.lit(0.0)), 4
+                F.when(
+                    F.col("total3") > 0, 1.0 - F.col("dist3") * 1.0 / F.col("total3")
+                ).otherwise(F.lit(0.0)),
+                4,
             ).alias("rep3_frac"),
             "n_emails",
             "n_phones",

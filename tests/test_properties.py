@@ -91,3 +91,38 @@ def test_keyword_exprs_consistent(spark, texts):
         expect = [k for k in kws if k.lower() in low]
         assert r["first"] == (next(iter(expect), None))
         assert r["all"] == ", ".join(sorted(expect))
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, edge_list):
+    """CC over random graphs (self-loops, duplicates, parallel edges) must
+    equal a driver-side union-find ground truth: same node set, and
+    component = min node id of the union-find class."""
+    from audience_finder_pro_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        parent[find(a)] = find(b)
+    truth: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        truth[r] = min(truth.get(r, n), n)
+    expect = {n: truth[find(n)] for n in parent}
+
+    edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == expect
