@@ -21,6 +21,8 @@ from audience_finder_pro_spark.operators.dedup import (
 from audience_finder_pro_spark.operators.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
+    ivf_build_index,
+    ivf_probe_indexed,
     ivf_topk,
     lsh_bucketed_topk,
 )
@@ -64,4 +66,6 @@ __all__ = [
     "hash_bucket",
     "hash_split",
     "mixture_sample",
+    "ivf_build_index",
+    "ivf_probe_indexed",
 ]

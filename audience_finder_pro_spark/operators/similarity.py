@@ -306,3 +306,79 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select(query_id_col, id_col, F.round("cosine_sim", 4).alias("cosine_sim"), "rnk")
     )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    table: str,
+    n_lists: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index: corpus rows bucketed BY centroid id, plus the
+    centroid table. The repeated-query complement to the one-shot
+    ``ivf_topk`` — the assignment shuffle is paid once at build time, and
+    every probe afterwards reads only its lists' buckets from storage
+    (``SelectedBucketsCount`` in the scan, asserted in tests) instead of
+    scanning and re-assigning the corpus per query batch.
+    """
+    from audience_finder_pro_spark.sources.sinks import write_bucketed_table
+
+    spark = corpus.sparkSession
+    # idempotent rebuild: overwrite-mode saveAsTable still refuses an
+    # existing managed location, so drop the previous index explicitly
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_cents")
+    cents = (
+        _centroid_rows(corpus, id_col, vec_col, n_lists)
+        .withColumn("cent_id", F.row_number().over(Window.orderBy("cent_seed")) - 1)
+        .select("cent_id", "cvec")
+    )
+    assigned = _assign(corpus.select(id_col, vec_col), cents, vec_col)
+    write_bucketed_table(assigned, table, ["cent_id"], n_buckets=n_lists)
+    cents.write.mode("overwrite").saveAsTable(f"{table}_cents")
+
+
+def ivf_probe_indexed(
+    spark,
+    table: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k probe against a prebuilt ``ivf_build_index`` table.
+
+    The union of probed list ids across the query batch (≤ n_lists values —
+    bounded model state, not data) becomes a LITERAL ``IN`` filter on the
+    bucket column, which Spark turns into static bucket pruning: the scan
+    touches only the probed lists' files. Rerank is exact cosine inside the
+    probed lists, identical to ``ivf_topk``.
+    """
+    cents = spark.table(f"{table}_cents")
+    qscored = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", cosine_similarity(F.col(query_vec_col), F.col("cvec"))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("_sim").desc(), F.col("cent_id"))
+    probes = (
+        qscored.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select(query_id_col, query_vec_col, "cent_id")
+    )
+    probe_ids = sorted(r["cent_id"] for r in probes.select("cent_id").distinct().collect())
+    assigned = spark.table(table).filter(F.col("cent_id").isin(probe_ids))
+    cand = probes.join(assigned, "cent_id").select(query_id_col, query_vec_col, id_col, vec_col)
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(query_vec_col), F.col(vec_col)).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, F.round("cosine_sim", 4).alias("cosine_sim"), "rnk")
+    )

@@ -4,6 +4,8 @@
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -190,3 +192,37 @@ def test_multimodal_frame_sample_flatmap(spark, sf_smoke):
     )
     assert len(out) == expect and expect > 0
     assert set(out.columns) == {"doc_id", "frame_idx", "ts_ms", "frame_payload"}
+
+
+def test_ivf_indexed_probe_matches_oneshot_and_prunes_buckets(spark, sf_smoke):
+    """The prebuilt-index probe must return exactly what one-shot ivf_topk
+    returns for the same parameters, and its corpus scan must touch only
+    the probed lists' buckets (static bucket pruning via the literal IN)."""
+    from audience_finder_pro_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_probe_indexed,
+        ivf_topk,
+    )
+    from audience_finder_pro_spark.session import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    n_lists, n_probe = 8, 2
+    # clear any orphaned warehouse location from a previous session (the
+    # catalog entry dies with the session; the directory does not)
+    import shutil
+
+    for d in ("spark-warehouse/ivf_idx_test", "spark-warehouse/ivf_idx_test_cents"):
+        shutil.rmtree(d, ignore_errors=True)
+    ivf_build_index(emb, "ivf_idx_test", n_lists=n_lists)
+    got = ivf_probe_indexed(spark, "ivf_idx_test", queries, k=5, n_probe=n_probe)
+    want = ivf_topk(emb, queries, k=5, n_lists=n_lists, n_probe=n_probe, refine_iters=0)
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(got) == as_set(want)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, "bucketed scan must report bucket pruning"
+    assert int(m.group(1)) <= n_probe * 3 < int(m.group(2)) == n_lists

@@ -93,3 +93,22 @@ def test_column_pruning_reaches_scan(spark, sf_smoke, no_aqe):
     assert m, plan[:500]
     cols = [c.split(":")[0] for c in m.group(1).split(",")]
     assert set(cols) == {"l_quantity", "l_returnflag", "l_linestatus"}
+
+
+def test_mixture_split_is_shuffle_free_pruned_projection(spark, sf_smoke, no_aqe):
+    """The mixture/split assignment must stay ONE codegen projection:
+    no exchange, and the scan reads only the two referenced columns."""
+    plan = _plan(spark, "mixture_split", sf_smoke)
+    assert "Exchange" not in plan, "sampling must not shuffle"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:500]
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert set(cols) == {"doc_id", "source"}
+
+
+def test_quality_signals_single_tokenize(spark, sf_smoke, no_aqe):
+    """All repetition metrics derive from ONE token stream: exactly one
+    posexplode of the tokenizer output in the plan (the 3-scan form had
+    three), and the PII branch is the only other scan of documents."""
+    plan = _plan(spark, "quality_signals", sf_smoke)
+    assert plan.count("Generate posexplode") == 1, plan[:800]
