@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from audience_finder_pro_spark.functions.langid import LANG_TRIGRAMS, trigram_hits_sql
 from audience_finder_pro_spark.functions.quality import (
     EMAIL_RE,
     PHONE_RE,
@@ -25,6 +26,7 @@ from audience_finder_pro_spark.functions.quality import (
 )
 from audience_finder_pro_spark.functions.text import (
     norm_text_hash,
+    norm_ws,
     shingle_stream,
     tokens,
 )
@@ -294,33 +296,88 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- F17 language ID
 @_q(
     "lang_id",
-    """
-    WITH toks AS (
+    f"""
+    WITH nrm AS (
       SELECT doc_id, lang,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS tok
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS n
       FROM documents
+    ),
+    h AS (
+      SELECT doc_id, lang, greatest(length(n) - 2, 0) AS n_tg,
+             {trigram_hits_sql("n")}
+      FROM nrm
     )
     SELECT doc_id, lang AS labeled_lang,
-           CASE WHEN len(list_filter(tok, x -> x IN ('the', 'a'))) / len(tok) >= 0.05
-                THEN 'en' ELSE 'unk' END AS predicted_lang,
-           round(len(list_filter(tok, x -> x IN ('the', 'a'))) / len(tok), 4) AS en_score
-    FROM toks
+           CASE WHEN n_tg = 0 OR greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'unk'
+                WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+                WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+                WHEN es_hits >= fr_hits THEN 'es'
+                ELSE 'fr' END AS predicted_lang,
+           CASE WHEN n_tg > 0 THEN round(de_hits * 1.0 / n_tg, 4) ELSE 0.0 END AS de_score,
+           CASE WHEN n_tg > 0 THEN round(en_hits * 1.0 / n_tg, 4) ELSE 0.0 END AS en_score,
+           CASE WHEN n_tg > 0 THEN round(es_hits * 1.0 / n_tg, 4) ELSE 0.0 END AS es_score,
+           CASE WHEN n_tg > 0 THEN round(fr_hits * 1.0 / n_tg, 4) ELSE 0.0 END AS fr_score
+    FROM h
     """,
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-density language ID heuristic (deterministic, oracle-checkable).
+    """Char-trigram-profile language ID (Cavnar-Trenkle style): per-language
+    hit counts over the document's character trigrams, deterministic
+    argmax (integer-count compares, fixed de<en<es<fr tie priority), 'unk'
+    when nothing matches. functions/langid.LANG_TRIGRAMS is the single
+    source of truth — the DuckDB oracle's IN-lists are generated from the
+    same dict, so engines cannot drift.
 
-    The fixture vocabulary is English-ish for every row, so the heuristic
-    is exercised via its score, not its accuracy against `lang`.
+    Shape: one explode of a position sequence + substring (all codegen; no
+    per-trigram interpreted lambdas), one groupBy(doc) of conditional
+    counts, broadcast-joined back to the doc row. The fixture text is
+    English-ish for every row regardless of the `lang` label, so the
+    operator is exercised via its scores, not label accuracy.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = tokens("text")
-    en_score = F.size(F.filter(tok, lambda x: x.isin("the", "a"))) / F.size(tok)
-    return docs.select(
+    base = docs.select(
+        "doc_id", "lang", F.lower(norm_ws("text")).alias("n")
+    ).withColumn("n_tg", F.greatest(F.length("n") - 2, F.lit(0)))
+    stream = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n_tg"))).alias("i"),
+        "n",
+    ).select("doc_id", F.col("n").substr(F.col("i"), F.lit(3)).alias("tg"))
+    hits = stream.groupBy("doc_id").agg(
+        *[
+            F.count(F.when(F.col("tg").isin(*grams), 1)).alias(f"{lang}_hits")
+            for lang, grams in LANG_TRIGRAMS.items()
+        ]
+    )
+    z = F.lit(0).cast("long")
+    h = base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "n_tg",
+        *[F.coalesce(f"{lang}_hits", z).alias(f"{lang}_hits") for lang in LANG_TRIGRAMS],
+    )
+    de, en, es, fr = (F.col(f"{lang}_hits") for lang in ("de", "en", "es", "fr"))
+    pred = (
+        F.when((F.col("n_tg") == 0) | (F.greatest(de, en, es, fr) == 0), "unk")
+        .when((de >= en) & (de >= es) & (de >= fr), "de")
+        .when((en >= es) & (en >= fr), "en")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    )
+
+    def score(c):
+        return F.when(F.col("n_tg") > 0, F.round(c * 1.0 / F.col("n_tg"), 4)).otherwise(
+            F.lit(0.0)
+        )
+
+    return h.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        F.when(en_score >= 0.05, "en").otherwise("unk").alias("predicted_lang"),
-        F.round(en_score, 4).alias("en_score"),
+        pred.alias("predicted_lang"),
+        score(de).alias("de_score"),
+        score(en).alias("en_score"),
+        score(es).alias("es_score"),
+        score(fr).alias("fr_score"),
     )
 
 

@@ -86,6 +86,29 @@ def main() -> None:
         f"({jp / max(t_j, 1e-9):,.0f} pairs/s)"
     )
 
+    # Text-analysis tier at scale: the quality/fingerprint plans are pure
+    # window+agg pipelines, so cost should track token volume ~linearly.
+    from audience_finder_pro_spark.queries.llm import doc_fingerprint, quality_signals
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        big.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        bigdocs = spark.read.parquet(f"{td}/documents.parquet").select(
+            "doc_id", "text", F.lit("src0").alias("source")
+        )
+        bigdocs.write.mode("overwrite").parquet(f"{td}2/documents.parquet")
+        t0 = time.time()
+        nq = quality_signals(spark, f"{td}2").count()
+        t_q = time.time() - t0
+        t0 = time.time()
+        nf = doc_fingerprint(spark, f"{td}2").count()
+        t_f = time.time() - t0
+        print(
+            f"text tier at {factor}x: quality_signals {nq} rows in {t_q:.1f}s | "
+            f"doc_fingerprint (winnowing) {nf} rows in {t_f:.1f}s"
+        )
+
     # Connected-components worst case: ONE path graph of n_chain nodes
     # (diameter = n_chain-1). Plain min-label propagation needs O(diameter)
     # rounds — utterly infeasible here; pointer jumping must close it in

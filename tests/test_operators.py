@@ -525,3 +525,33 @@ def test_mixture_sample_rate_and_independence(spark):
     train_frac_all = sum(r.split == "train" for r in out) / len(out)
     train_frac_kept = sum(r.split == "train" for r in kept) / len(kept)
     assert abs(train_frac_all - train_frac_kept) < 0.02
+
+
+def test_langid_profiles_discriminate(spark):
+    """The char-trigram classifier must pick the right language on a
+    clearly-in-language snippet for every profiled language (the parquet
+    fixture can't test this — its text is English-ish for all labels)."""
+    from audience_finder_pro_spark.functions.langid import LANG_TRIGRAMS, trigram_hits_sql
+
+    samples = {
+        "de": "der hund und die katze gehen durch einen schoenen wald und singen",
+        "en": "the quick brown fox jumps over the lazy dog and runs along the road",
+        "es": "los amigos que viven en la casa de los abuelos han llegado querido",
+        "fr": "les enfants de la ville vont une fois vers une grande maison verte",
+    }
+    df = spark.createDataFrame(
+        [(i, lang, s) for i, (lang, s) in enumerate(samples.items())],
+        "doc_id long, lang string, text string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/documents.parquet")
+        from audience_finder_pro_spark.queries.llm import lang_id
+
+        got = {r.labeled_lang: r.predicted_lang for r in lang_id(spark, td).collect()}
+    assert got == {lang: lang for lang in samples}
+    # the oracle generator embeds every profiled language
+    sql = trigram_hits_sql("n")
+    for lang in LANG_TRIGRAMS:
+        assert f"{lang}_hits" in sql
