@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "text_stats",
+    "doc_fingerprint",
+    "lang_id",
     "stream_tumbling_agg",
 ]
 
