@@ -149,3 +149,68 @@ def run_stream_foreach_batch_upsert(
     )
     q.awaitTermination()
     return q
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents as a stream — the continuous-ingest curation source."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/")
+    )
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """Streaming curation gate: per-doc quality metrics + PII count +
+    redaction as a STATELESS projection, so the same expressions run
+    identically on a batch DataFrame or incrementally in append mode with
+    zero state (the batch≡stream test holds row-for-row).
+
+    Per-row array expressions replace the batch tier's explode+groupBy
+    (a per-doc groupBy in a stream is unbounded state): n_tokens/
+    n_distinct via size(), mean word length as chars-of-joined-tokens /
+    n_tokens (all native — no interpreted lambdas). The gate keeps docs
+    with enough tokens, enough distinct tokens (cross-multiplied integer
+    compare), and no detected PII in the redacted output's stead.
+    """
+    from audience_finder_pro_spark.functions.quality import (
+        EMAIL_RE,
+        PHONE_RE,
+        pii_count,
+        redact_pii,
+    )
+    from audience_finder_pro_spark.functions.text import tokens
+
+    tok = tokens("text")
+    out = docs.select(
+        "doc_id",
+        "source",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_distinct"),
+        F.round(
+            F.when(
+                F.size(tok) > 0,
+                F.length(F.array_join(tok, "")) * 1.0 / F.size(tok),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("mean_word_len"),
+        (pii_count("text", EMAIL_RE) + pii_count("text", PHONE_RE)).alias("n_pii"),
+        F.md5(redact_pii("text")).alias("redacted_hash"),
+    )
+    return out.withColumn(
+        "passes_gate",
+        (F.col("n_tokens") >= 20)
+        & (4 * F.col("n_distinct") >= F.col("n_tokens"))
+        & (F.col("n_pii") == 0),
+    )

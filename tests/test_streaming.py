@@ -254,3 +254,28 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path):
     # one row per key (no append duplication across the 3 micro-batches)
     assert got == want
     assert spark.read.parquet(out).count() == len(want)
+
+
+def test_quality_gate_stream_equals_batch(spark, sf_smoke, tmp_path):
+    """The curation gate is stateless, so the streamed result must equal
+    the batch result row-for-row on the same files."""
+    import shutil
+
+    from audience_finder_pro_spark.streaming.jobs import (
+        quality_gate,
+        read_documents_stream,
+        run_stream_to_memory,
+    )
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    shutil.copy(f"{sf_smoke}/documents.parquet", docs_dir / "part-0.parquet")
+
+    batch = quality_gate(spark.read.parquet(str(docs_dir))).collect()
+    name = run_stream_to_memory(
+        quality_gate(read_documents_stream(spark, str(docs_dir))), "qgate_mem"
+    )
+    streamed = spark.table(name).collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    flags = {r.doc_id: r.passes_gate for r in batch}
+    assert any(flags.values()) and len(flags) > 0
