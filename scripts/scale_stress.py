@@ -109,6 +109,44 @@ def main() -> None:
             f"doc_fingerprint (winnowing) {nf} rows in {t_f:.1f}s"
         )
 
+    # Aggregation-skew stress: 95% of rows share ONE group key, so a naive
+    # groupBy lands ~95% of the volume on a single reducer task while the
+    # salted two-phase form stays uniform. (AQE splits skewed JOINS, not
+    # aggregations — SPARK-35725.) Results must be identical.
+    from audience_finder_pro_spark.operators.skew import salted_agg
+
+    n_skew = 2_000_000 * factor // 10
+    skewed = (
+        spark.range(n_skew)
+        .select(
+            F.when(F.col("id") % 20 != 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 97).cast("string")))
+            .alias("k"),
+            (F.col("id") % 1000).cast("double").alias("v"),
+        )
+        .repartition(64)
+        .persist()
+    )
+    skewed.count()
+    t0 = time.time()
+    naive = skewed.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    n_naive = naive.count()
+    t_naive = time.time() - t0
+    t0 = time.time()
+    salted = salted_agg(skewed, ["k"], {"s": ("v", "sum"), "n": ("*", "count")}, salt=64)
+    n_salt = salted.count()
+    t_salt = time.time() - t0
+    assert n_naive == n_salt
+    diff = naive.join(salted, "k").filter(
+        (F.abs(naive.s - salted.s) > 1e-6) | (naive.n != salted.n)
+    ).count()
+    assert diff == 0, "salted aggregation diverged from naive groupBy"
+    skewed.unpersist()
+    print(
+        f"skew stress: {n_skew} rows, 95% one key | naive groupBy {t_naive:.1f}s"
+        f" | salted_agg(64) {t_salt:.1f}s | identical results"
+    )
+
     # Connected-components worst case: ONE path graph of n_chain nodes
     # (diameter = n_chain-1). Plain min-label propagation needs O(diameter)
     # rounds — utterly infeasible here; pointer jumping must close it in
