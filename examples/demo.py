@@ -59,6 +59,27 @@ def main() -> None:
     )
     brute_force_topk(emb, queries, k=3).show()
 
+    print("== curation tier: pairs -> clusters -> gate -> mixture ==")
+    from audience_finder_pro_spark.operators.dedup import ngram_jaccard_pairs
+    from audience_finder_pro_spark.operators.graph import dedup_clusters
+    from audience_finder_pro_spark.operators.sampling import hash_split, mixture_sample
+    from audience_finder_pro_spark.streaming.jobs import quality_gate
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, df_cap_frac=0.05)
+    clusters = dedup_clusters(docs, pairs)
+    kept = clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+    print(
+        "near-dup pairs:", pairs.count(),
+        "| docs:", docs.count(),
+        "| cluster representatives kept:", kept.count(),
+    )
+    gated = quality_gate(docs.join(kept.select("doc_id"), "doc_id", "left_semi"))
+    gated.groupBy("passes_gate").count().show()
+    final = mixture_sample(
+        hash_split(gated.filter("passes_gate")), F.lit(0.5), "doc_id"
+    )
+    final.groupBy("split", "sampled").count().orderBy("split", "sampled").show()
+
     print("demo complete")
 
 
