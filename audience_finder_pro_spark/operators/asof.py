@@ -31,23 +31,35 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with ts <= left ts
-    (backward; ``forward`` = earliest right row with ts >= left ts).
+    (backward; ``forward`` = earliest right row with ts >= left ts;
+    ``nearest`` = whichever of the two is closer in time, ties backward —
+    pandas merge_asof's direction semantics).
 
     Left columns are all preserved; ``value_cols`` arrive from the right
     side (null when no right row qualifies).
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(direction)
-    reserved = {"_ts", "_side", "_vals"}
-    clash = (reserved & set(left.columns)) | (reserved & set(right.columns))
+    reserved = {"_ts", "_side", "_vals", "_rts"}
+    clash = (
+        (reserved & set(left.columns))
+        | (reserved & set(right.columns))
+        | (reserved & set(value_cols))
+    )
     if clash:
         raise ValueError(f"asof_join: input columns clash with reserved names {sorted(clash)}")
 
     # Pack value_cols into ONE struct carried whole: per-column
     # last(ignorenulls) would mix columns from different right rows when a
     # right row holds NULL in some value col — merge_asof/ASOF semantics
-    # are whole-row.
-    vstruct = StructType([StructField(c, right.schema[c].dataType) for c in value_cols])
+    # are whole-row. The matched right timestamp rides inside the struct
+    # (_rts) so 'nearest' can compare the two candidates' distances.
+    vstruct = StructType(
+        [
+            StructField("_rts", right.schema[right_ts].dataType),
+            *[StructField(c, right.schema[c].dataType) for c in value_cols],
+        ]
+    )
     left_cols = [c for c in left.columns]
     out_left = [c for c in left_cols if c not in value_cols]
 
@@ -61,7 +73,7 @@ def asof_join(
         *partition_keys,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.struct(*value_cols).alias("_vals"),
+        F.struct(F.col(right_ts).alias("_rts"), *value_cols).alias("_vals"),
     )
     for c in left_cols:
         if c not in r_tag.columns:
@@ -69,18 +81,41 @@ def asof_join(
     cols = [*left_cols, "_ts", "_side", "_vals"]
     unioned = l_tag.select(*cols).unionByName(r_tag.select(*cols))
 
-    # right rows (_side=0) sort before left rows at equal ts → inclusive bound
-    order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
-    w = (
-        Window.partitionBy(*partition_keys)
-        .orderBy(order, F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    def fill(order):
+        # right rows (_side=0) sort before left rows at equal ts → inclusive
+        w = (
+            Window.partitionBy(*partition_keys)
+            .orderBy(order, F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return F.last("_vals", ignorenulls=True).over(w)
+
+    if direction != "nearest":
+        order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+        filled = unioned.select(*left_cols, "_side", fill(order).alias("_vals"))
+        return filled.filter(F.col("_side") == 1).select(
+            *out_left, *[F.col("_vals")[c].alias(c) for c in value_cols]
+        )
+
+    # nearest: both directional fills in one pass (same partition exchange,
+    # two in-partition sorts), then choose the closer candidate per row
     filled = unioned.select(
-        *left_cols, "_side", F.last("_vals", ignorenulls=True).over(w).alias("_vals")
+        *left_cols,
+        "_side",
+        "_ts",
+        fill(F.col("_ts").asc()).alias("_b"),
+        fill(F.col("_ts").desc()).alias("_f"),
+    ).filter(F.col("_side") == 1)
+    d_b = F.col("_ts").cast("double") - F.col("_b")["_rts"].cast("double")
+    d_f = F.col("_f")["_rts"].cast("double") - F.col("_ts").cast("double")
+    chosen = (
+        F.when(F.col("_f").isNull(), F.col("_b"))
+        .when(F.col("_b").isNull(), F.col("_f"))
+        .when(d_b <= d_f, F.col("_b"))  # tie → backward, pandas convention
+        .otherwise(F.col("_f"))
     )
-    return filled.filter(F.col("_side") == 1).select(
-        *out_left, *[F.col("_vals")[c].alias(c) for c in value_cols]
+    return filled.select(
+        *out_left, *[chosen[c].alias(c) for c in value_cols]
     )
 
 

@@ -555,3 +555,24 @@ def test_langid_profiles_discriminate(spark):
     sql = trigram_hits_sql("n")
     for lang in LANG_TRIGRAMS:
         assert f"{lang}_hits" in sql
+
+
+def test_asof_join_nearest(spark):
+    """direction='nearest' picks the time-closest right row either side,
+    ties resolve backward (pandas merge_asof convention)."""
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 14, "b"), (1, 15, "c"), (2, 7, "d")],
+        "k long, t long, tag string",
+    ).withColumn("ts", F.timestamp_seconds("t"))
+    right = spark.createDataFrame(
+        [(1, 8, 80.0), (1, 20, 200.0), (3, 1, 999.0)],
+        "k long, t long, v double",
+    ).withColumn("ts", F.timestamp_seconds("t")).select("k", "ts", "v")
+    out = asof_join(
+        left.select("k", "ts", "tag"), right, ["k"], "ts", "ts", ["v"],
+        direction="nearest",
+    )
+    got = {r.tag: r.v for r in out.collect()}
+    # a(10): |10-8|=2 < |20-10|=10 -> 80 ; b(14): 6 == 6 tie -> backward 80
+    # c(15): 7 > 5 -> 200 ; d(k=2): no right rows -> null
+    assert got == {"a": 80.0, "b": 80.0, "c": 200.0, "d": None}
