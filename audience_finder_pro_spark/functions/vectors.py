@@ -1,23 +1,49 @@
 """Vector math over ``array<float>`` embedding columns (SURVEY §2.4 A10).
 
-Pure higher-order-function expressions (zip_with + aggregate): the dot
-product/norms run in the JVM per row with no Python or shuffle. At
-100 TB this is a narrow map over the embeddings scan.
+Two execution strategies, dispatched on vector width:
+
+- **Expression fold** (``zip_with`` + ``aggregate``): runs in the JVM per
+  row with no Python and no shuffle. HOF lambdas are *interpreted*
+  (~µs/element), which is irrelevant at dim≈64 — measured FASTER than an
+  Arrow pandas_udf there (2.1s vs 3.5s / 100k rows at dim=64; the Arrow
+  column transfer costs more than the fold) — but linear-in-dim cost
+  makes it the bottleneck at real LLM-embedding widths (768–4096).
+- **Arrow-batched numpy** (``pandas_udf``): one vectorized einsum/norm
+  per record batch. Pays the Arrow transfer of the vector columns once
+  per batch, then scores at memory bandwidth — the 100 TB shape for wide
+  embeddings. Measured crossover is a few hundred dims (see NOTES.md
+  round-3 table), hence ``VECTORIZE_MIN_DIM = 256``.
+
+Callers pass ``dim`` when they know it (every ANN operator takes a
+``dim`` parameter and threads it here); ``dim=None`` keeps the fold.
 
 Note on determinism: the fold is sequential left-to-right in both Spark
 (``aggregate``) and the DuckDB oracle (``list_sum(list_transform(...))``)
 over float32 inputs widened to double, so results match bit-for-bit at
-fixed dim=64.
+the fixture's dim=64 — which is also why the declared oracle queries
+stay below the dispatch threshold. The numpy path widens to float64 but
+sums pairwise, so it agrees with the fold only to float tolerance; it is
+verified by equivalence-within-1e-9 and identical top-k ordering in
+tests, not by hash equality.
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# Vector width at or above which cosine_similarity switches from the
+# interpreted expression fold to the Arrow-batched numpy path.
+VECTORIZE_MIN_DIM = 256
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Σ a_i·b_i as double."""
+    """Σ a_i·b_i as double (expression fold — see module docstring)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -31,5 +57,30 @@ def l2_norm(a: Column) -> Column:
     )
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
+@lru_cache(maxsize=1)
+def _cosine_arrow():
+    """Row-wise cosine over two Arrow-delivered vector columns: widen to
+    float64, one einsum for the dots + two vectorized norms per batch.
+    Built lazily (pandas_udf creation needs an active SparkSession)."""
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        x = np.vstack(a.to_numpy()).astype(np.float64, copy=False)
+        y = np.vstack(b.to_numpy()).astype(np.float64, copy=False)
+        num = np.einsum("ij,ij->i", x, y)
+        den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+        return pd.Series(num / den)
+
+    return cos
+
+
+def cosine_similarity(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Cosine similarity of two vector columns.
+
+    ``dim`` selects the execution strategy: widths ≥ ``VECTORIZE_MIN_DIM``
+    route to the Arrow-batched numpy kernel, narrower (or unknown) widths
+    stay on the oracle-bit-identical expression fold.
+    """
+    if dim is not None and dim >= VECTORIZE_MIN_DIM:
+        return _cosine_arrow()(a, b)
     return dot(a, b) / (l2_norm(a) * l2_norm(b))

@@ -215,14 +215,14 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    # persist: the candidate set is tiny (LSH's whole point) but its lineage
-    # contains the full signature pipeline — the two verification join
-    # branches below would otherwise re-execute that pipeline per branch
+    # materialize: the candidate set is tiny (LSH's whole point) but its
+    # lineage contains the full signature pipeline — the two verification
+    # join branches below would otherwise re-execute that pipeline per branch
     cand = (
         buckets.select(F.posexplode("ids").alias("i", "id_a"), "ids")
         .select("id_a", F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     # verify candidates with exact Jaccard — shingle sets are built only for
@@ -238,7 +238,7 @@ def minhash_lsh_pairs(
         shingle_stream(df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n)
         .groupBy(id_col)
         .agg(F.collect_set(F.xxhash64("shingle")).alias("sh"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     verified = (
         cand.join(shdf.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -250,14 +250,13 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    out = verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
-    # Caller-owned cleanup: Spark's CacheManager keys persisted plans by
-    # logical plan and never frees them on driver GC, so repeated
-    # invocations (bench warmup + timed runs) accumulate executor storage.
-    # Callers that invoke this more than once should unpersist these
-    # handles after consuming the result.
-    out._owned_caches = [cand, shdf]  # type: ignore[attr-defined]
-    return out
+    # cand/shdf are eager localCheckpoints, not persist()s: checkpoint
+    # blocks are released by the ContextCleaner when the caller drops the
+    # result (and can be freed deterministically via caching.free_checkpoint),
+    # whereas CacheManager entries leak forever unless every caller knows
+    # to unpersist an ad-hoc handle — a contract that doesn't survive
+    # DataFrame transformations.
+    return verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def simhash_buckets(

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from audience_finder_pro_spark.caching import free_checkpoint as _free_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -93,9 +95,10 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         cur_sum = _sum(jumped)
-        labels.unpersist()
+        _free_checkpoint(labels)
         labels = jumped
         if cur_sum == prev_sum:
+            _free_checkpoint(sym)
             return labels.select("node", "comp")
         prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")

@@ -54,12 +54,17 @@ def hash_split(
     if abs(sum(splits.values()) - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {splits}")
     b = hash_bucket(id_col, salt)
+    names = list(splits)
     expr, lo = None, 0
-    for name, frac in splits.items():
-        hi = lo + round(frac * BUCKETS)
+    # The last split is the .otherwise() arm: rounded boundaries (e.g.
+    # {1/3,1/3,1/3} -> cumulative hi 9999) must not leave bucket
+    # BUCKETS-1 falling through every when() to a NULL split.
+    for name in names[:-1]:
+        hi = lo + round(splits[name] * BUCKETS)
         cond = b < F.lit(hi)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", expr)
 
 

@@ -38,13 +38,17 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    dim: int | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k per query vector. Query side must be small (broadcast)."""
+    """Exact cosine top-k per query vector. Query side must be small (broadcast).
+
+    ``dim``, when known, routes scoring through the width-dispatched
+    cosine (Arrow matmul at ≥256 dims — see functions/vectors.py)."""
     paired = corpus.crossJoin(F.broadcast(queries))
     scored = paired.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_similarity(F.col(query_vec_col), F.col(vec_col)).alias("cosine_sim"),
+        cosine_similarity(F.col(query_vec_col), F.col(vec_col), dim=dim).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
     return (
@@ -169,7 +173,7 @@ def lsh_bucketed_topk(
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_similarity(F.col(query_vec_col), F.col(vec_col)).alias("cosine_sim"),
+        cosine_similarity(F.col(query_vec_col), F.col(vec_col), dim=dim).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
     return (
@@ -185,6 +189,7 @@ def cosine_neardup_pairs(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine_sim) pairs above threshold, blocked on block_col.
 
@@ -200,7 +205,7 @@ def cosine_neardup_pairs(
     return (
         a.join(b, "_blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cosine_similarity(F.col("va"), F.col("vb")))
+        .withColumn("cosine_sim", cosine_similarity(F.col("va"), F.col("vb"), dim=dim))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
     )
@@ -215,13 +220,13 @@ def _centroid_rows(df, id_col: str, vec_col: str, n_lists: int):
     )
 
 
-def _assign(df, cents, vec_col: str):
+def _assign(df, cents, vec_col: str, dim: int | None = None):
     """Nearest-centroid assignment: broadcast the (tiny) centroid table,
     score every (vector, centroid) pair in codegen, keep the argmax —
     one narrow pass over the corpus + a min_by aggregate, no corpus
     shuffle beyond the groupBy on the vector id."""
     scored = df.crossJoin(F.broadcast(cents)).withColumn(
-        "_sim", cosine_similarity(F.col(vec_col), F.col("cvec"))
+        "_sim", cosine_similarity(F.col(vec_col), F.col("cvec"), dim=dim)
     )
     keys = [c for c in df.columns]
     # tie-break deterministically: highest sim, then lowest cent_id
@@ -241,6 +246,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the partition-the-corpus
     alternative to sign-LSH.
@@ -259,7 +265,7 @@ def ivf_topk(
     ).select("cent_id", "cvec")
 
     for _ in range(refine_iters):
-        assigned = _assign(corpus.select(id_col, vec_col), cents, vec_col)
+        assigned = _assign(corpus.select(id_col, vec_col), cents, vec_col, dim=dim)
         means = (
             assigned.select("cent_id", F.posexplode(F.col(vec_col)).alias("dim", "x"))
             .groupBy("cent_id", "dim")
@@ -279,11 +285,11 @@ def ivf_topk(
     # trivial limit-n scan when refine_iters=0) and `assigned` is consumed
     # exactly once below — caching either would only leak executor storage
     # across invocations (bench warmup, repeated calls).
-    assigned = _assign(corpus.select(id_col, vec_col), cents, vec_col)
+    assigned = _assign(corpus.select(id_col, vec_col), cents, vec_col, dim=dim)
 
     # each query probes its n_probe nearest centroids
     qscored = queries.crossJoin(F.broadcast(cents)).withColumn(
-        "_sim", cosine_similarity(F.col(query_vec_col), F.col("cvec"))
+        "_sim", cosine_similarity(F.col(query_vec_col), F.col("cvec"), dim=dim)
     )
     wq = Window.partitionBy(query_id_col).orderBy(F.col("_sim").desc(), F.col("cent_id"))
     probes = (
@@ -298,7 +304,7 @@ def ivf_topk(
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_similarity(F.col(query_vec_col), F.col(vec_col)).alias("cosine_sim"),
+        cosine_similarity(F.col(query_vec_col), F.col(vec_col), dim=dim).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
     return (
@@ -314,6 +320,7 @@ def ivf_build_index(
     n_lists: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> None:
     """Persist the IVF index: corpus rows bucketed BY centroid id, plus the
     centroid table. The repeated-query complement to the one-shot
@@ -334,7 +341,7 @@ def ivf_build_index(
         .withColumn("cent_id", F.row_number().over(Window.orderBy("cent_seed")) - 1)
         .select("cent_id", "cvec")
     )
-    assigned = _assign(corpus.select(id_col, vec_col), cents, vec_col)
+    assigned = _assign(corpus.select(id_col, vec_col), cents, vec_col, dim=dim)
     write_bucketed_table(assigned, table, ["cent_id"], n_buckets=n_lists)
     cents.write.mode("overwrite").saveAsTable(f"{table}_cents")
 
@@ -349,6 +356,7 @@ def ivf_probe_indexed(
     query_vec_col: str = "query_vec",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k probe against a prebuilt ``ivf_build_index`` table.
 
@@ -360,7 +368,7 @@ def ivf_probe_indexed(
     """
     cents = spark.table(f"{table}_cents")
     qscored = queries.crossJoin(F.broadcast(cents)).withColumn(
-        "_sim", cosine_similarity(F.col(query_vec_col), F.col("cvec"))
+        "_sim", cosine_similarity(F.col(query_vec_col), F.col("cvec"), dim=dim)
     )
     wq = Window.partitionBy(query_id_col).orderBy(F.col("_sim").desc(), F.col("cent_id"))
     probes = (
@@ -374,7 +382,7 @@ def ivf_probe_indexed(
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_similarity(F.col(query_vec_col), F.col(vec_col)).alias("cosine_sim"),
+        cosine_similarity(F.col(query_vec_col), F.col(vec_col), dim=dim).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
     return (

@@ -96,7 +96,7 @@ _JACCARD_CTES = """toks AS (
              )) AS shingles
       FROM toks
     ),
-    idx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    idx AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
     ndocs AS (SELECT count(*) AS n FROM documents),
     hot AS (
       SELECT shingle FROM idx CROSS JOIN ndocs

@@ -37,15 +37,14 @@ def read_jsonl_quarantined(
         .json(path)
     )
     # Spark disallows queries referencing ONLY the corrupt-record column
-    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); cache the
-    # parsed scan once so both splits read from the materialized batch
-    df = df.cache()
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); materialize the
+    # parsed scan once so both splits read from it. localCheckpoint, not
+    # cache(): the blocks are released when the caller drops the splits
+    # (CacheManager entries would leak without an explicit unpersist call
+    # no caller can be trusted to make).
+    df = df.localCheckpoint(eager=True)
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).withColumnRenamed(CORRUPT_COL, "raw")
-    # caller-owned cleanup handle: unpersist after both splits are consumed
-    # (CacheManager entries are not freed by GC)
-    good._owned_caches = [df]  # type: ignore[attr-defined]
-    bad._owned_caches = [df]  # type: ignore[attr-defined]
     return good, bad
 
 

@@ -163,11 +163,19 @@ DOCS_SCHEMA = T.StructType(
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents as a stream — the continuous-ingest curation source."""
+    """Documents as a stream — the continuous-ingest curation source.
+
+    The path targets the documents data specifically (file-source paths
+    accept globs): an sf_dir holds every table as sibling parquet files,
+    and an explicit schema would silently null-fill rows from orders/
+    lineitem/... rather than erroring. The trailing ``*`` keeps the
+    source's basePath a directory whether ``documents.parquet`` is a
+    single file or a directory of part files.
+    """
     return (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{sf_dir}/")
+        .parquet(f"{sf_dir}/documents.parquet*")
     )
 
 

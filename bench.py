@@ -17,6 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from audience_finder_pro_spark.caching import free_checkpoint
 from audience_finder_pro_spark.queries import ORACLES, QUERIES
 from audience_finder_pro_spark.session import TABLES, get_spark
 
@@ -88,13 +89,14 @@ def main() -> None:
             print(f"# {name}: FAILED {failed[name]}", file=sys.stderr)
             continue
         finally:
-            # release operator-owned persisted intermediates AFTER the
-            # best-of-2 loop (within-query warm reuse keeps round-1 timing
-            # semantics; without this, CacheManager entries accumulate
-            # across the bench run)
+            # operators materialize bounded intermediates as localCheckpoints
+            # now (freed on GC / free_checkpoint), not CacheManager persists;
+            # the getattr stays as belt-and-braces for any legacy handle
             for h in handles:
                 for c in getattr(h, "_owned_caches", []):
                     c.unpersist()
+                free_checkpoint(h)
+            handles.clear()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 

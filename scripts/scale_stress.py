@@ -42,11 +42,13 @@ def main() -> None:
     mh = minhash_lsh_pairs(big, threshold=0.9)
     pairs = mh.count()
     t_mh = time.time() - t0
-    # release the operator's candidate/shingle caches before the next stage —
-    # resident caches are exactly the memory pressure that made the
-    # window-form exact_dedup's sort spill (40.7s vs 5.1s, see dedup.py)
-    for c in getattr(mh, "_owned_caches", []):
-        c.unpersist()
+    # release the operator's checkpointed candidate/shingle blocks before the
+    # next stage — resident storage is exactly the memory pressure that made
+    # the window-form exact_dedup's sort spill (40.7s vs 5.1s, see dedup.py)
+    from audience_finder_pro_spark.caching import free_checkpoint
+
+    free_checkpoint(mh)
+    del mh
     t0 = time.time()
     kept = exact_dedup(big).count()
     t_ex = time.time() - t0
@@ -168,6 +170,58 @@ def main() -> None:
         f"cc chain stress: {n_chain}-node path (diameter {n_chain - 1}) -> "
         f"1 component in {t_cc:.1f}s"
     )
+
+    # Connected-components SKEW case: a star/power-law graph — one hub in
+    # 95% of edges. The propagate join's build side is uniform (labels) but
+    # the probe side piles ~all edges on one key; map-side partial
+    # aggregation in the groupBy(u).min must absorb it (AQE splits skewed
+    # joins, and the min-agg combines locally — no single-reducer cliff).
+    n_star = 1_000_000 * factor // 50
+    star = (
+        spark.range(n_star)
+        .select(
+            F.when(F.col("id") % 20 != 0, F.lit(0)).otherwise(F.col("id")).alias("id_a"),
+            (F.col("id") + 1).alias("id_b"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    t0 = time.time()
+    cc = connected_components(star, max_iter=40)
+    n_comp = cc.select("comp").distinct().count()
+    t_cc = time.time() - t0
+    print(
+        f"cc star stress: {n_star} edges, hub node in 95% -> "
+        f"{n_comp} components in {t_cc:.1f}s (skewed propagate key absorbed)"
+    )
+
+    # Cosine dispatch crossover: expression fold vs Arrow-batched numpy at
+    # increasing vector widths (functions/vectors.py VECTORIZE_MIN_DIM).
+    from audience_finder_pro_spark.functions.vectors import _cosine_arrow, dot, l2_norm
+
+    n_vec = 100_000 * factor // 50
+    print(f"cosine crossover ({n_vec} row-pairs, fold vs arrow):")
+    for d in (64, 256, 768, 1536):
+        pairs = (
+            spark.range(n_vec)
+            .select(
+                F.transform(F.sequence(F.lit(1), F.lit(d)), lambda _: F.rand(1)).alias("va"),
+                F.transform(F.sequence(F.lit(1), F.lit(d)), lambda _: F.rand(2)).alias("vb"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        fold_expr = dot(F.col("va"), F.col("vb")) / (l2_norm(F.col("va")) * l2_norm(F.col("vb")))
+        t0 = time.time()
+        pairs.select(fold_expr.alias("c")).agg(F.sum("c")).collect()
+        t_fold = time.time() - t0
+        t0 = time.time()
+        pairs.select(_cosine_arrow()(F.col("va"), F.col("vb")).alias("c")).agg(
+            F.sum("c")
+        ).collect()
+        t_arrow = time.time() - t0
+        from audience_finder_pro_spark.caching import free_checkpoint
+
+        free_checkpoint(pairs)
+        print(f"  dim={d:5d}: fold {t_fold:6.1f}s | arrow {t_arrow:6.1f}s")
 
 
 if __name__ == "__main__":

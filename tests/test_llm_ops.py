@@ -226,3 +226,76 @@ def test_ivf_indexed_probe_matches_oneshot_and_prunes_buckets(spark, sf_smoke):
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m, "bucketed scan must report bucket pruning"
     assert int(m.group(1)) <= n_probe * 3 < int(m.group(2)) == n_lists
+
+
+# ---------------------------------------------------------------- high-dim cosine
+@pytest.fixture(scope="module")
+def highdim_embeddings(spark):
+    """Clustered 768-dim vectors (real LLM-embedding width): 40 centers,
+    20 members each with small perturbations, so top-k = cluster-mates and
+    recall is a meaningful number. Deterministic (seeded numpy)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((40, 768))
+    vecs = np.repeat(centers, 20, axis=0) + 0.15 * rng.standard_normal((800, 768))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_highdim_cosine_paths_agree(spark, highdim_embeddings):
+    """The Arrow-matmul path (dim≥256 dispatch) must agree with the
+    expression fold to float tolerance and produce the identical top-k."""
+    from audience_finder_pro_spark.functions.vectors import cosine_similarity
+
+    emb = highdim_embeddings
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    paired = emb.crossJoin(F.broadcast(queries)).limit(4000)
+    diff = paired.select(
+        F.abs(
+            cosine_similarity(F.col("query_vec"), F.col("embedding"))  # fold
+            - cosine_similarity(F.col("query_vec"), F.col("embedding"), dim=768)  # arrow
+        ).alias("d")
+    ).agg(F.max("d")).collect()[0][0]
+    assert diff < 1e-9, f"fold vs arrow max |Δcosine| = {diff}"
+
+    fold = brute_force_topk(emb, queries, k=10)
+    arrow = brute_force_topk(emb, queries, k=10, dim=768)
+    as_set = lambda df: {(r.query_id, r.vec_id, r.rnk) for r in df.collect()}  # noqa: E731
+    assert as_set(fold) == as_set(arrow)
+
+    # the dispatch must actually change the physical plan
+    arrow_plan = arrow._jdf.queryExecution().executedPlan().toString()
+    fold_plan = fold._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in arrow_plan
+    assert "ArrowEvalPython" not in fold_plan
+
+
+def test_highdim_lsh_and_ivf_recall(spark, highdim_embeddings):
+    """Both approximate operators stay above their recall floors when the
+    scoring routes through the vectorized high-dim path."""
+    from audience_finder_pro_spark.operators.similarity import ivf_topk
+
+    emb = highdim_embeddings
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth: dict[int, set] = {}
+    for r in brute_force_topk(emb, queries, k=10, dim=768).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+
+    lsh = lsh_bucketed_topk(emb, queries, k=10, dim=768, n_bits=4, n_tables=8)
+    got_lsh: dict[int, set] = {}
+    for r in lsh.collect():
+        got_lsh.setdefault(r.query_id, set()).add(r.vec_id)
+    rec = [len(truth[q] & got_lsh.get(q, set())) / len(truth[q]) for q in truth]
+    assert sum(rec) / len(rec) >= 0.5, f"high-dim LSH recall {sum(rec)/len(rec):.2f}"
+
+    ivf = ivf_topk(emb, queries, k=10, n_lists=8, n_probe=4, refine_iters=0, dim=768)
+    got_ivf: dict[int, set] = {}
+    for r in ivf.collect():
+        got_ivf.setdefault(r.query_id, set()).add(r.vec_id)
+    rec = [len(truth[q] & got_ivf.get(q, set())) / len(truth[q]) for q in truth]
+    assert sum(rec) / len(rec) >= 0.8, f"high-dim IVF recall {sum(rec)/len(rec):.2f}"

@@ -513,6 +513,22 @@ def test_hash_split_deterministic_and_proportional(spark):
         hash_split(df, splits={"train": 0.5, "val": 0.1})
 
 
+def test_hash_split_rounded_boundaries_leave_no_gap(spark):
+    """{1/3,1/3,1/3} passes the sum check but its rounded cumulative
+    boundary lands at 9999 — the last split must be the otherwise() arm
+    so bucket 9999 can't fall through to a NULL split (ADVICE r2)."""
+    from audience_finder_pro_spark.operators.sampling import hash_split
+
+    df = spark.range(30_000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, splits={"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    assert out.filter(F.col("split").isNull()).count() == 0
+    from collections import Counter
+
+    frac = Counter(r.split for r in out.collect())
+    for name in ("a", "b", "c"):
+        assert abs(frac[name] / 30_000 - 1 / 3) < 0.01
+
+
 def test_mixture_sample_rate_and_independence(spark):
     """Sample rate lands near the weight, and sampling is independent of
     split assignment (a sampled subset keeps the split proportions)."""

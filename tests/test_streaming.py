@@ -267,11 +267,15 @@ def test_quality_gate_stream_equals_batch(spark, sf_smoke, tmp_path):
         run_stream_to_memory,
     )
 
+    # stage a REALISTIC sf_dir: documents alongside a sibling table, so this
+    # test fails if the stream reader ever regresses to globbing the whole
+    # directory (it would silently ingest orders rows null-filled — ADVICE r2)
     docs_dir = tmp_path / "docs"
     docs_dir.mkdir()
-    shutil.copy(f"{sf_smoke}/documents.parquet", docs_dir / "part-0.parquet")
+    shutil.copy(f"{sf_smoke}/documents.parquet", docs_dir / "documents.parquet")
+    shutil.copy(f"{sf_smoke}/orders.parquet", docs_dir / "orders.parquet")
 
-    batch = quality_gate(spark.read.parquet(str(docs_dir))).collect()
+    batch = quality_gate(spark.read.parquet(str(docs_dir / "documents.parquet"))).collect()
     name = run_stream_to_memory(
         quality_gate(read_documents_stream(spark, str(docs_dir))), "qgate_mem"
     )
