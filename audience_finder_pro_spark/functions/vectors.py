@@ -11,8 +11,11 @@ Two execution strategies, dispatched on vector width:
 - **Arrow-batched numpy** (``pandas_udf``): one vectorized einsum/norm
   per record batch. Pays the Arrow transfer of the vector columns once
   per batch, then scores at memory bandwidth — the 100 TB shape for wide
-  embeddings. Measured crossover is a few hundred dims (see NOTES.md
-  round-3 table), hence ``VECTORIZE_MIN_DIM = 256``.
+  embeddings. Measured crossover (float32, 50k pairs, best-of-2, NOTES.md
+  round-3 table) sits between dim 512 (fold 1.1× faster) and dim 768
+  (arrow 1.1–1.3× faster, gap growing with batch size), hence
+  ``VECTORIZE_MIN_DIM = 640``: every common LLM width ≥768 vectorizes,
+  and the fold keeps the widths where it measurably wins.
 
 Callers pass ``dim`` when they know it (every ANN operator takes a
 ``dim`` parameter and threads it here); ``dim=None`` keeps the fold.
@@ -39,7 +42,7 @@ from pyspark.sql.functions import pandas_udf
 
 # Vector width at or above which cosine_similarity switches from the
 # interpreted expression fold to the Arrow-batched numpy path.
-VECTORIZE_MIN_DIM = 256
+VECTORIZE_MIN_DIM = 640
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -43,7 +43,7 @@ def brute_force_topk(
     """Exact cosine top-k per query vector. Query side must be small (broadcast).
 
     ``dim``, when known, routes scoring through the width-dispatched
-    cosine (Arrow matmul at ≥256 dims — see functions/vectors.py)."""
+    cosine (Arrow matmul at ≥VECTORIZE_MIN_DIM — see functions/vectors.py)."""
     paired = corpus.crossJoin(F.broadcast(queries))
     scored = paired.select(
         F.col(query_id_col),
@@ -321,6 +321,7 @@ def ivf_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    path: str | None = None,
 ) -> None:
     """Persist the IVF index: corpus rows bucketed BY centroid id, plus the
     centroid table. The repeated-query complement to the one-shot
@@ -342,8 +343,13 @@ def ivf_build_index(
         .select("cent_id", "cvec")
     )
     assigned = _assign(corpus.select(id_col, vec_col), cents, vec_col, dim=dim)
-    write_bucketed_table(assigned, table, ["cent_id"], n_buckets=n_lists)
-    cents.write.mode("overwrite").saveAsTable(f"{table}_cents")
+    write_bucketed_table(
+        assigned, table, ["cent_id"], n_buckets=n_lists, path=f"{path}/{table}" if path else None
+    )
+    cw = cents.write.mode("overwrite")
+    if path:
+        cw = cw.option("path", f"{path}/{table}_cents")
+    cw.saveAsTable(f"{table}_cents")
 
 
 def ivf_probe_indexed(

@@ -231,6 +231,86 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, queries, k=10, n_bits=4)
 
 
+# ---------------------------------------------------------------- A10 IVF indexed probe
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two list columns — same sequential-double-fold
+    shape the Spark expression uses, so values agree bit-for-bit."""
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform(range(1, len({b}) + 1),"
+        f" i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+    )
+
+
+# The build (refine_iters=0) is deterministic relational algebra: centroids
+# are the n_lists lowest-id vectors, assignment is argmax cosine with ties to
+# the lowest cent_id, each query probes its n_probe nearest centroids, rerank
+# is exact cosine inside the probed lists — DuckDB replays every step.
+_IVF_PROBE_ORACLE = f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 32)
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+assigned AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, s.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql("e.embedding", "s.cvec")} DESC, s.cent_id) AS r
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT query_id, qv, cent_id FROM (
+    SELECT q.query_id, q.qv, s.cent_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos_sql("q.qv", "s.cvec")} DESC, s.cent_id) AS r
+    FROM q CROSS JOIN seeds s
+  ) WHERE r <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, {_cos_sql("p.qv", "a.embedding")} AS sim
+  FROM probes p JOIN assigned a USING (cent_id)
+)
+SELECT query_id, vec_id, round(sim, 4) AS cosine_sim, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored)
+WHERE rnk <= 10
+"""
+
+
+@_q("ann_ivf_probe", _IVF_PROBE_ORACLE)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prebuilt-index IVF serving path (ivf_build_index +
+    ivf_probe_indexed) as an oracle-checked query: the index is written as
+    a bucketed table (assignment shuffle paid once), the probe turns its
+    ≤n_lists probed list ids into a literal IN that Spark answers with
+    static bucket pruning (SelectedBucketsCount — plan-asserted in tests),
+    and the rerank touches only the probed lists. With refine_iters=0 the
+    whole pipeline is deterministic, so the oracle replays it exactly
+    rather than settling for a rows-only recall check."""
+    import os
+    import tempfile
+
+    from audience_finder_pro_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_probe_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # explicit external location: the session warehouse defaults to
+    # cwd/spark-warehouse, which may not be writable where the driver runs
+    idx_path = os.path.join(tempfile.gettempdir(), "afp_ann_ivf_probe_index")
+    ivf_build_index(emb, "afp_ann_ivf_probe_idx", n_lists=32, path=idx_path)
+    return ivf_probe_indexed(spark, "afp_ann_ivf_probe_idx", queries, k=10, n_probe=4)
+
+
 # ---------------------------------------------------------------- A9/A10 embedding near-dup
 _NEARDUP_ORACLE = """
 WITH e AS (SELECT label, vec_id, embedding FROM embeddings)

@@ -293,57 +293,60 @@ def q09_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- W2 ranking
 @_q(
-    "q10_window_rank",
+    "q10_window_rank_running",
     """
-    SELECT c_custkey, n_name AS nation_name,
-           rank()        OVER w AS rnk,
-           dense_rank()  OVER w AS drnk,
-           ntile(4)      OVER w AS quartile,
-           round(percent_rank() OVER w, 4) AS pct_rank
+    SELECT 'rank' AS op, c_custkey AS k1, n_name AS k2,
+           CAST(rank()       OVER w AS DOUBLE) AS v1,
+           CAST(dense_rank() OVER w AS DOUBLE) AS v2,
+           CAST(ntile(4)     OVER w AS DOUBLE) AS v3,
+           round(percent_rank() OVER w, 4) AS v4
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey)
+    UNION ALL
+    SELECT 'running' AS op, o_custkey AS k1, CAST(o_orderkey AS VARCHAR) AS k2,
+           round(sum(o_totalprice) OVER w2, 4) AS v1,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS v2,
+           NULL AS v3, NULL AS v4
+    FROM orders
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
-def q10_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10_window_rank_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 rank family + W4 frame specs in one tagged result (the
+    q16_intersect_except merge pattern — frees a slot under the driver's
+    50-query verification cap for ann_ivf_probe while keeping both window
+    operator families oracle-checked)."""
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    return (
+    rank_part = (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .select(
-            "c_custkey",
-            F.col("n_name").alias("nation_name"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-            F.ntile(4).over(w).alias("quartile"),
-            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.lit("rank").alias("op"),
+            F.col("c_custkey").alias("k1"),
+            F.col("n_name").alias("k2"),
+            F.rank().over(w).cast("double").alias("v1"),
+            F.dense_rank().over(w).cast("double").alias("v2"),
+            F.ntile(4).over(w).cast("double").alias("v3"),
+            F.round(F.percent_rank().over(w), 4).alias("v4"),
         )
     )
-
-
-# ---------------------------------------------------------------- W4 frames
-@_q(
-    "q11_window_running",
-    """
-    SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
-           round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
-    FROM orders
-    """,
-)
-def q11_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).alias(
-            "running_total"
+    w2 = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    running_part = orders.select(
+        F.lit("running").alias("op"),
+        F.col("o_custkey").alias("k1"),
+        F.col("o_orderkey").cast("string").alias("k2"),
+        F.round(F.sum("o_totalprice").over(w2.rowsBetween(Window.unboundedPreceding, 0)), 4).alias(
+            "v1"
         ),
-        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+        F.round(F.avg("o_totalprice").over(w2.rowsBetween(-2, 0)), 4).alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+        F.lit(None).cast("double").alias("v4"),
     )
+    return rank_part.unionByName(running_part)
 
 
 # ---------------------------------------------------------------- W3 lag sessionize

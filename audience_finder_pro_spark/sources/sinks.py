@@ -79,6 +79,7 @@ def write_bucketed_table(
     n_buckets: int = 32,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Bucketed managed table — pre-shuffled storage for co-located joins.
 
@@ -91,4 +92,10 @@ def write_bucketed_table(
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path:
+        # external table: data lands at an explicit location instead of the
+        # session warehouse (whose default is cwd/spark-warehouse — not
+        # necessarily writable in every deployment); bucket metadata still
+        # lives in the catalog, so bucket pruning works identically
+        w = w.option("path", path)
     w.saveAsTable(table)

@@ -112,3 +112,12 @@ def test_quality_signals_single_tokenize(spark, sf_smoke, no_aqe):
     three), and the PII branch is the only other scan of documents."""
     plan = _plan(spark, "quality_signals", sf_smoke)
     assert plan.count("Generate posexplode") == 1, plan[:800]
+
+
+def test_ann_ivf_probe_declared_query_prunes_buckets(spark, sf_smoke, no_aqe):
+    """The declared serving-path query must keep static bucket pruning:
+    its corpus scan reads only the probed lists' buckets."""
+    plan = _plan(spark, "ann_ivf_probe", sf_smoke)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, "bucketed scan must report bucket pruning"
+    assert int(m.group(1)) < int(m.group(2)) == 32
