@@ -114,7 +114,15 @@ def ngram_jaccard_pairs(
     are consistent (Jaccard over non-ubiquitous shingles — a well-defined
     similarity, not an underestimate of the uncapped one).
     """
-    idx = _shingle_index(df, id_col, text_col, n, df_cap, df_cap_frac)
+    # materialize the pruned index ONCE: it feeds three consumers (set
+    # sizes + both self-join sides), and under AQE the shingle pipeline
+    # would re-execute per branch. Storage is bounded by the index itself
+    # — the same rows the join shuffles anyway (measured at sf0.1: 3.3s
+    # -> 2.3s warm); blocks are freed when the result is dropped or via
+    # caching.free_checkpoint.
+    idx = _shingle_index(df, id_col, text_col, n, df_cap, df_cap_frac).localCheckpoint(
+        eager=True
+    )
     sizes = idx.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = idx.alias("a")
     b = idx.alias("b")

@@ -27,7 +27,33 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from audience_finder_pro_spark.functions.vectors import cosine_similarity
+from audience_finder_pro_spark.functions.vectors import (
+    VECTORIZE_MIN_DIM,
+    cosine_similarity,
+    dot,
+    l2_norm,
+)
+
+
+def _with_norm(df: DataFrame, vec_col: str, norm_col: str, dim: int | None) -> DataFrame:
+    """Project the vector's L2 norm as a column when the fold path will be
+    used: the norm is per-ROW, so computing it before a join/crossJoin
+    evaluates it once per row instead of once per pair — the pair-side
+    fold work drops from 3 folds (dot + 2 norms) to 1. A no-op on the
+    Arrow path, whose batched kernel already computes norms vectorized."""
+    if dim is not None and dim >= VECTORIZE_MIN_DIM:
+        return df
+    return df.withColumn(norm_col, l2_norm(F.col(vec_col)))
+
+
+def _pair_cosine(qvec: Column, cvec: Column, qn: str, cn: str, dim: int | None) -> Column:
+    """Cosine for a joined pair, using the precomputed per-row norms on the
+    fold path. dot/(qn·cn) is the identical floating-point expression the
+    oracle computes (the norm value doesn't depend on where it's evaluated),
+    so hash equality with DuckDB is preserved."""
+    if dim is not None and dim >= VECTORIZE_MIN_DIM:
+        return cosine_similarity(qvec, cvec, dim=dim)
+    return dot(qvec, cvec) / (F.col(qn) * F.col(cn))
 
 
 def brute_force_topk(
@@ -44,11 +70,13 @@ def brute_force_topk(
 
     ``dim``, when known, routes scoring through the width-dispatched
     cosine (Arrow matmul at ≥VECTORIZE_MIN_DIM — see functions/vectors.py)."""
-    paired = corpus.crossJoin(F.broadcast(queries))
+    paired = _with_norm(corpus, vec_col, "_cn", dim).crossJoin(
+        F.broadcast(_with_norm(queries, query_vec_col, "_qn", dim))
+    )
     scored = paired.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_similarity(F.col(query_vec_col), F.col(vec_col), dim=dim).alias("cosine_sim"),
+        _pair_cosine(F.col(query_vec_col), F.col(vec_col), "_qn", "_cn", dim).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
     return (
@@ -151,29 +179,32 @@ def lsh_bucketed_topk(
     trade), the join is a plain shuffle equi-join on (table, bucket),
     candidates are deduped and reranked with the exact cosine.
     """
-    cb = corpus.select(
+    # norms projected per INPUT row (before bucket explode/join), so the
+    # rerank's fold work is one dot per candidate pair, not dot + 2 norms
+    cb = _with_norm(corpus, vec_col, "_cn", dim).select(
         F.col(id_col),
         F.col(vec_col),
+        *(["_cn"] if dim is None or dim < VECTORIZE_MIN_DIM else []),
         F.posexplode(_multi_table_buckets(F.col(vec_col), dim, n_bits, n_tables)).alias(
             "tbl", "bucket"
         ),
     )
-    qb = queries.select(
+    qb = _with_norm(queries, query_vec_col, "_qn", dim).select(
         F.col(query_id_col),
         F.col(query_vec_col),
+        *(["_qn"] if dim is None or dim < VECTORIZE_MIN_DIM else []),
         F.posexplode(_multi_table_buckets(F.col(query_vec_col), dim, n_bits, n_tables)).alias(
             "tbl", "bucket"
         ),
     )
-    cand = (
-        cb.join(qb, ["tbl", "bucket"])
-        .select(query_id_col, query_vec_col, id_col, vec_col)
-        .dropDuplicates([query_id_col, id_col])
-    )
+    keep = [query_id_col, query_vec_col, id_col, vec_col]
+    if dim is None or dim < VECTORIZE_MIN_DIM:
+        keep += ["_qn", "_cn"]
+    cand = cb.join(qb, ["tbl", "bucket"]).select(*keep).dropDuplicates([query_id_col, id_col])
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_similarity(F.col(query_vec_col), F.col(vec_col), dim=dim).alias("cosine_sim"),
+        _pair_cosine(F.col(query_vec_col), F.col(vec_col), "_qn", "_cn", dim).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
     return (
@@ -196,16 +227,24 @@ def cosine_neardup_pairs(
     Blocking bounds the pair blowup; swap block_col for an LSH bucket
     (``_sign_lsh_bits``) when no natural blocking key exists.
     """
-    a = df.select(
-        F.col(block_col).alias("_blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    src = _with_norm(df, vec_col, "_n", dim)
+    has_n = dim is None or dim < VECTORIZE_MIN_DIM
+    a = src.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        *([F.col("_n").alias("_na")] if has_n else []),
     )
-    b = df.select(
-        F.col(block_col).alias("_blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    b = src.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        *([F.col("_n").alias("_nb")] if has_n else []),
     )
     return (
         a.join(b, "_blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cosine_similarity(F.col("va"), F.col("vb"), dim=dim))
+        .withColumn("cosine_sim", _pair_cosine(F.col("va"), F.col("vb"), "_na", "_nb", dim))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
     )
@@ -224,10 +263,11 @@ def _assign(df, cents, vec_col: str, dim: int | None = None):
     """Nearest-centroid assignment: broadcast the (tiny) centroid table,
     score every (vector, centroid) pair in codegen, keep the argmax —
     one narrow pass over the corpus + a min_by aggregate, no corpus
-    shuffle beyond the groupBy on the vector id."""
-    scored = df.crossJoin(F.broadcast(cents)).withColumn(
-        "_sim", cosine_similarity(F.col(vec_col), F.col("cvec"), dim=dim)
-    )
+    shuffle beyond the groupBy on the vector id. Norms precomputed per
+    row/centroid, so each of the n_lists comparisons costs one dot fold."""
+    scored = _with_norm(df, vec_col, "_vn", dim).crossJoin(
+        F.broadcast(_with_norm(cents, "cvec", "_ctn", dim))
+    ).withColumn("_sim", _pair_cosine(F.col(vec_col), F.col("cvec"), "_vn", "_ctn", dim))
     keys = [c for c in df.columns]
     # tie-break deterministically: highest sim, then lowest cent_id
     return scored.groupBy(*keys).agg(
@@ -298,13 +338,18 @@ def ivf_topk(
         .select(query_id_col, query_vec_col, "cent_id")
     )
 
-    cand = probes.join(assigned, "cent_id").select(
-        query_id_col, query_vec_col, id_col, vec_col
+    keep = [query_id_col, query_vec_col, id_col, vec_col]
+    if dim is None or dim < VECTORIZE_MIN_DIM:
+        keep += ["_qn", "_cn"]
+    cand = (
+        _with_norm(probes, query_vec_col, "_qn", dim)
+        .join(_with_norm(assigned, vec_col, "_cn", dim), "cent_id")
+        .select(*keep)
     )
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_similarity(F.col(query_vec_col), F.col(vec_col), dim=dim).alias("cosine_sim"),
+        _pair_cosine(F.col(query_vec_col), F.col(vec_col), "_qn", "_cn", dim).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
     return (
@@ -384,11 +429,18 @@ def ivf_probe_indexed(
     )
     probe_ids = sorted(r["cent_id"] for r in probes.select("cent_id").distinct().collect())
     assigned = spark.table(table).filter(F.col("cent_id").isin(probe_ids))
-    cand = probes.join(assigned, "cent_id").select(query_id_col, query_vec_col, id_col, vec_col)
+    keep = [query_id_col, query_vec_col, id_col, vec_col]
+    if dim is None or dim < VECTORIZE_MIN_DIM:
+        keep += ["_qn", "_cn"]
+    cand = (
+        _with_norm(probes, query_vec_col, "_qn", dim)
+        .join(_with_norm(assigned, vec_col, "_cn", dim), "cent_id")
+        .select(*keep)
+    )
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_similarity(F.col(query_vec_col), F.col(vec_col), dim=dim).alias("cosine_sim"),
+        _pair_cosine(F.col(query_vec_col), F.col(vec_col), "_qn", "_cn", dim).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
     return (
