@@ -24,7 +24,7 @@ tests (SURVEY §7.4 hard part 3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from audience_finder_pro_spark.functions.text import (
@@ -76,20 +76,36 @@ def _shingle_index(
     100 TB setting: "drop any shingle present in >0.1% of docs" stays
     meaningful at any corpus size, a fixed count does not.
     """
+    # Exchange discipline (each step annotated with what it costs):
+    # - distinct: exchange-FREE — the shingle window already clustered the
+    #   stream by id, and HashPartitioning(id) satisfies the (id, shingle)
+    #   aggregation's clustering requirement.
+    # - df-cap count: groupBy(shingle) — map-side partial agg, so the
+    #   shuffle carries (shingle, partial_count), not the index.
+    # - prune: broadcast anti-join — preserves the id clustering.
+    # - n_sh: per-doc PRUNED set size via a count window — exchange-free
+    #   on the still-id-clustered stream. Carrying it on every index row
+    #   lets the pair join below compute Jaccard directly, deleting the
+    #   separate sizes branch (a groupBy + two joins + two broadcast
+    #   builds) that previously re-consumed the index.
+    # - repartition(shingle): the ONE full-index exchange; the pair
+    #   self-join's both sides then reuse it (localCheckpoint preserves
+    #   outputPartitioning, so the reuse survives materialization).
     idx = shingle_stream(df, id_col, text_col, n).distinct()
-    if df_cap is None and df_cap_frac is None:
-        return idx
-    freq = idx.groupBy("shingle").agg(F.count("*").alias("_df"))
-    if df_cap_frac is not None:
-        n_docs = df.agg(F.count("*").alias("_n_docs"))
-        cap = F.greatest(
-            F.lit(float(df_cap if df_cap is not None else 5)),
-            F.col("_n_docs") * F.lit(df_cap_frac),
-        )
-        hot = freq.crossJoin(F.broadcast(n_docs)).filter(F.col("_df") > cap).select("shingle")
-    else:
-        hot = freq.filter(F.col("_df") > df_cap).select("shingle")
-    return idx.join(F.broadcast(hot), "shingle", "left_anti")
+    if df_cap is not None or df_cap_frac is not None:
+        freq = idx.groupBy("shingle").agg(F.count("*").alias("_df"))
+        if df_cap_frac is not None:
+            n_docs = df.agg(F.count("*").alias("_n_docs"))
+            cap = F.greatest(
+                F.lit(float(df_cap if df_cap is not None else 5)),
+                F.col("_n_docs") * F.lit(df_cap_frac),
+            )
+            hot = freq.crossJoin(F.broadcast(n_docs)).filter(F.col("_df") > cap).select("shingle")
+        else:
+            hot = freq.filter(F.col("_df") > df_cap).select("shingle")
+        idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
+    w = Window.partitionBy(id_col)
+    return idx.withColumn("n_sh", F.count("*").over(w)).repartition("shingle")
 
 
 def ngram_jaccard_pairs(
@@ -114,28 +130,26 @@ def ngram_jaccard_pairs(
     are consistent (Jaccard over non-ubiquitous shingles — a well-defined
     similarity, not an underestimate of the uncapped one).
     """
-    # materialize the pruned index ONCE: it feeds three consumers (set
-    # sizes + both self-join sides), and under AQE the shingle pipeline
-    # would re-execute per branch. Storage is bounded by the index itself
-    # — the same rows the join shuffles anyway (measured at sf0.1: 3.3s
-    # -> 2.3s warm); blocks are freed when the result is dropped or via
-    # caching.free_checkpoint.
+    # materialize the pruned index ONCE: it feeds both self-join sides,
+    # and under AQE the shingle pipeline would re-execute per branch.
+    # Storage is bounded by the index itself — the same rows the join
+    # shuffles anyway (measured at sf0.1: 3.3s -> 2.3s warm); blocks are
+    # freed when the result is dropped or via caching.free_checkpoint.
+    # Each row carries its doc's pruned set size (n_sh), so the pair join
+    # computes Jaccard in one groupBy — no sizes re-join.
     idx = _shingle_index(df, id_col, text_col, n, df_cap, df_cap_frac).localCheckpoint(
         eager=True
     )
-    sizes = idx.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = idx.alias("a")
     b = idx.alias("b")
-    common = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),

@@ -23,6 +23,56 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Plans whose construction eagerly materializes localCheckpoint state
+# (minhash signatures, the pruned shingle index, CC iterations, the
+# quarantined-scan cache). Callers are entitled to free that state via
+# caching.free_checkpoint after consuming the result, so these must
+# rebuild per invocation — everything else is a pure logical plan and
+# gets the prepared-plan treatment below.
+_STATEFUL_PLANS = {
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_cc_clusters",
+    "quarantine_report",
+}
+
+
+def _plan_cached(name: str, fn: QueryFn) -> QueryFn:
+    """Prepared-plan cache, keyed per (session, query, sf_dir).
+
+    The reference app caches whole query *results* per input
+    (@st.cache_data, app.py:54) — our S8 analogue. This is the weaker,
+    always-safe form: repeat invocations of the same declared query on the
+    same session and data reuse the analyzed DataFrame instead of paying
+    plan reconstruction (measured 0.1–0.5s of driver-side Py4J work per
+    build at any SF — pure fixed overhead that would otherwise be paid per
+    interactive call). Execution itself is untouched: DataFrames are
+    immutable and lazily re-executed per action. The memo lives on the
+    session object, so a foreign session (the correctness driver's) starts
+    clean and it all dies with the session.
+    """
+
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        memo = getattr(spark, "_afp_plan_memo", None)
+        if memo is None:
+            memo = {}
+            spark._afp_plan_memo = memo
+        key = (name, sf_dir.rstrip("/"))
+        if key not in memo:
+            memo[key] = fn(spark, sf_dir)
+        return memo[key]
+
+    wrapper.__name__ = fn.__name__
+    wrapper.__doc__ = fn.__doc__
+    wrapper.__wrapped__ = fn  # cache-bypass hook (plan-shape tests)
+    return wrapper
+
+
+def _register(name: str, fn: QueryFn) -> None:
+    QUERIES[name] = fn if name in _STATEFUL_PLANS else _plan_cached(name, fn)
+
+
 # Registration order matters: the driver verifies queries in declaration
 # order and may cap how many it checks. Register every oracle-backed query
 # first (so each gets a hard rows+schema+hash CORRECTNESS row) and push the
@@ -32,12 +82,12 @@ _MODULES = (relational, streaming, golden, llm)
 for _mod in _MODULES:
     for _name, _fn in _mod.QUERIES.items():
         if _mod.ORACLES.get(_name) is not None:
-            QUERIES[_name] = _fn
+            _register(_name, _fn)
             ORACLES[_name] = _mod.ORACLES[_name]
 
 for _mod in _MODULES:
     for _name, _fn in _mod.QUERIES.items():
         if _mod.ORACLES.get(_name) is None:
-            QUERIES[_name] = _fn
+            _register(_name, _fn)
 
 __all__ = ["QUERIES", "ORACLES", "QueryFn"]

@@ -66,7 +66,25 @@ def get_spark(app_name: str = "audience_finder_pro_spark", cpus: int | None = No
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar parquet scan — Catalyst pushes filters/column pruning into it."""
+    """Columnar parquet scan — Catalyst pushes filters/column pruning into it.
+
+    The unresolved scan DataFrame is memoized per (session, sf_dir, table):
+    this is what a real catalog/metastore does — resolve the relation once,
+    hand out the same logical plan. Each `spark.read.parquet` call costs a
+    driver-side file listing + footer schema read (~70ms), which at toy SF
+    is a large share of total query wall time (measured: q29 spent 0.7s of
+    its 1.0s registering 10 tables). Execution still re-reads the files;
+    only the relation resolution is cached. The memo lives on the session
+    object so a foreign session (the correctness driver's) gets its own,
+    and it dies with the session.
+    """
+    memo = getattr(spark, "_afp_table_memo", None)
+    if memo is None:
+        memo = {}
+        spark._afp_table_memo = memo
+    key = (sf_dir.rstrip("/"), name)
+    if key in memo:
+        return memo[key]
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects unless
         # nanosAsLong is on. The session factory sets it, but queries() may
@@ -81,14 +99,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    memo[key] = df
     return df
 
 
 def register_catalog(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
-    """Register every fixture table as a temp view (SQL + DataFrame access)."""
+    """Register every fixture table as a temp view (SQL + DataFrame access).
+
+    Idempotent per (session, sf_dir): re-registering the same views is 10
+    Py4J roundtrips of pure overhead on every SQL-interface query, so the
+    last-registered sf_dir is tracked and reuse is a dict lookup. Pointing
+    the same session at a different sf_dir re-registers (views are
+    replaced, so the switch is safe).
+    """
+    if getattr(spark, "_afp_catalog_sf", None) == sf_dir:
+        return spark._afp_catalog_tables
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
+    spark._afp_catalog_sf = sf_dir
+    spark._afp_catalog_tables = out
     return out

@@ -24,7 +24,11 @@ def no_aqe(spark):
 
 
 def _plan(spark, name, sf):
-    return QUERIES[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    # bypass the prepared-plan cache: a memoized DataFrame may have been
+    # planned under AQE by an earlier test, hiding the structure under test
+    fn = QUERIES[name]
+    fn = getattr(fn, "__wrapped__", fn)
+    return fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
 
 
 def test_q01_filter_pushed_to_scan(spark, sf_smoke, no_aqe):
