@@ -28,12 +28,64 @@ from pyspark.sql import functions as F
 
 from audience_finder_pro_spark.caching import free_checkpoint as _free_checkpoint
 
+# Edge-count ceiling for the driver union-find fast path. 2M edges is
+# ~32 MB collected through Arrow and ~2s of driver CPU — far below the
+# per-iteration cost the distributed loop would pay on a graph that
+# small, and bounded model state in the same class as the IVF centroid
+# collect (the near-dup edge list is the *evidence*, orders of magnitude
+# smaller than the corpus it indicts). Above the ceiling the iterative
+# pointer-jumping path engages automatically — that is the 100 TB route,
+# stress-tested on 100k-diameter chains and 1M-edge hub graphs.
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def _driver_union_find(sym: DataFrame) -> DataFrame:
+    """Exact CC on a bounded edge list: collect via Arrow, union-find with
+    min-id roots (the smaller root always wins a union, so every root IS
+    its component's min — no second pass), return a (node, comp) frame.
+
+    Path compression keeps the loop near-linear; the result is
+    bit-identical to the iterative path (both emit min-member labels).
+    """
+    import pandas as pd
+
+    pdf = sym.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while x != root:
+            parent[x], x = root, parent.get(x, x)
+        return root
+
+    for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        if rv < ru:
+            ru, rv = rv, ru
+        parent[rv] = ru
+    # sym holds both edge directions, so column u alone covers every node
+    nodes = pdf["u"].drop_duplicates().tolist()
+    out = pd.DataFrame({"node": nodes, "comp": [find(n) for n in nodes]})
+    spark = sym.sparkSession
+    from pyspark.sql.types import StructField, StructType
+
+    node_t = sym.schema["u"].dataType
+    schema = StructType(
+        [StructField("node", node_t, False), StructField("comp", node_t, False)]
+    )
+    return spark.createDataFrame(out, schema=schema)
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; ``component``
     is the smallest node id in the node's connected component.
@@ -42,6 +94,17 @@ def connected_components(
     Raises if not converged within ``max_iter`` (pointer jumping needs
     O(log d) rounds, so 25 covers any realistic diameter; a non-converged
     result would be silently wrong, hence the hard failure).
+
+    Two physical strategies behind one contract:
+    - ``|E| <= driver_max_edges``: union-find on the driver over the
+      Arrow-collected edge list. The symmetrized list is already
+      materialized (checkpointed) for the iterative path, so the size
+      check is a block-scan count, and a graph this small is pure
+      stage-floor for the cluster loop (each iteration costs ~4 scheduled
+      stages regardless of data volume).
+    - larger: min-label propagation + pointer jumping, all DataFrame ops
+      — the distributed O(log d) route. Pass ``driver_max_edges=0`` to
+      force it (stress scripts and the property tests do).
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # materialize the edge list ONCE: its lineage may contain an arbitrarily
@@ -53,6 +116,11 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    if driver_max_edges and sym.count() <= driver_max_edges:
+        out = _driver_union_find(sym)
+        _free_checkpoint(sym)
+        return out
 
     # labels start as self: component = node
     labels = (

@@ -95,10 +95,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # nanos → microsecond timestamp (floor), matching DuckDB's ns→µs read
+        # The fixture generator has shipped events.ts as both parquet
+        # TIMESTAMP(NANOS) (read as BIGINT under nanosAsLong) and
+        # TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ) across rounds — adapt to
+        # whichever encoding is on disk, normalizing to session-TZ TIMESTAMP
+        # (UTC) so downstream window/date semantics match the DuckDB oracle.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # nanos → microsecond timestamp (floor), matching DuckDB's ns→µs read
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     memo[key] = df
     return df
 

@@ -162,7 +162,7 @@ def main() -> None:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     t0 = time.time()
-    cc = connected_components(chain, max_iter=40)
+    cc = connected_components(chain, max_iter=40, driver_max_edges=0)
     n_comp = cc.select("comp").distinct().count()
     t_cc = time.time() - t0
     assert n_comp == 1, f"path graph must collapse to one component, got {n_comp}"
@@ -186,7 +186,7 @@ def main() -> None:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     t0 = time.time()
-    cc = connected_components(star, max_iter=40)
+    cc = connected_components(star, max_iter=40, driver_max_edges=0)
     n_comp = cc.select("comp").distinct().count()
     t_cc = time.time() - t0
     print(

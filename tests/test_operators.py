@@ -435,8 +435,15 @@ def test_connected_components_chain(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(9)], "id_a long, id_b long"
     )
-    out = {r.node: r.comp for r in connected_components(edges).collect()}
+    # force the distributed loop — the chain is the multi-iteration case
+    out = {
+        r.node: r.comp
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
     assert out == {i: 0 for i in range(10)}
+    # the driver union-find fast path (default at this size) must agree
+    out_uf = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert out_uf == out
 
 
 def test_connected_components_multiple_components(spark):

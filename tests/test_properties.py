@@ -124,5 +124,13 @@ def test_connected_components_matches_union_find(spark, edge_list):
     expect = {n: truth[find(n)] for n in parent}
 
     edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    # both physical strategies must match the ground truth: the driver
+    # union-find fast path (default at this size) AND the distributed
+    # pointer-jumping loop (forced via driver_max_edges=0)
     got = {r.node: r.comp for r in connected_components(edges).collect()}
     assert got == expect
+    got_iter = {
+        r.node: r.comp
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
+    assert got_iter == expect
