@@ -29,13 +29,15 @@ from pyspark.sql import functions as F
 from audience_finder_pro_spark.caching import free_checkpoint as _free_checkpoint
 
 # Edge-count ceiling for the driver union-find fast path. 2M edges is
-# ~32 MB collected through Arrow and ~2s of driver CPU — far below the
-# per-iteration cost the distributed loop would pay on a graph that
-# small, and bounded model state in the same class as the IVF centroid
-# collect (the near-dup edge list is the *evidence*, orders of magnitude
-# smaller than the corpus it indicts). Above the ceiling the iterative
-# pointer-jumping path engages automatically — that is the 100 TB route,
-# stress-tested on 100k-diameter chains and 1M-edge hub graphs.
+# ~32 MB of raw Arrow buffers; the dominant driver heap is the union-find
+# parent dict — up to one np.int64→np.int64 entry per non-root node,
+# i.e. worst-case a few hundred MB of dict at the ceiling (measured in
+# scripts/cc_gate_stress.py) — comfortably inside the driver config, and
+# bounded model state in the same class as the IVF centroid collect (the
+# near-dup edge list is the *evidence*, orders of magnitude smaller than
+# the corpus it indicts). Above the ceiling the iterative pointer-jumping
+# path engages automatically — that is the 100 TB route, stress-tested on
+# 100k-diameter chains and 1M-edge hub graphs.
 DRIVER_CC_MAX_EDGES = 2_000_000
 
 
@@ -60,7 +62,12 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
             parent[x], x = root, parent.get(x, x)
         return root
 
-    for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+    # Iterate the numpy arrays directly — .tolist() would materialize two
+    # extra 2M-element lists of boxed Python ints (~28 B each) on top of
+    # the Arrow buffers. np.int64 scalars hash/compare identically to int,
+    # so the parent dict works unchanged; permanent heap is the dict alone
+    # (one entry per non-root node, not per edge).
+    for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
         ru, rv = find(u), find(v)
         if ru == rv:
             continue
@@ -68,7 +75,7 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
             ru, rv = rv, ru
         parent[rv] = ru
     # sym holds both edge directions, so column u alone covers every node
-    nodes = pdf["u"].drop_duplicates().tolist()
+    nodes = pdf["u"].drop_duplicates().to_numpy()
     out = pd.DataFrame({"node": nodes, "comp": [find(n) for n in nodes]})
     spark = sym.sparkSession
     from pyspark.sql.types import StructField, StructType
@@ -106,7 +113,13 @@ def connected_components(
       — the distributed O(log d) route. Pass ``driver_max_edges=0`` to
       force it (stress scripts and the property tests do).
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # A null endpoint is a meaningless edge; drop it up front so BOTH paths
+    # agree (the driver path would otherwise coerce int64-with-nulls to
+    # float64 in toPandas and fail against the non-nullable output schema,
+    # while the distributed path silently propagated the null).
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
+    )
     # materialize the edge list ONCE: its lineage may contain an arbitrarily
     # expensive upstream plan (e.g. the whole near-dup pair pipeline), and
     # every iteration joins against it — without this, iteration k re-runs

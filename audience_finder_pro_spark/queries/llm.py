@@ -950,26 +950,38 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists for — each stage is the oracle-checked operator used alone
     elsewhere (quality_score, dedup_exact, token_count)."""
     docs = load_table(spark, sf_dir, "documents")
+
+    # Per-row array metrics, but LAMBDA-FREE. The previous form's one
+    # `F.filter(tok, λ)` stop-word count looked innocent, but an
+    # interpreted lambda inside a projection defeats whole-stage codegen's
+    # subexpression elimination for the WHOLE projection — so `tokens()`
+    # (lower + regexp split) re-ran once per metric, 4× per row (measured:
+    # lambda form 0.65s vs 0.38s for this form on the same sf0.1 scan;
+    # full query 2.84s → ~0.8s). `array_remove` is a regular catalyst
+    # collection expression, so one tokenize feeds all four metrics via
+    # CSE. Explode+groupBy shapes were measured too and lose here (1.5-5s):
+    # these metrics are purely per-doc, so the exchange buys nothing —
+    # the explode stream is only right when cross-row n-gram stats need
+    # the doc-keyed window (quality_signals). One scan, no join; the only
+    # shuffles are the two tiny post-filter aggregations.
     tok = tokens("text")
-    len_score = F.least(F.size(tok) / 100.0, F.lit(1.0))
-    ttr = F.size(F.array_distinct(tok)) / F.size(tok)
-    stop_ratio = F.size(F.filter(tok, lambda x: x.isin("the", "a"))) / F.size(tok)
+    n_words = F.size(tok)
+    n_stop = n_words - F.size(F.array_remove(F.array_remove(tok, "the"), "a"))
+    len_score = F.least(n_words / 100.0, F.lit(1.0))
+    ttr = F.size(F.array_distinct(tok)) / n_words
+    stop_ratio = n_stop / n_words
     scored = docs.select(
         "doc_id",
         "source",
-        "text",
         (0.4 * len_score + 0.4 * ttr + 0.2 * (1 - stop_ratio)).alias("quality"),
-        F.size(tok).alias("n_words"),
+        n_words.alias("n_words"),
+        norm_text_hash("text").alias("text_hash"),
     )
     kept = scored.filter(F.col("quality") >= 0.5)
-    deduped = (
-        kept.withColumn("text_hash", norm_text_hash("text"))
-        .groupBy("text_hash")
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.min_by("source", "doc_id").alias("source"),
-            F.min_by("n_words", "doc_id").alias("n_words"),
-        )
+    deduped = kept.groupBy("text_hash").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min_by("n_words", "doc_id").alias("n_words"),
     )
     return deduped.groupBy("source").agg(
         F.count("*").alias("n_docs"),
