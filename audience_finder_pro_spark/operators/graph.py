@@ -30,14 +30,18 @@ from audience_finder_pro_spark.caching import free_checkpoint as _free_checkpoin
 
 # Edge-count ceiling for the driver union-find fast path. 2M edges is
 # ~32 MB of raw Arrow buffers; the dominant driver heap is the union-find
-# parent dict — up to one np.int64→np.int64 entry per non-root node,
-# i.e. worst-case a few hundred MB of dict at the ceiling (measured in
-# scripts/cc_gate_stress.py) — comfortably inside the driver config, and
-# bounded model state in the same class as the IVF centroid collect (the
-# near-dup edge list is the *evidence*, orders of magnitude smaller than
-# the corpus it indicts). Above the ceiling the iterative pointer-jumping
-# path engages automatically — that is the 100 TB route, stress-tested on
-# 100k-diameter chains and 1M-edge hub graphs.
+# parent dict — up to one np.int64→np.int64 entry per non-root node.
+# MEASURED (scripts/cc_gate_stress.py, path-forest worst case — every
+# non-root node unions): at 2M edges the driver path wins 2.6×
+# (42.7s vs 110.1s distributed) at ~520 MB peak driver RSS; by 4M edges
+# wall time crosses over (62.5s vs 62.2s) while RSS reaches ~930 MB — so
+# the ceiling sits right where the driver's advantage ends, comfortably
+# inside the driver config, and bounded model state in the same class as
+# the IVF centroid collect (the near-dup edge list is the *evidence*,
+# orders of magnitude smaller than the corpus it indicts). Above the
+# ceiling the iterative pointer-jumping path engages automatically —
+# that is the 100 TB route, stress-tested on 100k-diameter chains and
+# 1M-edge hub graphs.
 DRIVER_CC_MAX_EDGES = 2_000_000
 
 

@@ -457,6 +457,30 @@ def test_connected_components_multiple_components(spark):
     assert out == {3: 3, 4: 3, 5: 3, 10: 10, 11: 10}
 
 
+def test_connected_components_null_edges_dropped(spark):
+    """Null-endpoint edges carry no information and must be dropped by BOTH
+    physical paths (pre-fix, the driver path's toPandas coerced
+    int64-with-nulls to float64 and failed the non-nullable output schema,
+    while the distributed path silently propagated the null)."""
+    from audience_finder_pro_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (None, None), (2, 5)],
+        "id_a long, id_b long",
+    )
+    # 3 and 4 appear only in dropped (null-endpoint) edges, so they are
+    # absent from the node set — callers re-attach isolated ids via
+    # dedup_clusters' left join, same as for any edge-less node
+    expect = {1: 1, 2: 1, 5: 1}
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == expect
+    got_iter = {
+        r.node: r.comp
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
+    assert got_iter == expect
+
+
 def test_dedup_clusters_singletons_and_representative(spark):
     """Full-corpus labeling: untouched docs are their own cluster; keeping
     doc_id == cluster_id keeps exactly one representative per component."""
