@@ -375,21 +375,24 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-free on purpose: an outer HOF lambda (`F.filter`/`F.aggregate`)
+    blocks its argument subtree from subexpression elimination, so each
+    metric would re-run the tokenizer (the curation_pipeline lesson,
+    NOTES gotcha #1). `array_remove` counts stop words and
+    `length(array_join(tok, ''))` sums token lengths — regular catalyst
+    expressions, one shared tokenize."""
     docs = load_table(spark, sf_dir, "documents")
     tok = tokens("text")
     n_tok = F.size(tok)
+    n_stop = n_tok - F.size(F.array_remove(F.array_remove(tok, "the"), "a"))
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         n_tok.cast("long").alias("n_tokens"),
         F.size(F.array_distinct(tok)).cast("long").alias("n_distinct_tokens"),
         F.round(F.size(F.array_distinct(tok)) / n_tok, 4).alias("type_token_ratio"),
-        F.round(
-            F.aggregate(tok, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)) / n_tok, 4
-        ).alias("avg_token_len"),
-        F.round(F.size(F.filter(tok, lambda x: x.isin("the", "a"))) / n_tok, 4).alias(
-            "stopword_ratio"
-        ),
+        F.round(F.length(F.array_join(tok, "")) / n_tok, 4).alias("avg_token_len"),
+        F.round(n_stop / n_tok, 4).alias("stopword_ratio"),
     )
 
 
@@ -428,33 +431,50 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     source of truth — the DuckDB oracle's IN-lists are generated from the
     same dict, so engines cannot drift.
 
-    Shape: one explode of a position sequence + substring (all codegen; no
-    per-trigram interpreted lambdas), one groupBy(doc) of conditional
-    counts, broadcast-joined back to the doc row. The fixture text is
-    English-ish for every row regardless of the `lang` label, so the
-    operator is exercised via its scores, not label accuracy.
+    Shape: per-language hit counts as pure codegen string expressions —
+    ``(length(n) - length(replace(n, T, ''))) / 3`` per profile trigram,
+    summed. Replace counts NON-overlapping occurrences, which equals the
+    per-position trigram count because no profile trigram can overlap
+    itself (self-overlap at distance ≤2 requires T[0]==T[2]; asserted
+    below — revisit this shape if a profile ever adds such a trigram).
+    One projection, zero explodes, zero shuffles, no join: the previous
+    explode(sequence)+substr+groupBy form duplicated the full normalized
+    text onto every one of its ~300 position rows per doc and paid a
+    doc-keyed exchange — 2.97s vs 0.32s at sf0.1 (measured under the
+    noop sink; `count()` had hidden the cost entirely by pruning the
+    projection). The fixture text is English-ish for every row
+    regardless of the `lang` label, so the operator is exercised via
+    its scores, not label accuracy.
     """
+    for grams in LANG_TRIGRAMS.values():
+        assert all(len(g) != 3 or g[0] != g[2] for g in grams), (
+            "self-overlapping trigram breaks the replace-count identity"
+        )
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", "lang", F.lower(norm_ws("text")).alias("n")
     ).withColumn("n_tg", F.greatest(F.length("n") - 2, F.lit(0)))
-    stream = base.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.col("n_tg"))).alias("i"),
-        "n",
-    ).select("doc_id", F.col("n").substr(F.col("i"), F.lit(3)).alias("tg"))
-    hits = stream.groupBy("doc_id").agg(
-        *[
-            F.count(F.when(F.col("tg").isin(*grams), 1)).alias(f"{lang}_hits")
-            for lang, grams in LANG_TRIGRAMS.items()
+
+    def hits(grams: tuple[str, ...]):
+        n = F.col("n")
+        # grams that aren't exactly 3 chars can never equal a 3-char
+        # substr in the position-count semantics (and the oracle's
+        # IN-list agrees) — but replace WOULD find them, so skip them
+        counts = [
+            ((F.length(n) - F.length(F.replace(n, F.lit(g)))) / 3).cast("long")
+            for g in grams
+            if len(g) == 3
         ]
-    )
-    z = F.lit(0).cast("long")
-    h = base.join(hits, "doc_id", "left").select(
+        total = F.lit(0).cast("long")
+        for c in counts:
+            total = total + c
+        return total
+
+    h = base.select(
         "doc_id",
         "lang",
         "n_tg",
-        *[F.coalesce(f"{lang}_hits", z).alias(f"{lang}_hits") for lang in LANG_TRIGRAMS],
+        *[hits(grams).alias(f"{lang}_hits") for lang, grams in LANG_TRIGRAMS.items()],
     )
     de, en, es, fr = (F.col(f"{lang}_hits") for lang in ("de", "en", "es", "fr"))
     pred = (
@@ -599,11 +619,15 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-free stop-word count (`array_remove`) for the same
+    CSE reason as text_stats / curation_pipeline (NOTES gotcha #1)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = tokens("text")
     len_score = F.least(F.size(tok) / 100.0, F.lit(1.0))
     ttr = F.size(F.array_distinct(tok)) / F.size(tok)
-    stop_ratio = F.size(F.filter(tok, lambda x: x.isin("the", "a"))) / F.size(tok)
+    stop_ratio = (
+        F.size(tok) - F.size(F.array_remove(F.array_remove(tok, "the"), "a"))
+    ) / F.size(tok)
     q = 0.4 * len_score + 0.4 * ttr + 0.2 * (1 - stop_ratio)
     return docs.select(
         "doc_id",

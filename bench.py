@@ -3,9 +3,14 @@
 on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Timing = full plan execution to a count-style action (no driver collect
-of payloads — we time the engine, not result transfer). One warmup run
-of q01 triggers JVM/codegen warmup so per-query numbers are stable.
+Timing = full materialization through the noop sink (no driver collect
+of payloads — we time the engine, not result transfer). NOT `count()`:
+Catalyst prunes unreferenced projection columns under count, so a
+pure-projection query (text_stats, lang_id, ...) would be timed as a
+bare scan — measured 0.21s counted vs 2.97s materialized for lang_id
+at sf0.1, a 14x fiction the DuckDB comparator (fetchall = full
+materialization) never shared. A warmup pass over every query triggers
+JVM/codegen warmup so per-query numbers are stable.
 """
 
 from __future__ import annotations
@@ -113,7 +118,7 @@ def main() -> None:
     runnable = {name: QUERIES[name] for name in BENCH_QUERIES} | BENCH_EXTRA
     for name, fn in runnable.items():
         try:
-            fn(spark, warm_dir).count()
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception as ex:  # never let warmup kill the bench
             print(f"# warmup {name} failed: {ex}", file=sys.stderr)
 
@@ -129,9 +134,10 @@ def main() -> None:
             for _ in range(2):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
-                n = df.count()
+                df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
                 handles.append(df)
+            n = df.count()  # row count for the report line; untimed
         except Exception as ex:
             failed[name] = str(ex).splitlines()[0][:200]
             print(f"# {name}: FAILED {failed[name]}", file=sys.stderr)
