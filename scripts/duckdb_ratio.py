@@ -45,7 +45,15 @@ def main() -> None:
     rows = []
     for name in names:
         try:
-            spark_s = best_of(lambda: QUERIES[name](spark, sf_dir).count())
+            # noop sink = full materialization; count() would let Catalyst
+            # prune every unreferenced projection column, timing pure-
+            # projection queries as bare scans (see bench.py docstring)
+            spark_s = best_of(
+                lambda: QUERIES[name](spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
         except Exception as ex:
             print(f"# spark {name} FAILED {str(ex).splitlines()[0][:120]}", file=sys.stderr)
             continue
