@@ -42,13 +42,100 @@ def to_csv_bytes(df: DataFrame) -> bytes:
 
 
 def to_excel_bytes(df: DataFrame) -> bytes:
-    """Excel sink via openpyxl when available (ref declares the dep, req:4)."""
+    """Excel sink (SURVEY S6; ref declares the openpyxl dep, req:4).
+
+    pandas+openpyxl when available; otherwise a minimal stdlib writer —
+    XLSX is a zip of SpreadsheetML XML, so one sheet of typed cells needs
+    only ``zipfile`` + string escaping. Numbers/bools keep native cell
+    types, everything else is an inline string (no sharedStrings table);
+    nulls are empty cells. Round-trip-tested structurally in
+    tests/test_operators.py (unzip + XML parse), and via openpyxl when
+    the environment has it.
+    """
+    pdf = _small_pandas(df)
     try:
         import openpyxl  # noqa: F401
-    except ImportError as e:  # pragma: no cover - openpyxl not in container
-        raise NotImplementedError("openpyxl not installed in this environment") from e
+
+        buf = io.BytesIO()
+        pdf.to_excel(buf, index=False, engine="openpyxl")
+        return buf.getvalue()
+    except ImportError:
+        return _xlsx_bytes_minimal(pdf)
+
+
+def _col_ref(i: int) -> str:
+    """0-based column index → spreadsheet letters (0→A, 25→Z, 26→AA)."""
+    out = ""
+    i += 1
+    while i:
+        i, rem = divmod(i - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def _xlsx_bytes_minimal(pdf) -> bytes:
+    """Single-sheet OOXML workbook from a pandas frame, stdlib only."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def cell(r: int, c: int, v) -> str:
+        ref = f"{_col_ref(c)}{r}"
+        if hasattr(v, "item"):  # numpy scalar → native python
+            v = v.item()
+        if v is None or (isinstance(v, float) and v != v):  # NaN
+            return f'<c r="{ref}"/>'
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(v))}</t></is></c>'
+
+    rows = ['<row r="1">' + "".join(cell(1, c, str(name)) for c, name in enumerate(pdf.columns)) + "</row>"]
+    for ri, tup in enumerate(pdf.itertuples(index=False, name=None), start=2):
+        rows.append(f'<row r="{ri}">' + "".join(cell(ri, c, v) for c, v in enumerate(tup)) + "</row>")
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{''.join(rows)}</sheetData></worksheet>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+        ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1"'
+        ' Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet"'
+        ' Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1"'
+        ' Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument"'
+        ' Target="xl/workbook.xml"/></Relationships>'
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml"'
+        ' ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml"'
+        ' ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    )
     buf = io.BytesIO()
-    _small_pandas(df).to_excel(buf, index=False, engine="openpyxl")
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
     return buf.getvalue()
 
 

@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "lang_id",
     "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_session_window",
+    "quarantine_report",
 ]
 
 

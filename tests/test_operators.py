@@ -143,6 +143,46 @@ def test_csv_sinks(spark, sf_smoke, tmp_path):
     assert back.count() == df.count()
 
 
+def test_excel_sink_roundtrip(spark):
+    """S6 Excel sink: the stdlib OOXML writer must produce a structurally
+    valid workbook — correct package parts, typed cells, escaped strings.
+    Verified by unzip + XML parse (no xlsx reader in this container; when
+    openpyxl exists pandas takes over and this still passes the package
+    checks)."""
+    import io
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    from audience_finder_pro_spark.sources.sinks import to_excel_bytes
+
+    df = spark.createDataFrame(
+        [(1, "plain", 1.5, True), (2, "needs <escaping> & quotes", None, False)],
+        "id long, label string, val double, flag boolean",
+    )
+    data = to_excel_bytes(df.orderBy("id"))
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        names = set(z.namelist())
+        assert {"[Content_Types].xml", "xl/workbook.xml"} <= names
+        sheet_name = next(n for n in names if n.startswith("xl/worksheets/"))
+        root = ET.fromstring(z.read(sheet_name))
+    try:
+        import openpyxl  # noqa: F401
+
+        return  # pandas/openpyxl path: strings live in sharedStrings, not
+        # inline — the package checks above are the cross-engine contract
+    except ImportError:
+        pass
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    rows = root.findall(".//m:row", ns)
+    assert len(rows) == 3  # header + 2 data rows
+    header = [t.text for t in rows[0].findall(".//m:t", ns)]
+    assert header == ["id", "label", "val", "flag"]
+    texts = [t.text for t in rows[2].findall(".//m:t", ns)]
+    assert "needs <escaping> & quotes" in texts  # escaped in XML, intact parsed
+    vals = [v.text for v in rows[1].findall(".//m:v", ns)]
+    assert "1" in vals and "1.5" in vals
+
+
 def test_csv_cap_guard(spark, sf_smoke):
     from audience_finder_pro_spark.sources import sinks
 
