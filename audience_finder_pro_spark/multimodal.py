@@ -7,15 +7,27 @@ metadata (media_type, n_bytes, content hash). Heavy per-item work
 overhead is per-batch, not per-row, and the operator scales out with
 the partitioning of the payload table.
 
-The container has no image/audio codecs (env constraint), so the codec
-call is stubbed: ``_decode_stub`` derives deterministic fake features
-from the payload bytes. The Spark-side contract — schema, batch
-iterator, binary handling, partition independence — is real and tested.
-Swap ``_decode_stub`` for PIL/ffmpeg/torchaudio in production.
+Codec tiers (dispatch on payload magic bytes, not media_type claims):
+
+- **PNG**: REAL stdlib decoder (``zlib`` inflate + scanline unfiltering,
+  8-bit gray/RGB/RGBA non-interlaced) — true width/height and a mean-
+  pixel feature from actual pixel data.
+- **WAV**: REAL stdlib decoder (the ``wave`` module) — true duration
+  from frame count/rate and an RMS-amplitude feature from PCM samples.
+- everything else (JPEG, MP4, and the synthetic fixture's text-bytes
+  payloads): deterministic fake features from byte stats via
+  ``_decode_stub`` — the honest boundary where no stdlib codec exists.
+  Swap in PIL/ffmpeg there for production.
+
+The Spark-side contract — schema, batch iterator, binary handling,
+partition independence — is identical across tiers and tested; the
+real decoders are verified against stdlib-*written* PNG/WAV fixtures.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,23 +38,104 @@ DECODE_SCHEMA = (
     "duration_ms long, feature_norm double"
 )
 
-_HAS_REAL_CODECS = False
-try:  # pragma: no cover - not present in this container
-    import PIL.Image  # noqa: F401
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # 8-bit gray / RGB / RGBA
 
-    _HAS_REAL_CODECS = True
-except Exception:
-    _HAS_REAL_CODECS = False
+
+def _decode_png(payload: bytes) -> dict:
+    """Minimal real PNG decode: IHDR dims + mean pixel over unfiltered rows.
+
+    Supports the common web subset (bit depth 8, color type 0/2/6, no
+    interlace); anything else raises ValueError and the caller reports
+    the row as undecodable rather than faking features for real bytes.
+    """
+    pos, ihdr, idat = len(_PNG_MAGIC), None, []
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    width, height, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG variant (depth={depth} color={color})")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data does not match declared dimensions")
+    prev = bytearray(stride)
+    total = 0
+    for r in range(height):
+        line = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
+        ftype, cur = line[0], bytearray(line[1:])
+        for i in range(stride):
+            a = cur[i - ch] if i >= ch else 0  # left
+            b = prev[i]  # up
+            c = prev[i - ch] if i >= ch else 0  # up-left
+            if ftype == 1:
+                cur[i] = (cur[i] + a) & 0xFF
+            elif ftype == 2:
+                cur[i] = (cur[i] + b) & 0xFF
+            elif ftype == 3:
+                cur[i] = (cur[i] + (a + b) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+            elif ftype != 0:
+                raise ValueError(f"unknown PNG filter {ftype}")
+        total += sum(cur)
+        prev = cur
+    mean_pixel = total / (height * stride) if height * stride else 0.0
+    return {
+        "n_bytes": len(payload),
+        "width": width,
+        "height": height,
+        "duration_ms": None,
+        "feature_norm": round(mean_pixel / 255.0, 4),
+    }
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """Real WAV decode via the stdlib wave module: duration from the frame
+    count/rate, RMS amplitude of the 16-bit PCM samples as the feature."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        n_frames, rate, width = w.getnframes(), w.getframerate(), w.getsampwidth()
+        frames = w.readframes(n_frames)
+    duration_ms = int(n_frames * 1000 / rate) if rate else 0
+    rms = 0.0
+    if width == 2 and frames:
+        samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+        rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 / 32768.0
+    return {
+        "n_bytes": len(payload),
+        "width": None,
+        "height": None,
+        "duration_ms": duration_ms,
+        "feature_norm": round(rms, 4),
+    }
 
 
 def _decode_stub(payload: bytes, media_type: str) -> dict:
-    """Deterministic fake decode: dimensions/duration derived from byte stats.
-
-    Production implementation would dispatch on media_type to a real
-    codec; raising NotImplementedError there keeps the boundary honest.
-    """
-    if _HAS_REAL_CODECS:
-        raise NotImplementedError("real codec path not wired in this environment")
+    """Decode dispatch: real stdlib codecs when the payload's magic bytes
+    identify a format we can truly decode, deterministic byte-stat fakes
+    otherwise (the synthetic fixture's payloads are text bytes and land
+    here, keeping the declared oracle query byte-stable)."""
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(bytes(payload))
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(bytes(payload))
     n = len(payload)
     checksum = sum(payload[:64]) if n else 0
     return {

@@ -734,7 +734,7 @@ def q26_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q27_salted_agg",
     """
     SELECT l_returnflag AS returnflag,
-           round(sum(l_extendedprice), 4) AS total_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_price,
            count(*) AS n_items,
            round(sum(l_quantity) / count(l_quantity), 4) AS avg_qty,
            round(max(l_discount), 4) AS max_disc
@@ -745,15 +745,27 @@ def q27_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation over an EXTREMELY skewed key (l_returnflag has 3 values —
     a naive shuffle lands a third of 100 TB on one reducer). salted_agg
     splits each key into uniform sub-keys, merges partials; results equal
-    the plain GROUP BY (oracle-checked)."""
+    the plain GROUP BY (oracle-checked).
+
+    The money sum goes through DECIMAL(18,4): summing 200k doubles
+    accumulates ~0.2 absolute order-dependent drift at sf0.1 — enough to
+    survive round(,4) and flip the hash compare between engines (and
+    between saltings). The same double casts to the same decimal in both
+    engines, and decimal addition is exact and associative, so the total
+    is bit-stable regardless of partitioning. avg_qty needs none of this:
+    quantities are integer-valued doubles whose sums are exact in
+    float64. Caught by the cross-SF driver_sim run at sf0.1 — the
+    driver's sf0.01 gate never summed enough rows to drift."""
     from audience_finder_pro_spark.operators.skew import salted_agg
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "price_dec", F.col("l_extendedprice").cast("decimal(18,4)")
+    )
     out = salted_agg(
         li,
         ["l_returnflag"],
         {
-            "total_price": ("l_extendedprice", "sum"),
+            "total_price": ("price_dec", "sum"),
             "n_items": ("*", "count"),
             "avg_qty": ("l_quantity", "avg"),
             "max_disc": ("l_discount", "max"),
@@ -762,7 +774,7 @@ def q27_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         F.col("l_returnflag").alias("returnflag"),
-        F.round("total_price", 4).alias("total_price"),
+        F.round(F.col("total_price").cast("double"), 4).alias("total_price"),
         F.col("n_items"),
         F.round("avg_qty", 4).alias("avg_qty"),
         F.round("max_disc", 4).alias("max_disc"),
