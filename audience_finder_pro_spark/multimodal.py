@@ -42,8 +42,8 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # 8-bit gray / RGB / RGBA
 
 
-def _decode_png(payload: bytes) -> dict:
-    """Minimal real PNG decode: IHDR dims + mean pixel over unfiltered rows.
+def _png_pixels(payload: bytes) -> tuple[int, int, int, int, bytearray]:
+    """Real PNG decode → (width, height, channels, color_type, pixels).
 
     Supports the common web subset (bit depth 8, color type 0/2/6, no
     interlace); anything else raises ValueError and the caller reports
@@ -71,7 +71,7 @@ def _decode_png(payload: bytes) -> dict:
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel data does not match declared dimensions")
     prev = bytearray(stride)
-    total = 0
+    pixels = bytearray()
     for r in range(height):
         line = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
         ftype, cur = line[0], bytearray(line[1:])
@@ -92,9 +92,58 @@ def _decode_png(payload: bytes) -> dict:
                 cur[i] = (cur[i] + pred) & 0xFF
             elif ftype != 0:
                 raise ValueError(f"unknown PNG filter {ftype}")
-        total += sum(cur)
+        pixels += cur
         prev = cur
-    mean_pixel = total / (height * stride) if height * stride else 0.0
+    return width, height, ch, color, pixels
+
+
+def _encode_png(width: int, height: int, ch: int, color: int, pixels: bytes) -> bytes:
+    """Minimal PNG encoder (filter 0 scanlines): inverse of _png_pixels."""
+    from binascii import crc32
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    stride = width * ch
+    raw = b"".join(
+        b"\x00" + bytes(pixels[r * stride : (r + 1) * stride]) for r in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Real nearest-neighbor PNG resize: decode → resample → re-encode."""
+    in_w, in_h, ch, color, px = _png_pixels(payload)
+    if not (in_w and in_h):
+        raise ValueError("cannot resize empty PNG")
+    out = bytearray(out_w * out_h * ch)
+    for y in range(out_h):
+        sy = y * in_h // out_h
+        src_row = sy * in_w * ch
+        dst_row = y * out_w * ch
+        for x in range(out_w):
+            sx = x * in_w // out_w
+            s = src_row + sx * ch
+            d = dst_row + x * ch
+            out[d : d + ch] = px[s : s + ch]
+    return _encode_png(out_w, out_h, ch, color, out)
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Feature view over _png_pixels: dims + mean pixel as the feature."""
+    width, height, ch, _color, pixels = _png_pixels(payload)
+    mean_pixel = sum(pixels) / len(pixels) if pixels else 0.0
     return {
         "n_bytes": len(payload),
         "width": width,
@@ -169,12 +218,14 @@ RESIZE_SCHEMA = "doc_id long, media_type string, width int, height int, payload 
 
 
 def resize_images(payload_df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Image-resize plumbing (mapInPandas, one row in → one row out).
+    """Image-resize (mapInPandas, one row in → one row out).
 
-    Stub transform: deterministic byte-stream resample (stride-sampled /
-    zero-padded to width*height bytes) standing in for a real
-    interpolating resize; the contract — binary in/out, fixed target
-    dims, Arrow batches — is the production shape.
+    PNG payloads get a REAL resize: stdlib decode → nearest-neighbor
+    resample → re-encode (output rows carry valid PNGs at the target
+    dims). Non-PNG payloads keep the deterministic byte-stream stub
+    (stride-sampled / zero-padded to width*height bytes) — the honest
+    boundary where no stdlib codec exists. The contract — binary in/out,
+    fixed target dims, Arrow batches — is identical on both paths.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -183,6 +234,9 @@ def resize_images(payload_df: DataFrame, width: int = 224, height: int = 224) ->
             outs = []
             for p in pdf["payload"]:
                 b = bytes(p)
+                if b[:8] == _PNG_MAGIC:
+                    outs.append(_resize_png(b, width, height))
+                    continue
                 if len(b) >= target:
                     step = max(1, len(b) // target)
                     b = b[::step][:target]

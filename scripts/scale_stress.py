@@ -100,12 +100,16 @@ def main() -> None:
             "doc_id", "text", F.lit("src0").alias("source")
         )
         bigdocs.write.mode("overwrite").parquet(f"{td}2/documents.parquet")
+        # noop sink, not count(): count would prune the computed metric
+        # columns from a bare projection (see bench.py docstring)
         t0 = time.time()
-        nq = quality_signals(spark, f"{td}2").count()
+        quality_signals(spark, f"{td}2").write.format("noop").mode("overwrite").save()
         t_q = time.time() - t0
+        nq = quality_signals(spark, f"{td}2").count()
         t0 = time.time()
-        nf = doc_fingerprint(spark, f"{td}2").count()
+        doc_fingerprint(spark, f"{td}2").write.format("noop").mode("overwrite").save()
         t_f = time.time() - t0
+        nf = doc_fingerprint(spark, f"{td}2").count()
         print(
             f"text tier at {factor}x: quality_signals {nq} rows in {t_q:.1f}s | "
             f"doc_fingerprint (winnowing) {nf} rows in {t_f:.1f}s"

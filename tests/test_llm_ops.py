@@ -197,6 +197,53 @@ def test_multimodal_real_codecs_roundtrip(spark):
     assert out[3].width is None and out[3].feature_norm is not None  # stub path
 
 
+def test_multimodal_real_png_resize(spark):
+    """resize_images on a PNG payload must emit a VALID PNG at the target
+    dims whose pixels are a true nearest-neighbor resample (checked by
+    decoding the output with the same stdlib decoder)."""
+    from audience_finder_pro_spark.multimodal import _decode_png, _png_pixels, resize_images
+
+    # 2x2 quadrant image: upscale 2x2 -> 4x4 must replicate each quadrant
+    quads = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    import struct
+    import zlib
+    from binascii import crc32
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = (
+        b"\x00" + bytes(quads[0] + quads[1]) + b"\x00" + bytes(quads[2] + quads[3])
+    )
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(png), "image/png")], "doc_id long, payload binary, media_type string"
+    )
+    out = resize_images(df, width=4, height=4).first()
+    assert (out.width, out.height) == (4, 4)
+    w, h, ch, _color, px = _png_pixels(bytes(out.payload))
+    assert (w, h, ch) == (4, 4, 3)
+    # corners of the 4x4 must be the four quadrant colors
+    def pix(x, y):
+        o = (y * 4 + x) * 3
+        return tuple(px[o : o + 3])
+
+    assert pix(0, 0) == quads[0] and pix(3, 0) == quads[1]
+    assert pix(0, 3) == quads[2] and pix(3, 3) == quads[3]
+    # and the output is a decodable PNG end-to-end
+    assert _decode_png(bytes(out.payload))["width"] == 4
+
+
 def test_png_decoder_unfilters_all_filter_types():
     """The scanline unfilterer must invert Sub/Up/Average/Paeth exactly:
     encode a known gradient with each filter type, decode, compare means."""
