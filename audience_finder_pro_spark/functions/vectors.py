@@ -11,11 +11,18 @@ Two execution strategies, dispatched on vector width:
 - **Arrow-batched numpy** (``pandas_udf``): one vectorized einsum/norm
   per record batch. Pays the Arrow transfer of the vector columns once
   per batch, then scores at memory bandwidth — the 100 TB shape for wide
-  embeddings. Measured crossover (float32, 50k pairs, best-of-2, NOTES.md
-  round-3 table) sits between dim 512 (fold 1.1× faster) and dim 768
-  (arrow 1.1–1.3× faster, gap growing with batch size), hence
-  ``VECTORIZE_MIN_DIM = 640``: every common LLM width ≥768 vectorizes,
-  and the fold keeps the widths where it measurably wins.
+  embeddings. The measured LOCAL crossover moves with machine state:
+  the round-3 sweep put it between 512 and 768; the round-5 clean-box
+  re-measurement (float32, 50k pairs, best-of-3) has the fold winning
+  through 768 (0.67s vs 1.21s) and arrow winning from 1024 (0.62s vs
+  0.79s) — local[32] numbers are dominated by Python-worker warmth, so
+  treat the sweep (scripts/scale_stress.py cosine stage) as a canary,
+  not ground truth. ``VECTORIZE_MIN_DIM = 640`` is kept deliberately:
+  at the cluster design point, long-lived workers and full record
+  batches amortize the Arrow transfer that dominates locally, so the
+  local sweep UNDERSTATES arrow; the penalty when the local fold would
+  have won is a bounded ~2× on a sub-second op, while shipping
+  interpreted per-element lambdas to a 100 TB scoring job is unbounded.
 
 Callers pass ``dim`` when they know it (every ANN operator takes a
 ``dim`` parameter and threads it here); ``dim=None`` keeps the fold.
