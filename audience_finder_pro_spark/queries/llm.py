@@ -739,9 +739,11 @@ def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ONE tokenize + ONE doc-keyed exchange feeds every repetition metric:
     # posexplode the token stream, lead(1)/lead(2) in a single window give
-    # the 2- and 3-grams, and the two aggregation branches below reuse the
-    # same exchange (the 3-scans-of-documents form this replaced tokenized
-    # the corpus three times — at 100 TB the tokenizer is the CPU cost).
+    # the 2- and 3-grams. The stream is then localCheckpoint'd ONCE for its
+    # three aggregation consumers — as separate logical branches each
+    # would re-run the scan+tokenize+window pipeline (at 100 TB the
+    # tokenizer is the CPU cost; this is the same single-materialization
+    # discipline as the pruned shingle index in operators/dedup.py).
     from pyspark.sql import Window
 
     toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "t0"))
@@ -756,13 +758,40 @@ def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t0",
         F.when(F.col("t1").isNotNull(), F.concat_ws(" ", "t0", "t1")).alias("g2"),
         F.when(F.col("t2").isNotNull(), F.concat_ws(" ", "t0", "t1", "t2")).alias("g3"),
+    ).localCheckpoint(eager=True)
+
+    # Distinct counts as two-level aggregates, NOT countDistinct: two
+    # distinct aggs in one groupBy make Catalyst Expand the token stream
+    # 3x through the hash aggregate. Both level-1 groupings and the doc
+    # joins below ride the stream's existing doc_id partitioning (group
+    # keys are supersets of it), so none of this adds an exchange.
+    # mean_word_len via the exact long sum of per-token lengths: doc token
+    # counts keep the sums < 2^53, so it equals avg(length) bit-for-bit.
+    tok_agg = (
+        stream.groupBy("doc_id", "t0")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(F.sum(F.length("t0") * F.col("c")) / F.sum("c"), 4).alias("mean_word_len"),
+            F.count("*").alias("n_distinct"),
+        )
     )
-    tstats = stream.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.round(F.avg(F.length("t0")), 4).alias("mean_word_len"),
-        F.countDistinct("t0").alias("n_distinct"),
-        F.count("g3").alias("total3"),
-        F.countDistinct("g3").alias("dist3"),
+    g3_agg = (
+        stream.filter(F.col("g3").isNotNull())
+        .groupBy("doc_id", "g3")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("total3"), F.count("*").alias("dist3"))
+    )
+    z = F.lit(0).cast("long")
+    tstats = tok_agg.join(g3_agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "n_distinct",
+        F.coalesce("total3", z).alias("total3"),
+        F.coalesce("dist3", z).alias("dist3"),
     )
     g2top = (
         stream.filter(F.col("g2").isNotNull())

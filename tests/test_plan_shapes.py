@@ -111,11 +111,15 @@ def test_mixture_split_is_shuffle_free_pruned_projection(spark, sf_smoke, no_aqe
 
 
 def test_quality_signals_single_tokenize(spark, sf_smoke, no_aqe):
-    """All repetition metrics derive from ONE token stream: exactly one
-    posexplode of the tokenizer output in the plan (the 3-scan form had
-    three), and the PII branch is the only other scan of documents."""
+    """All repetition metrics derive from ONE token stream. Since r5 the
+    stream is localCheckpoint'd at build time (one tokenize+window
+    materialization for its three aggregation consumers), so the final
+    plan must contain NO tokenizer at all — every branch scans the
+    materialized stream RDD instead (the pre-checkpoint form showed one
+    `Generate posexplode` per consuming branch)."""
     plan = _plan(spark, "quality_signals", sf_smoke)
-    assert plan.count("Generate posexplode") == 1, plan[:800]
+    assert plan.count("Generate posexplode") == 0, plan[:800]
+    assert plan.count("Scan ExistingRDD") >= 2, plan[:800]  # branches reuse the stream
 
 
 def test_ann_ivf_probe_declared_query_prunes_buckets(spark, sf_smoke, no_aqe):
