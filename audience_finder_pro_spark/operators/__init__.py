@@ -39,6 +39,10 @@ from audience_finder_pro_spark.operators.sampling import (
     hash_split,
     mixture_sample,
 )
+from audience_finder_pro_spark.operators.packing import (
+    pack_sequences,
+    pack_sequences_tight,
+)
 
 __all__ = [
     "keyword_theta_join",
@@ -66,6 +70,8 @@ __all__ = [
     "hash_bucket",
     "hash_split",
     "mixture_sample",
+    "pack_sequences",
+    "pack_sequences_tight",
     "ivf_build_index",
     "ivf_probe_indexed",
 ]

@@ -614,6 +614,56 @@ def test_mixture_sample_rate_and_independence(spark):
     assert abs(train_frac_all - train_frac_kept) < 0.02
 
 
+def test_pack_sequences_running_sum_invariants(spark):
+    """Running-sum packing: every doc assigned, bins contiguous from 0,
+    bin_pos dense, each bin under budget once its boundary-crossing last
+    doc is removed, and the assignment is identical under a different
+    cluster partitioning (the determinism the greedy form can't give)."""
+    from audience_finder_pro_spark.operators.packing import pack_sequences
+
+    budget = 100
+    rows = [(i, 7 + (i * 37) % 60) for i in range(200)]  # doc_id, n_tokens
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, budget=budget).collect()
+    assert len(out) == 200
+    by_bin: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.bin_id, r.bin_pos)):
+        by_bin.setdefault(r.bin_id, []).append(r)
+    assert sorted(by_bin) == list(range(len(by_bin)))  # contiguous bins
+    for rs in by_bin.values():
+        assert [r.bin_pos for r in rs] == list(range(len(rs)))  # dense pos
+        total = sum(r.n_tokens for r in rs)
+        assert total - rs[-1].n_tokens < budget  # only the last doc crosses
+    # partitioning-independence
+    out2 = pack_sequences(df.repartition(7), budget=budget).collect()
+    assert {(r.doc_id, r.bin_id, r.bin_pos) for r in out2} == {
+        (r.doc_id, r.bin_id, r.bin_pos) for r in out
+    }
+    # scoped packing: bins restart per source
+    df_src = df.withColumn("source", (F.col("doc_id") % 3).cast("string"))
+    scoped = pack_sequences(df_src, budget=budget, partition_by="source").collect()
+    for src in ("0", "1", "2"):
+        assert min(r.bin_id for r in scoped if r.source == src) == 0
+
+
+def test_pack_sequences_tight_hard_cap(spark):
+    """Greedy first-fit: no bin exceeds the budget unless it holds a
+    single over-budget doc; every doc assigned exactly once."""
+    from audience_finder_pro_spark.operators.packing import pack_sequences_tight
+
+    budget = 100
+    rows = [(i, t) for i, t in enumerate([30, 80, 40, 25, 150, 10, 95, 60, 5, 99])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(2)
+    out = pack_sequences_tight(df, budget=budget).collect()
+    assert len(out) == 10 and len({r.doc_id for r in out}) == 10
+    by_bin: dict[int, list] = {}
+    for r in out:
+        by_bin.setdefault(r.bin_id, []).append(r)
+    for rs in by_bin.values():
+        total = sum(r.n_tokens for r in rs)
+        assert total <= budget or (len(rs) == 1 and rs[0].n_tokens > budget)
+
+
 def test_langid_profiles_discriminate(spark):
     """The char-trigram classifier must pick the right language on a
     clearly-in-language snippet for every profiled language (the parquet
