@@ -80,6 +80,42 @@ def main() -> None:
     )
     final.groupBy("split", "sampled").count().orderBy("split", "sampled").show()
 
+    print("== packing tier: fixed token-budget bins ==")
+    from audience_finder_pro_spark.operators.packing import pack_sequences
+
+    packed = pack_sequences(
+        final.filter("sampled").withColumn("n_tokens", F.col("n_tokens")),
+        budget=2048,
+    )
+    packed.groupBy("bin_id").agg(
+        F.count("*").alias("docs"), F.sum("n_tokens").alias("bin_tokens")
+    ).orderBy("bin_id").show(5)
+
+    print("== multimodal tier: real stdlib PNG decode ==")
+    import struct
+    import zlib
+    from binascii import crc32
+
+    from audience_finder_pro_spark.multimodal import decode_features
+
+    def _chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress((b"\x00" + bytes([40, 80, 120] * 8)) * 8))
+        + _chunk(b"IEND", b"")
+    )
+    media = spark.createDataFrame(
+        [(0, bytearray(png), "image/png"), (1, bytearray(b"opaque"), "video/mp4")],
+        "doc_id long, payload binary, media_type string",
+    )
+    decode_features(media).show()
+
     print("demo complete")
 
 
