@@ -1043,6 +1043,47 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- E6 packing
+@_q(
+    "pack_documents",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM t
+    ),
+    b AS (
+      SELECT doc_id, n_tokens, CAST(floor((run - n_tokens) / 512.0) AS BIGINT) AS bin_id FROM r
+    )
+    SELECT doc_id, n_tokens, bin_id,
+           CAST(row_number() OVER (PARTITION BY bin_id ORDER BY doc_id) - 1 AS BIGINT) AS bin_pos
+    FROM b
+    """,
+)
+def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 sequence packing, oracle-checked: token counts per doc, then the
+    deterministic running-sum binning from ``operators/packing.py``
+    (budget 512 — ~9 fixture docs per bin, so both multi-doc bins and
+    boundary crossings occur at every SF). The running sum stays < 2^53,
+    so floor((run-n)/budget) over the double division is exact and
+    bit-identical in both engines."""
+    from audience_finder_pro_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok_counts = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(tok_counts, budget=512, order_by="doc_id")
+    return packed.select(
+        "doc_id", "n_tokens", "bin_id", F.col("bin_pos").cast("long").alias("bin_pos")
+    )
+
+
 # ---------------------------------------------------------------- A10 IVF ANN (no oracle)
 @_q("ann_ivf_topk", None)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -539,65 +539,83 @@ def q19_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- F13 date/time
 @_q(
-    "q20_date_funcs",
+    "q20_date_math_funcs",
     """
-    SELECT EXTRACT(year FROM o_orderdate) AS order_year,
-           EXTRACT(month FROM o_orderdate) AS order_month,
-           count(*) AS n_orders,
-           round(avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))), 4) AS avg_ship_days,
-           strftime(min(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS first_order,
-           strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS last_order
+    SELECT 'date' AS op,
+           CAST(EXTRACT(year FROM o_orderdate) * 100 + EXTRACT(month FROM o_orderdate) AS BIGINT) AS k1,
+           CAST(count(*) AS DOUBLE) AS v1,
+           round(avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))), 4) AS v2,
+           0.0 AS v3, 0.0 AS v4, 0.0 AS v5, 0.0 AS v6, 0.0 AS v7,
+           strftime(min(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS s1,
+           strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS s2
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-    GROUP BY order_year, order_month
-    """,
-)
-def q20_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy(
-            F.year("o_orderdate").cast("long").alias("order_year"),
-            F.month("o_orderdate").cast("long").alias("order_month"),
-        )
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.round(F.avg(F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))), 4).alias(
-                "avg_ship_days"
-            ),
-            F.date_format(F.min(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias("first_order"),
-            F.date_format(F.max(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias("last_order"),
-        )
-    )
-
-
-# ---------------------------------------------------------------- F14 math
-@_q(
-    "q21_math_funcs",
-    """
-    SELECT p_partkey,
-           round(abs(p_retailprice - 1000), 4) AS abs_delta,
-           CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
-           CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
-           round(sqrt(p_retailprice), 4) AS sqrt_price,
-           round(ln(p_retailprice), 4) AS ln_price,
-           round(pow(p_size, 2), 4) AS size_sq,
-           round(exp(p_size / 100.0), 4) AS exp_size
+    GROUP BY EXTRACT(year FROM o_orderdate), EXTRACT(month FROM o_orderdate)
+    UNION ALL
+    SELECT 'math' AS op,
+           p_partkey AS k1,
+           round(abs(p_retailprice - 1000), 4) AS v1,
+           CAST(floor(p_retailprice) AS DOUBLE) AS v2,
+           CAST(ceil(p_retailprice) AS DOUBLE) AS v3,
+           round(sqrt(p_retailprice), 4) AS v4,
+           round(ln(p_retailprice), 4) AS v5,
+           round(pow(p_size, 2), 4) AS v6,
+           round(exp(p_size / 100.0), 4) AS v7,
+           '' AS s1, '' AS s2
     FROM part WHERE p_retailprice > 0
     """,
 )
-def q21_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
-    return part.filter(F.col("p_retailprice") > 0).select(
-        "p_partkey",
-        F.round(F.abs(F.col("p_retailprice") - 1000), 4).alias("abs_delta"),
-        F.floor("p_retailprice").alias("floor_price"),
-        F.ceil("p_retailprice").alias("ceil_price"),
-        F.round(F.sqrt("p_retailprice"), 4).alias("sqrt_price"),
-        F.round(F.log("p_retailprice"), 4).alias("ln_price"),
-        F.round(F.pow("p_size", F.lit(2)), 4).alias("size_sq"),
-        F.round(F.exp(F.col("p_size") / 100.0), 4).alias("exp_size"),
+def q20_date_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 date/time + F14 math function families as ONE tagged union (the
+    q16_intersect_except merge pattern — frees a slot under the driver's
+    50-query verification cap for ``pack_documents`` while keeping both
+    scalar-function families oracle-checked). Date rows fill the unused
+    numeric slots with literal 0.0 and math rows use empty strings, so no
+    null-representation semantics enter the hash compare."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    zero = F.lit(0.0)
+    date_part = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long").alias("k1")
+        )
+        .agg(
+            F.count("*").cast("double").alias("v1"),
+            F.round(
+                F.avg(F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))), 4
+            ).alias("v2"),
+            F.date_format(F.min(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias("s1"),
+            F.date_format(F.max(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias("s2"),
+        )
+        .select(
+            F.lit("date").alias("op"),
+            "k1",
+            "v1",
+            "v2",
+            zero.alias("v3"),
+            zero.alias("v4"),
+            zero.alias("v5"),
+            zero.alias("v6"),
+            zero.alias("v7"),
+            "s1",
+            "s2",
+        )
     )
+    part = load_table(spark, sf_dir, "part")
+    math_part = part.filter(F.col("p_retailprice") > 0).select(
+        F.lit("math").alias("op"),
+        F.col("p_partkey").alias("k1"),
+        F.round(F.abs(F.col("p_retailprice") - 1000), 4).alias("v1"),
+        F.floor("p_retailprice").cast("double").alias("v2"),
+        F.ceil("p_retailprice").cast("double").alias("v3"),
+        F.round(F.sqrt("p_retailprice"), 4).alias("v4"),
+        F.round(F.log("p_retailprice"), 4).alias("v5"),
+        F.round(F.pow("p_size", F.lit(2)), 4).alias("v6"),
+        F.round(F.exp(F.col("p_size") / 100.0), 4).alias("v7"),
+        F.lit("").alias("s1"),
+        F.lit("").alias("s2"),
+    )
+    return date_part.unionByName(math_part)
 
 
 # ---------------------------------------------------------------- F1-F11 strings
