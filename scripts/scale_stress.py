@@ -198,6 +198,32 @@ def main() -> None:
         f"{n_comp} components in {t_cc:.1f}s (skewed propagate key absorbed)"
     )
 
+    # Sequence packing at scale: partition-scoped running-sum binning (the
+    # global-window form would serialize on one task — the per-source
+    # scope is the 100 TB shape). Invariant spot-check: every bin under
+    # budget once its boundary-crossing last doc is removed.
+    from audience_finder_pro_spark.operators.packing import pack_sequences
+
+    n_pack = 2_000_000 * factor // 50
+    pack_docs = spark.range(n_pack).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 200).cast("string").alias("source"),
+        (7 + F.pmod(F.col("id") * 37, F.lit(60))).alias("n_tokens"),
+    )
+    t0 = time.time()
+    packed = pack_sequences(pack_docs, budget=2048, partition_by="source")
+    stats = packed.groupBy("source", "bin_id").agg(
+        F.sum("n_tokens").alias("fill"), F.max("n_tokens").alias("last_max")
+    )
+    n_bins = stats.count()
+    overflow = stats.filter(F.col("fill") - F.col("last_max") >= 2048).count()
+    t_pack = time.time() - t0
+    assert overflow == 0, f"{overflow} bins over budget beyond the crossing doc"
+    print(
+        f"packing stress: {n_pack} docs -> {n_bins} bins (budget 2048, 200 sources) "
+        f"in {t_pack:.1f}s, overflow invariant holds"
+    )
+
     # Cosine dispatch crossover: expression fold vs Arrow-batched numpy at
     # increasing vector widths (functions/vectors.py VECTORIZE_MIN_DIM).
     from audience_finder_pro_spark.functions.vectors import _cosine_arrow, dot, l2_norm
