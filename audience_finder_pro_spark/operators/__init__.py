@@ -43,6 +43,11 @@ from audience_finder_pro_spark.operators.packing import (
     pack_sequences,
     pack_sequences_tight,
 )
+from audience_finder_pro_spark.operators.decontaminate import (
+    exact_decontaminate,
+    ngram_contamination,
+    ngram_decontaminate,
+)
 
 __all__ = [
     "keyword_theta_join",
@@ -72,6 +77,9 @@ __all__ = [
     "mixture_sample",
     "pack_sequences",
     "pack_sequences_tight",
+    "exact_decontaminate",
+    "ngram_contamination",
+    "ngram_decontaminate",
     "ivf_build_index",
     "ivf_probe_indexed",
 ]

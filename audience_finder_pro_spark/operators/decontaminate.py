@@ -1,0 +1,100 @@
+"""Benchmark decontamination — drop training docs that leak eval data.
+
+Standard practice before pretraining: remove documents that contain
+benchmark/eval text, exactly (copied question strings) or nearly
+(reformatted copies). Both forms compose the engine's existing dedup
+machinery across TWO frames instead of within one:
+
+- ``exact_decontaminate``: anti-join on the normalized-text fingerprint
+  (``norm_text_hash`` — the exact_dedup key). The benchmark side is
+  tiny relative to a 100 TB corpus, so the join broadcasts; the corpus
+  is never shuffled.
+- ``ngram_decontaminate``: the n-gram overlap rule (13-gram word
+  shingles are the published convention): a training doc is contaminated
+  when ≥ ``min_hits`` of its shingles appear anywhere in the benchmark.
+  Benchmark shingles are hashed (xxhash64, the MinHash trick — longs
+  join faster than strings and the benchmark shingle set is collected
+  nowhere) and deduplicated, then the corpus shingle stream semi-joins
+  against them. Scale shape: the benchmark shingle table is small →
+  broadcast join against the corpus stream; one groupBy(doc) counts
+  hits; the only wide exchange is doc-keyed.
+
+Returns are corpus-shaped (full rows), so both steps drop into a
+curation pipeline between dedup and the quality gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from audience_finder_pro_spark.functions.text import norm_text_hash, shingle_stream
+
+
+def exact_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    benchmark_text_col: str | None = None,
+) -> DataFrame:
+    """Training rows whose normalized text does NOT appear in the benchmark."""
+    bcol = benchmark_text_col or text_col
+    bench_hashes = benchmark.select(norm_text_hash(bcol).alias("_bh")).distinct()
+    return train.join(
+        F.broadcast(bench_hashes),
+        norm_text_hash(text_col) == F.col("_bh"),
+        "left_anti",
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark_text_col: str | None = None,
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """(id, n_contaminated_shingles) for every training doc with ≥min_hits
+    distinct n-gram shingles present in the benchmark. Docs shorter than
+    ``n`` tokens produce no shingles and cannot be flagged (matching the
+    published n-gram rule's behavior on short docs)."""
+    bcol = benchmark_text_col or text_col
+    bench_sh = (
+        shingle_stream(
+            benchmark.select(F.lit(0).alias("_bid"), F.col(bcol)), "_bid", bcol, n
+        )
+        .select(F.xxhash64("shingle").alias("_h"))
+        .distinct()
+    )
+    train_sh = shingle_stream(train, id_col, text_col, n).select(
+        id_col, F.xxhash64("shingle").alias("_h")
+    ).distinct()
+    hits = (
+        train_sh.join(F.broadcast(bench_sh), "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_shingles"))
+        .filter(F.col("n_contaminated_shingles") >= min_hits)
+    )
+    return hits
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark_text_col: str | None = None,
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Training rows NOT flagged by ``ngram_contamination`` (anti-join on id).
+
+    No broadcast hint on the flagged set: its size is data-dependent
+    (usually tiny, but a heavily contaminated corpus is exactly when it
+    isn't) — AQE picks broadcast when it fits."""
+    flagged = ngram_contamination(
+        train, benchmark, id_col, text_col, benchmark_text_col, n, min_hits
+    ).select(id_col)
+    return train.join(flagged, id_col, "left_anti")

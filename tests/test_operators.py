@@ -664,6 +664,37 @@ def test_pack_sequences_tight_hard_cap(spark):
         assert total <= budget or (len(rs) == 1 and rs[0].n_tokens > budget)
 
 
+def test_decontamination_exact_and_ngram(spark):
+    """Planted contamination: a verbatim benchmark copy is caught by the
+    exact pass; a reformatted copy (prefix added, whitespace mangled —
+    different hash, shared 13-gram runs) only by the n-gram pass; clean
+    docs survive both. Short docs (< n tokens) are never flagged."""
+    from audience_finder_pro_spark.operators.decontaminate import (
+        exact_decontaminate,
+        ngram_contamination,
+        ngram_decontaminate,
+    )
+
+    bench_text = " ".join(f"benchword{i}" for i in range(30))
+    train_rows = [
+        (1, bench_text),  # verbatim copy
+        (2, "  " + bench_text.upper() + "  extra tail"),  # reformatted copy
+        (3, " ".join(f"cleanword{i}" for i in range(30))),  # clean
+        (4, "too short"),  # < n tokens, unflaggable
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+
+    exact = exact_decontaminate(train, bench)
+    assert {r.doc_id for r in exact.collect()} == {2, 3, 4}  # upper() changes hash
+
+    flagged = {r.doc_id for r in ngram_contamination(train, bench, n=13).collect()}
+    assert flagged == {1, 2}  # tokenizer lowercases, so the reformat is caught
+
+    kept = {r.doc_id for r in ngram_decontaminate(train, bench, n=13).collect()}
+    assert kept == {3, 4}
+
+
 def test_langid_profiles_discriminate(spark):
     """The char-trigram classifier must pick the right language on a
     clearly-in-language snippet for every profiled language (the parquet
