@@ -176,15 +176,37 @@ def _decode_wav(payload: bytes) -> dict:
     }
 
 
+def _undecodable(payload: bytes) -> dict:
+    """Null features for a corrupt payload of a known media format."""
+    return {
+        "n_bytes": len(payload),
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+        "feature_norm": None,
+    }
+
+
 def _decode_stub(payload: bytes, media_type: str) -> dict:
     """Decode dispatch: real stdlib codecs when the payload's magic bytes
     identify a format we can truly decode, deterministic byte-stat fakes
     otherwise (the synthetic fixture's payloads are text bytes and land
-    here, keeping the declared oracle query byte-stable)."""
+    here, keeping the declared oracle query byte-stable).
+
+    A payload that CLAIMS a decodable format but is corrupt/truncated
+    yields all-null features (n_bytes only) instead of either crashing
+    the task — one bad blob must not kill a 100 TB job — or faking
+    features for real media. Callers quarantine on the null columns."""
     if payload[:8] == _PNG_MAGIC:
-        return _decode_png(bytes(payload))
+        try:
+            return _decode_png(bytes(payload))
+        except Exception:
+            return _undecodable(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return _decode_wav(bytes(payload))
+        try:
+            return _decode_wav(bytes(payload))
+        except Exception:
+            return _undecodable(payload)
     n = len(payload)
     checksum = sum(payload[:64]) if n else 0
     return {

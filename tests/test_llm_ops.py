@@ -197,6 +197,24 @@ def test_multimodal_real_codecs_roundtrip(spark):
     assert out[3].width is None and out[3].feature_norm is not None  # stub path
 
 
+def test_multimodal_corrupt_media_yields_null_features(spark):
+    """A payload with real media magic but corrupt bytes must neither kill
+    the task nor fake features: all-null features, n_bytes preserved."""
+    from audience_finder_pro_spark.multimodal import decode_features
+
+    bad_png = b"\x89PNG\r\n\x1a\n" + b"\x00\x01garbage-truncated"
+    bad_wav = b"RIFF\x00\x00\x00\x00WAVEgarbage"
+    df = spark.createDataFrame(
+        [(1, bytearray(bad_png), "image/png"), (2, bytearray(bad_wav), "audio/wav")],
+        "doc_id long, payload binary, media_type string",
+    )
+    out = {r.doc_id: r for r in decode_features(df).collect()}
+    for r in out.values():
+        assert r.width is None and r.height is None
+        assert r.duration_ms is None and r.feature_norm is None
+        assert r.n_bytes > 0
+
+
 def test_multimodal_real_png_resize(spark):
     """resize_images on a PNG payload must emit a VALID PNG at the target
     dims whose pixels are a true nearest-neighbor resample (checked by
