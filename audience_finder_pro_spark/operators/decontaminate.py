@@ -68,13 +68,18 @@ def ngram_contamination(
         .select(F.xxhash64("shingle").alias("_h"))
         .distinct()
     )
+    # Semi-join BEFORE any dedup: the broadcast filter shrinks the corpus
+    # shingle stream to contaminated hits only (usually ~zero), so the
+    # distinct count pays its exchange on the flagged remnant, never on
+    # the full corpus stream (count_distinct dedups repeated shingles
+    # within a doc — min_hits counts DISTINCT leaked n-grams).
     train_sh = shingle_stream(train, id_col, text_col, n).select(
         id_col, F.xxhash64("shingle").alias("_h")
-    ).distinct()
+    )
     hits = (
         train_sh.join(F.broadcast(bench_sh), "_h", "left_semi")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated_shingles"))
+        .agg(F.count_distinct("_h").alias("n_contaminated_shingles"))
         .filter(F.col("n_contaminated_shingles") >= min_hits)
     )
     return hits

@@ -77,14 +77,20 @@ def pack_sequences_tight(
     token_col: str = "n_tokens",
     budget: int = 2048,
     id_col: str = "doc_id",
+    open_bins: int = 64,
 ) -> DataFrame:
-    """Per-partition greedy first-fit packing (mapInPandas).
+    """Per-partition greedy first-fit packing (mapInPandas), bounded lookback.
 
     Hard cap: no bin exceeds ``budget`` unless a single doc alone does
-    (such docs get a singleton bin). Bin ids embed the Spark partition id
-    (``pid * 2**40 + local``), so they are unique but only stable for a
-    fixed partitioning — prefer ``pack_sequences`` when bin assignment
-    must be reproducible across cluster layouts.
+    (such docs get a singleton bin). Only the ``open_bins`` most recent
+    bins stay open for first-fit — unbounded first-fit scans EVERY bin
+    ever opened per doc (quadratic per partition, since near-full bins
+    never close); the bounded window keeps the packer O(n·open_bins)
+    with state O(open_bins), at a fill-rate cost that vanishes when docs
+    ≪ budget. Bin ids embed the Spark partition id (``pid·2^40 +
+    local``), so they are unique but only stable for a fixed
+    partitioning — prefer ``pack_sequences`` when bin assignment must be
+    reproducible across cluster layouts.
     """
 
     from pyspark.sql.types import LongType, StructField, StructType
@@ -101,21 +107,26 @@ def pack_sequences_tight(
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         base = pid << 40
-        bins: list[int] = []  # current fill per open bin (first-fit)
+        n_bins = 0  # total bins ever opened in this partition
+        bins: list[tuple[int, int]] = []  # (bin_index, fill) — open window only
         for pdf in batches:
             bin_ids, fills = [], []
             for t in pdf[token_col].astype("int64"):
                 placed = None
-                for i, fill in enumerate(bins):
+                for i, (idx, fill) in enumerate(bins):
                     if fill + t <= budget:
+                        bins[i] = (idx, fill + t)
                         placed = i
-                        bins[i] += t
                         break
                 if placed is None:
-                    bins.append(int(t))
+                    bins.append((n_bins, int(t)))
+                    n_bins += 1
                     placed = len(bins) - 1
-                bin_ids.append(base + placed)
-                fills.append(bins[placed])
+                    if len(bins) > open_bins:
+                        bins.pop(0)  # close the oldest bin
+                        placed -= 1
+                bin_ids.append(base + bins[placed][0])
+                fills.append(bins[placed][1])
             out = pdf.copy()
             out["bin_id"] = bin_ids
             out["bin_fill"] = fills
