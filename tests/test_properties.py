@@ -134,3 +134,38 @@ def test_connected_components_matches_union_find(spark, edge_list):
         for r in connected_components(edges, driver_max_edges=0).collect()
     }
     assert got_iter == expect
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=250), min_size=1, max_size=40),
+    st.sampled_from([64, 100]),
+)
+def test_pack_sequences_properties(spark, token_counts, budget):
+    """Running-sum packing on arbitrary doc lengths (including over-budget
+    docs, where bin ids legitimately skip): every doc assigned exactly
+    once; bins preserve the order key; within a bin, the sum minus the
+    boundary-crossing last doc stays under budget; and the whole
+    assignment is invariant to cluster partitioning."""
+    from audience_finder_pro_spark.operators.packing import pack_sequences
+
+    rows = [(i, t) for i, t in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = sorted(
+        pack_sequences(df, budget=budget).collect(), key=lambda r: r.doc_id
+    )
+    assert [r.doc_id for r in out] == list(range(len(token_counts)))
+    by_bin: dict[int, list] = {}
+    for r in out:
+        by_bin.setdefault(r.bin_id, []).append(r)
+    for rs in by_bin.values():
+        assert [r.bin_pos for r in rs] == list(range(len(rs)))  # order-dense
+        total = sum(r.n_tokens for r in rs)
+        assert total - rs[-1].n_tokens < budget
+    out2 = sorted(
+        pack_sequences(df.repartition(5), budget=budget).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [(r.bin_id, r.bin_pos) for r in out2] == [
+        (r.bin_id, r.bin_pos) for r in out
+    ]
