@@ -8,17 +8,28 @@ corpus can't thread one bin state through every document. Two
 Spark-first strategies:
 
 - ``pack_sequences``: DETERMINISTIC running-sum binning. Order docs by
-  an explicit key (any deterministic column — curation score, doc id,
-  dedup-cluster representative order), take the running token total per
-  source partition, and assign ``bin_id = floor((cumsum - n_tokens) /
-  budget)`` — i.e. a document starts a new bin when the running total
-  crosses the budget boundary. One window over the ordering key; no
-  driver state, no UDF, reproducible on any cluster. Bins can OVERFLOW
-  the budget by at most one document's tokens (the crossing doc lands in
+  an explicit UNIQUE key (doc id, or (curation score, doc id) — ties in
+  the order key would make the running sum partitioning-dependent), take
+  the running token total, and assign ``bin_id = floor((cumsum -
+  n_tokens) / budget)`` — i.e. a document starts a new bin when the
+  running total crosses the budget boundary. Bins can OVERFLOW the
+  budget by at most one document's tokens (the crossing doc lands in
   the bin it started in — callers that need hard caps truncate the
   crossing doc downstream, which is what training tokenizers do anyway).
-  This is the shuffle-minimal shape: the window's one exchange on the
-  partition key is the entire cost.
+
+  The running sum is computed as a DISTRIBUTED two-pass prefix sum, not
+  a global window (``Window.partitionBy()`` moves the entire frame into
+  ONE task — the canonical 100 TB anti-pattern): (1) range-partition by
+  the order key and take per-Spark-partition token totals (a map-side
+  combined aggregate — one row per partition crosses the wire), (2)
+  cumulate the totals on the driver (n_partitions scalars — bounded
+  model state) and broadcast each partition's starting offset back into
+  a NARROW mapInPandas that adds ``offset + local cumsum``. Token
+  counts are integers, so partial sums are exact and associative — the
+  result is bit-identical to the sequential ROWS-frame running sum for
+  any partitioning. ``bin_pos`` is a row_number window over ``bin_id``:
+  high-cardinality (≈ total_tokens/budget keys, ~budget/mean_doc rows
+  each), the normal hash-window shape, not a scale risk.
 
 - ``pack_sequences_tight``: per-Spark-partition greedy first-fit via
   mapInPandas for callers that want less overflow slack at the cost of
@@ -41,34 +52,98 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _order_cols(order_by) -> list[Column]:
+    if not isinstance(order_by, (list, tuple)):
+        order_by = [order_by]
+    return [F.col(c) if isinstance(c, str) else c for c in order_by]
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str = "n_tokens",
     budget: int = 2048,
-    order_by: Column | str = "doc_id",
+    order_by: Column | str | list = "doc_id",
     partition_by: str | None = None,
 ) -> DataFrame:
     """Assign each doc a ``bin_id`` (and ``bin_pos``) by running-sum binning.
 
-    ``partition_by`` scopes bins (e.g. per source) and bounds the window
-    state; None packs the whole frame in one ordered stream (fine at test
-    SF, pass a partition column at scale). Deterministic: same data +
-    same order key → same bins, independent of cluster partitioning.
+    ``order_by`` must be a UNIQUE key (or list of columns that is unique
+    together — e.g. ``["score", "doc_id"]``): the running sum uses ROWS
+    semantics, so tied order values would make bin assignment depend on
+    tie order. ``partition_by`` scopes bins (e.g. per source) through a
+    per-key ROWS-frame window — the right shape when key cardinality is
+    high; None packs the whole frame in one global ordered stream via the
+    distributed two-pass prefix sum (per-partition totals → driver
+    cumulation, n_partitions scalars only → narrow offset+cumsum — see
+    module docstring; no single-partition window anywhere in the plan).
+    Deterministic either way: same data + same order key → same bins,
+    independent of cluster partitioning (integer token sums are exact
+    and associative).
     """
-    order = [F.col(order_by) if isinstance(order_by, str) else order_by]
-    w = (
-        Window.partitionBy(partition_by).orderBy(*order)
-        if partition_by
-        else Window.partitionBy().orderBy(*order)
+    order = _order_cols(order_by)
+    if partition_by:
+        w = (
+            Window.partitionBy(partition_by)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        run = F.sum(F.col(token_col)).over(w)
+        out = df.withColumn("bin_id", F.floor((run - F.col(token_col)) / F.lit(budget)))
+        wb = Window.partitionBy(partition_by, "bin_id").orderBy(*order)
+        return out.withColumn("bin_pos", F.row_number().over(wb) - 1)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # One materialization pins the range-exchange boundaries (the range
+    # partitioner samples, so re-execution could cut partitions elsewhere
+    # and desynchronize the two passes); blocks are freed by the
+    # ContextCleaner when the result is dropped (see caching.py).
+    sorted_df = (
+        df.repartitionByRange(*order).sortWithinPartitions(*order).localCheckpoint(eager=True)
     )
-    run = F.sum(F.col(token_col)).over(w)
-    bin_id = F.floor((run - F.col(token_col)) / F.lit(budget))
-    out = df.withColumn("bin_id", bin_id)
-    wb = (
-        Window.partitionBy(partition_by, "bin_id").orderBy(*order)
-        if partition_by
-        else Window.partitionBy("bin_id").orderBy(*order)
+    # pass 1: per-partition token totals — map-side combined, one row per
+    # partition crosses the wire; the collect is n_partitions scalars
+    # (bounded model state, not a data-path collect)
+    totals = (
+        sorted_df.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.sum(F.col(token_col).cast("long")).alias("_tot"))
+        .collect()
     )
+    by_pid = {r["_pid"]: r["_tot"] for r in totals}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += int(by_pid[pid])
+
+    # NOT df.schema.add(...): .add mutates the cached schema in place
+    schema = StructType(list(sorted_df.schema.fields) + [StructField("_run", LongType())])
+    tok = token_col
+
+    # pass 2: narrow — partition-local cumsum + broadcast starting offset.
+    # Partitions are stored sorted (sortWithinPartitions materialized by
+    # the checkpoint) and batches iterate in storage order, so carrying
+    # the running total across batches preserves ROWS-frame semantics.
+    def add_running(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        carry = offsets.get(ctx.partitionId() if ctx else 0, 0)
+        for pdf in batches:
+            out = pdf.copy()
+            cs = pdf[tok].astype("int64").cumsum() + carry
+            out["_run"] = cs
+            if len(cs):
+                carry = int(cs.iloc[-1])
+            yield out
+
+    ran = sorted_df.mapInPandas(add_running, schema=schema)
+    out = ran.withColumn(
+        "bin_id", F.floor((F.col("_run") - F.col(token_col)) / F.lit(budget))
+    ).drop("_run")
+    # bin_pos: hash window over the high-cardinality bin_id — the normal
+    # parallel window shape (~budget/mean_doc_tokens rows per key)
+    wb = Window.partitionBy("bin_id").orderBy(*order)
     return out.withColumn("bin_pos", F.row_number().over(wb) - 1)
 
 

@@ -2,10 +2,11 @@
 
 - brute_force_topk: query set × corpus crossJoin with the (small) query
   side broadcast, cosine as pure zip_with/aggregate expressions, top-k
-  per query via window rank. At 100 TB of embeddings this is a single
-  narrow pass over the corpus — no corpus shuffle; the only shuffle is
-  the per-query top-k (tiny: ≤ n_queries × candidates rows after a
-  per-partition pre-prune would be the next optimization).
+  per query via window rank — which Catalyst rewrites into a two-stage
+  top-k (map-side WindowGroupLimit(Partial) BEFORE the exchange; see
+  ``_exact_topk``). At 100 TB of embeddings this is a single narrow
+  pass over the corpus — no corpus shuffle; the only exchange carries
+  ≤ n_partitions × n_queries × k rows.
 - lsh_bucketed_topk: random-hyperplane (sign) LSH — deterministic
   hyperplanes precomputed at plan-build time (sha256 parity); all
   table buckets computed in one Arrow-batched matmul per record batch.
@@ -56,6 +57,36 @@ def _pair_cosine(qvec: Column, cvec: Column, qn: str, cn: str, dim: int | None) 
     return dot(qvec, cvec) / (F.col(qn) * F.col(cn))
 
 
+def _exact_topk(
+    scored: DataFrame, k: int, query_id_col: str, id_col: str, sim_col: str = "cosine_sim"
+) -> DataFrame:
+    """Shared exact per-query top-k rerank (window rank + filter).
+
+    Scale adjudication — this LOOKS like a full shuffle of the scored
+    set onto n_queries reducer keys (maximal skew by construction), but
+    the row_number()-over-window-then-filter(<= k) shape triggers
+    Spark's ``InferWindowGroupLimit`` rewrite (Spark ≥3.5, on whenever
+    k < spark.sql.optimizer.windowGroupLimitThreshold = 1000): a
+    map-side ``WindowGroupLimit(Partial)`` keeps only the k best rows
+    per query PER INPUT PARTITION before the exchange, so the shuffle
+    carries ≤ n_partitions × n_queries × k rows, never the full scored
+    volume. A hand-rolled mapInPandas pre-prune was tried and REVERTED
+    (r6): it duplicates the JVM rewrite through an Arrow→Python round
+    trip of the full scored set, and — being a partitioning-info
+    barrier — it forced an extra exchange in ``ivf_probe_indexed``,
+    whose broadcast probe join otherwise hands the window an input
+    already hash-partitioned by query_id. The two-stage shape is
+    plan-asserted in tests/test_plan_shapes.py and pinned per query by
+    the ``window_group_limit`` fingerprint counter.
+    """
+    w = Window.partitionBy(query_id_col).orderBy(F.col(sim_col).desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, F.round(sim_col, 4).alias(sim_col), "rnk")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -69,7 +100,11 @@ def brute_force_topk(
     """Exact cosine top-k per query vector. Query side must be small (broadcast).
 
     ``dim``, when known, routes scoring through the width-dispatched
-    cosine (Arrow matmul at ≥VECTORIZE_MIN_DIM — see functions/vectors.py)."""
+    cosine (Arrow matmul at ≥VECTORIZE_MIN_DIM — see functions/vectors.py).
+    The scan is a single narrow pass over the corpus (query side
+    broadcast); the per-query top-k is map-side pre-pruned by the
+    WindowGroupLimit rewrite (see ``_exact_topk``), so no operator ever
+    shuffles the full scored set."""
     paired = _with_norm(corpus, vec_col, "_cn", dim).crossJoin(
         F.broadcast(_with_norm(queries, query_vec_col, "_qn", dim))
     )
@@ -78,12 +113,7 @@ def brute_force_topk(
         F.col(id_col),
         _pair_cosine(F.col(query_vec_col), F.col(vec_col), "_qn", "_cn", dim).alias("cosine_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(query_id_col, id_col, F.round("cosine_sim", 4).alias("cosine_sim"), "rnk")
-    )
+    return _exact_topk(scored, k, query_id_col, id_col)
 
 
 @lru_cache(maxsize=None)
@@ -206,12 +236,7 @@ def lsh_bucketed_topk(
         F.col(id_col),
         _pair_cosine(F.col(query_vec_col), F.col(vec_col), "_qn", "_cn", dim).alias("cosine_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(query_id_col, id_col, F.round("cosine_sim", 4).alias("cosine_sim"), "rnk")
-    )
+    return _exact_topk(scored, k, query_id_col, id_col)
 
 
 def cosine_neardup_pairs(
@@ -351,12 +376,7 @@ def ivf_topk(
         F.col(id_col),
         _pair_cosine(F.col(query_vec_col), F.col(vec_col), "_qn", "_cn", dim).alias("cosine_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(query_id_col, id_col, F.round("cosine_sim", 4).alias("cosine_sim"), "rnk")
-    )
+    return _exact_topk(scored, k, query_id_col, id_col)
 
 
 def ivf_build_index(
@@ -442,9 +462,4 @@ def ivf_probe_indexed(
         F.col(id_col),
         _pair_cosine(F.col(query_vec_col), F.col(vec_col), "_qn", "_cn", dim).alias("cosine_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(query_id_col, id_col, F.round("cosine_sim", 4).alias("cosine_sim"), "rnk")
-    )
+    return _exact_topk(scored, k, query_id_col, id_col)

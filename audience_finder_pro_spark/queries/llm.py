@@ -1069,9 +1069,11 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6 sequence packing, oracle-checked: token counts per doc, then the
     deterministic running-sum binning from ``operators/packing.py``
     (budget 512 — ~9 fixture docs per bin, so both multi-doc bins and
-    boundary crossings occur at every SF). The running sum stays < 2^53,
-    so floor((run-n)/budget) over the double division is exact and
-    bit-identical in both engines."""
+    boundary crossings occur at every SF). The global stream runs as the
+    distributed two-pass prefix sum (no single-partition window; exact
+    integer partial sums), bit-identical to the oracle's sequential
+    ROWS-frame running sum. floor((run-n)/budget) over the double
+    division is exact below 2^53, identical in both engines."""
     from audience_finder_pro_spark.operators.packing import pack_sequences
 
     docs = load_table(spark, sf_dir, "documents")

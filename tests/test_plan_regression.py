@@ -44,6 +44,13 @@ FEATURES = {
     "row_python": r"BatchEvalPython(?!UDTF)",
     "python_udtf": r"BatchEvalPythonUDTF",
     "selected_buckets": r"SelectedBucketsCount",
+    # map-side partial top-k (InferWindowGroupLimit): the rewrite that
+    # keeps rank-filter windows from shuffling their full input — losing
+    # one silently would reintroduce the n_queries×corpus shuffle
+    "window_group_limit_partial": r"WindowGroupLimit .*Partial",
+    # a window whose input collapses to one task — the canonical scale
+    # anti-pattern; any query where this count RISES needs adjudication
+    "single_partition_exchange": r"Exchange SinglePartition",
 }
 
 

@@ -129,3 +129,34 @@ def test_ann_ivf_probe_declared_query_prunes_buckets(spark, sf_smoke, no_aqe):
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m, "bucketed scan must report bucket pruning"
     assert int(m.group(1)) < int(m.group(2)) == 32
+
+
+def test_ann_topk_window_is_two_stage(spark, sf_smoke, no_aqe):
+    """The exact top-k rerank must keep Spark's InferWindowGroupLimit
+    two-stage shape: a map-side WindowGroupLimit(Partial) BEFORE the
+    exchange prunes each input partition to k rows per query, so the
+    shuffle carries ≤ n_partitions × n_queries × k rows — never the full
+    n_queries × corpus scored set (op/similarity._exact_topk)."""
+    plan = _plan(spark, "ann_cosine_topk", sf_smoke)
+    assert re.search(r"WindowGroupLimit .*row_number.*Partial", plan), plan[:1200]
+    assert re.search(r"WindowGroupLimit .*row_number.*Final", plan)
+
+
+def test_ann_ivf_probe_window_reuses_join_partitioning(spark, sf_smoke, no_aqe):
+    """The probe's broadcast join preserves hashpartitioning(query_id)
+    from the probe-selection window, so the final top-k window needs NO
+    second exchange — exactly one hashpartitioning exchange in the whole
+    serving plan (regression: an opaque barrier between join and window,
+    e.g. a mapInPandas pre-prune, forces a second one)."""
+    plan = _plan(spark, "ann_ivf_probe", sf_smoke)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_pack_documents_no_single_partition_window(spark, sf_smoke, no_aqe):
+    """The global packing stream must run as the distributed two-pass
+    prefix sum (operators/packing.pack_sequences): no Exchange
+    SinglePartition anywhere in the plan — the bin_pos window hashes on
+    the high-cardinality bin_id instead."""
+    plan = _plan(spark, "pack_documents", sf_smoke)
+    assert "Exchange SinglePartition" not in plan
+    assert "MapInPandas" in plan  # the narrow offset+cumsum pass
