@@ -248,6 +248,12 @@ def resize_images(payload_df: DataFrame, width: int = 224, height: int = 224) ->
     (stride-sampled / zero-padded to width*height bytes) — the honest
     boundary where no stdlib codec exists. The contract — binary in/out,
     fixed target dims, Arrow batches — is identical on both paths.
+
+    Quarantine policy (same as decode_features): a payload with PNG
+    magic that the stdlib decoder can't handle — corrupt, or a valid
+    variant it doesn't cover (palette color, 16-bit, interlaced) —
+    falls back to the byte-stream stub instead of raising; one bad
+    blob must not kill a 100 TB job.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -257,8 +263,11 @@ def resize_images(payload_df: DataFrame, width: int = 224, height: int = 224) ->
             for p in pdf["payload"]:
                 b = bytes(p)
                 if b[:8] == _PNG_MAGIC:
-                    outs.append(_resize_png(b, width, height))
-                    continue
+                    try:
+                        outs.append(_resize_png(b, width, height))
+                        continue
+                    except Exception:
+                        pass  # undecodable PNG → byte-stream stub below
                 if len(b) >= target:
                     step = max(1, len(b) // target)
                     b = b[::step][:target]

@@ -446,10 +446,13 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of the `lang` label, so the operator is exercised via
     its scores, not label accuracy.
     """
+    # data-integrity check, not a debug assert (assert strips under -O):
+    # a self-overlapping profile trigram would silently undercount hits
     for grams in LANG_TRIGRAMS.values():
-        assert all(len(g) != 3 or g[0] != g[2] for g in grams), (
-            "self-overlapping trigram breaks the replace-count identity"
-        )
+        if any(len(g) == 3 and g[0] == g[2] for g in grams):
+            raise ValueError(
+                "self-overlapping trigram breaks the replace-count identity"
+            )
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", "lang", F.lower(norm_ws("text")).alias("n")

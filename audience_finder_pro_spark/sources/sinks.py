@@ -14,6 +14,7 @@ req:4). Engine split:
 from __future__ import annotations
 
 import io
+import math
 
 from pyspark.sql import DataFrame
 
@@ -82,7 +83,8 @@ def _xlsx_bytes_minimal(pdf) -> bytes:
         ref = f"{_col_ref(c)}{r}"
         if hasattr(v, "item"):  # numpy scalar → native python
             v = v.item()
-        if v is None or (isinstance(v, float) and v != v):  # NaN
+        # NaN AND ±inf → empty cell: OOXML numeric <v> admits neither
+        if v is None or (isinstance(v, float) and not math.isfinite(v)):
             return f'<c r="{ref}"/>'
         if isinstance(v, bool):
             return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'

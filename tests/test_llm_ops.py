@@ -495,3 +495,19 @@ def test_highdim_lsh_and_ivf_recall(spark, highdim_embeddings):
         got_ivf.setdefault(r.query_id, set()).add(r.vec_id)
     rec = [len(truth[q] & got_ivf.get(q, set())) / len(truth[q]) for q in truth]
     assert sum(rec) / len(rec) >= 0.8, f"high-dim IVF recall {sum(rec)/len(rec):.2f}"
+
+
+def test_resize_images_quarantines_corrupt_png(spark):
+    """A payload with PNG magic but an undecodable body must fall back to
+    the byte-stream stub (same quarantine policy as decode_features) —
+    one bad blob must not kill the job."""
+    from audience_finder_pro_spark.multimodal import _PNG_MAGIC, resize_images
+
+    corrupt = _PNG_MAGIC + b"\x00\x01garbage-not-a-png-chunk"
+    df = spark.createDataFrame(
+        [(1, "image/png", bytearray(corrupt))],
+        "doc_id long, media_type string, payload binary",
+    )
+    out = resize_images(df, width=4, height=4).collect()
+    assert len(out) == 1
+    assert len(bytes(out[0].payload)) == 16  # stub: width*height bytes

@@ -744,3 +744,21 @@ def test_asof_join_nearest(spark):
     # a(10): |10-8|=2 < |20-10|=10 -> 80 ; b(14): 6 == 6 tie -> backward 80
     # c(15): 7 > 5 -> 200 ; d(k=2): no right rows -> null
     assert got == {"a": 80.0, "b": 80.0, "c": 200.0, "d": None}
+
+
+def test_excel_sink_nonfinite_floats(spark):
+    """inf/-inf are not valid OOXML numeric cell values — they must land
+    as empty cells, like NaN/null."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from audience_finder_pro_spark.sources.sinks import _xlsx_bytes_minimal
+    import pandas as pd
+
+    pdf = pd.DataFrame({"x": [1.5, float("inf"), float("-inf"), float("nan")]})
+    with zipfile.ZipFile(io.BytesIO(_xlsx_bytes_minimal(pdf))) as z:
+        root = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    vals = [v.text for v in root.findall(".//m:v", ns)]
+    assert vals == ["1.5"]  # only the finite value serializes
