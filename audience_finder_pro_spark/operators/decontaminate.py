@@ -61,9 +61,18 @@ def ngram_contamination(
     ``n`` tokens produce no shingles and cannot be flagged (matching the
     published n-gram rule's behavior on short docs)."""
     bcol = benchmark_text_col or text_col
+    # one UNIQUE id per benchmark row: shingle_stream's per-doc window
+    # partitions on the id, so a shared literal id would interleave the
+    # token streams of different benchmark docs (pos ties across rows)
+    # and shingle across document boundaries — caught when a multi-doc
+    # benchmark produced zero true shingles (r6); the single-doc planted
+    # test couldn't see it
     bench_sh = (
         shingle_stream(
-            benchmark.select(F.lit(0).alias("_bid"), F.col(bcol)), "_bid", bcol, n
+            benchmark.select(F.monotonically_increasing_id().alias("_bid"), F.col(bcol)),
+            "_bid",
+            bcol,
+            n,
         )
         .select(F.xxhash64("shingle").alias("_h"))
         .distinct()

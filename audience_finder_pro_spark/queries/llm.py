@@ -30,6 +30,7 @@ from audience_finder_pro_spark.functions.text import (
     shingle_stream,
     tokens,
 )
+from audience_finder_pro_spark.operators.decontaminate import ngram_contamination
 from audience_finder_pro_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -175,6 +176,44 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.8, df_cap_frac=0.05)
     return dedup_clusters(docs, pairs)
+
+
+# ---------------------------------------------------------------- E7 decontamination
+_DECONT_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS tok
+  FROM documents
+),
+tsh AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(tok) - 12, 0) + 1),
+           i -> array_to_string(list_slice(tok, i, i + 12), ' '))) AS shingle
+  FROM tok
+),
+bsh AS (SELECT DISTINCT shingle FROM tsh WHERE doc_id % 50 = 0)
+SELECT doc_id, CAST(count(DISTINCT shingle) AS BIGINT) AS n_contaminated_shingles
+FROM tsh
+WHERE shingle IN (SELECT shingle FROM bsh)
+GROUP BY doc_id
+"""
+
+
+@_q("decontaminate_docs", _DECONT_ORACLE)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 benchmark decontamination (operators/decontaminate.py), oracle-
+    checked: every 50th doc plays the benchmark, and the published 13-gram
+    rule flags each training doc by its count of DISTINCT leaked shingles
+    (benchmark members trivially self-flag; verbatim/near copies of them
+    flag through shared spans). Spark counts distinct xxhash64(shingle)
+    after a broadcast semi-join against the hashed benchmark shingle set
+    — the corpus stream is filtered BEFORE the distinct-count exchange,
+    so the wide agg pays on the flagged remnant only; the oracle counts
+    the same shingles as strings (hash collisions at these cardinalities:
+    none)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    return ngram_contamination(docs, bench, id_col="doc_id", text_col="text", n=13, min_hits=1)
 
 
 # ---------------------------------------------------------------- A9 MinHash (no oracle)

@@ -392,12 +392,24 @@ def q12_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(l_extendedprice), 4) AS val, count(*) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    UNION ALL
+    SELECT 'pivot' AS op, l_returnflag AS returnflag, 'O' AS linestatus,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 4) AS val,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'pivot' AS op, l_returnflag AS returnflag, 'F' AS linestatus,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 4) AS val,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
     """,
 )
 def q13_rollup_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both A8 multi-grouping forms over lineitem in one tagged result
-    (ROLLUP hierarchy + explicit GROUPING SETS), merged to keep every
-    oracle-backed query inside the driver's 50-slot cap."""
+    """All multi-grouping forms over lineitem in one tagged result: A8
+    ROLLUP hierarchy + explicit GROUPING SETS, plus the former q26
+    pivot/unpivot leg (conditional-agg pivot wide, melted back to tagged
+    rows via DataFrame.unpivot) — merged r6 to free a driver slot for
+    ``decontaminate_docs`` under the 50-query verification cap."""
     li = load_table(spark, sf_dir, "lineitem")
     roll = (
         li.rollup("l_returnflag", "l_linestatus")
@@ -421,7 +433,28 @@ def q13_rollup_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
-    return roll.unionByName(gsets)
+    pvt = li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0)), 4
+        ).alias("O"),
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0)), 4
+        ).alias("F"),
+        F.count("*").alias("n"),
+    )
+    pivot_leg = pvt.unpivot(
+        ids=["l_returnflag", "n"],
+        values=["O", "F"],
+        variableColumnName="linestatus",
+        valueColumnName="val",
+    ).select(
+        F.lit("pivot").alias("op"),
+        F.col("l_returnflag").alias("returnflag"),
+        "linestatus",
+        "val",
+        "n",
+    )
+    return roll.unionByName(gsets).unionByName(pivot_leg)
 
 
 # ---------------------------------------------------------------- A8 cube
@@ -721,30 +754,6 @@ def q25_case_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.groupBy(
         F.col("c_mktsegment").alias("mktsegment"), band.alias("bal_band")
     ).agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 4).alias("total_bal"))
-
-
-# ---------------------------------------------------------------- pivot (conditional agg)
-@_q(
-    "q26_pivot",
-    """
-    SELECT l_returnflag AS returnflag,
-           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 4) AS qty_open,
-           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 4) AS qty_filled,
-           count(*) AS n
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q26_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
-        F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0)), 4).alias(
-            "qty_open"
-        ),
-        F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0)), 4).alias(
-            "qty_filled"
-        ),
-        F.count("*").alias("n"),
-    )
 
 
 # ---------------------------------------------------------------- skew-salted agg

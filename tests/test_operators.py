@@ -695,6 +695,24 @@ def test_decontamination_exact_and_ngram(spark):
     assert kept == {3, 4}
 
 
+def test_decontamination_multi_doc_benchmark(spark):
+    """A MULTI-row benchmark must shingle each doc independently —
+    regression for the shared-literal-id bug where every benchmark row
+    joined one window partition, shingles crossed document boundaries
+    (pos ties across rows), and a multi-doc benchmark caught nothing."""
+    from audience_finder_pro_spark.operators.decontaminate import ngram_contamination
+
+    b1 = " ".join(f"alpha{i}" for i in range(20))
+    b2 = " ".join(f"beta{i}" for i in range(20))
+    train = spark.createDataFrame(
+        [(1, b1), (2, b2), (3, " ".join(f"clean{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(b1,), (b2,)], "text string").repartition(2)
+    flagged = {r.doc_id for r in ngram_contamination(train, bench, n=13).collect()}
+    assert flagged == {1, 2}
+
+
 def test_langid_profiles_discriminate(spark):
     """The char-trigram classifier must pick the right language on a
     clearly-in-language snippet for every profiled language (the parquet

@@ -91,12 +91,15 @@ def test_ann_lsh_no_interpreted_hyperplane_regen(spark, sf_smoke, no_aqe):
 
 
 def test_column_pruning_reaches_scan(spark, sf_smoke, no_aqe):
-    """q26 touches 3 lineitem columns — the scan must not read all 16."""
-    plan = _plan(spark, "q26_pivot", sf_smoke)
-    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
-    assert m, plan[:500]
-    cols = [c.split(":")[0] for c in m.group(1).split(",")]
-    assert set(cols) == {"l_quantity", "l_returnflag", "l_linestatus"}
+    """q13 (rollup + gsets + pivot legs) touches 4 lineitem columns — every
+    one of its three scans must prune down, never read all 16."""
+    plan = _plan(spark, "q13_rollup_gsets", sf_smoke)
+    want = {"l_quantity", "l_returnflag", "l_linestatus", "l_extendedprice"}
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan[:500]
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",")}
+        assert cols <= want, cols
 
 
 def test_mixture_split_is_shuffle_free_pruned_projection(spark, sf_smoke, no_aqe):
