@@ -12,9 +12,11 @@
   row per hit.
 
 Determinism deviations from the ref (documented per SURVEY §7.4):
-- Members comes from the subreddits dim, not "first sighting" arrival
-  order (A2); first-match-wins is pinned by kw_pos (J2); every sort
-  ends in a unique key; tag/keyword sets serialize sorted.
+- Members is the dim-defined subscriber count (1000 + Σn_chars % 1e5
+  per source, computed in-pass by the merge groupBy), not "first
+  sighting" arrival order (A2); first-match-wins is pinned by kw_pos
+  (J2); every sort ends in a unique key; tag/keyword sets serialize
+  sorted.
 
 Scale shape: the keyword/query side is broadcast (no corpus shuffle);
 the only wide exchanges are the per-community aggregation and the
@@ -35,6 +37,7 @@ from audience_finder_pro_spark.operators.keyword_match import (
 from audience_finder_pro_spark.operators.topk import top_k_per_group
 from audience_finder_pro_spark.plans.views import (
     POST_TS_SPACING,
+    _display_name,
     _doc_count,
     reddit_views,
 )
@@ -82,7 +85,8 @@ def discover_communities(
     declared golden query's historical shape.
     """
     v = reddit_views(spark, sf_dir)
-    subs, posts, comments = v["subreddits"], v["posts"], v["comments"]
+    posts, comments = v["posts"], v["comments"]
+    documents = v["documents"]
     qs = sorted(queries)  # canonical query order, ref app.py:205
 
     def hits(df: DataFrame, community_col: str, texts: list, tag: str) -> DataFrame:
@@ -101,10 +105,22 @@ def discover_communities(
             F.col(community_col).alias("community"),
             F.explode(F.filter(qarr, any_contains)).alias("query"),
             F.lit(tag).alias("found_via"),
+            F.lit(None).cast("long").alias("n_chars"),
         )
 
-    # Source 1 — direct name search (app.py:39-43), u_ filter (app.py:41)
-    direct = hits(subs.filter(~F.col("name").startswith("u_")), "name", [F.col("name")], TAG_DIRECT)
+    # Source 1 — direct name search (app.py:39-43), u_ filter (app.py:41).
+    # Matched against the per-document display name, NOT the aggregated
+    # subreddits dim: the name is a pure function of `source`, duplicates
+    # collapse in the collect_set merge below, and skipping the dim saves
+    # the groupBy(source) exchange the dim's build would pay.
+    direct = hits(
+        documents.select(_display_name("source").alias("name")).filter(
+            ~F.col("name").startswith("u_")
+        ),
+        "name",
+        [F.col("name")],
+        TAG_DIRECT,
+    )
 
     # Source 2 — post text search (app.py:47-52), u_/NSFW filters (app.py:49)
     searched = posts
@@ -132,14 +148,35 @@ def discover_communities(
         TAG_COMMENT,
     )
 
-    tagged = direct.unionByName(post_hits).unionByName(comment_hits)
+    # Fourth leg: the members (subscriber-count) input rides the SAME union
+    # instead of a post-merge dim join — subscribers = 1000 + Σn_chars %
+    # 100000 per source (subreddits_view), so carrying raw n_chars per doc
+    # into the community groupBy computes it in-pass. This plus the
+    # dim-free direct leg drops both groupBy(source) exchanges the r5 plan
+    # paid (5 → 3: comment top-k window, community merge, final sort).
+    members_leg = documents.select(
+        _display_name("source").alias("community"),
+        F.lit(None).cast("string").alias("query"),
+        F.lit(None).cast("string").alias("found_via"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
 
-    # J4/A1/A6: merge by community; score = Σ distinct-tag weights (app.py:22-27)
+    tagged = (
+        direct.unionByName(post_hits)
+        .unionByName(comment_hits)
+        .unionByName(members_leg)
+    )
+
+    # J4/A1/A6: merge by community; score = Σ distinct-tag weights
+    # (app.py:22-27). collect_set ignores the members leg's null tags;
+    # communities with no actual hit (members-leg rows only) are dropped
+    # by the tags-nonempty filter, reproducing the old inner-hit semantics.
     merged = tagged.groupBy("community").agg(
         F.array_sort(F.collect_set("found_via")).alias("tags"),
         F.array_join(F.array_sort(F.collect_set("found_via")), ", ").alias("found_via"),
         F.array_join(F.array_sort(F.collect_set("query")), ", ").alias("found_by_keywords"),
-    )
+        (F.lit(1000) + F.sum("n_chars") % 100000).cast("long").alias("subscribers"),
+    ).filter(F.size("tags") > 0)
     score = (
         F.when(F.array_contains("tags", TAG_DIRECT), 1).otherwise(0)
         + F.when(F.array_contains("tags", TAG_POST), 2).otherwise(0)
@@ -147,7 +184,7 @@ def discover_communities(
     )
 
     out = (
-        merged.join(F.broadcast(subs.select(F.col("name").alias("community"), "subscribers")), "community", "left")
+        merged
         .select(
             F.concat(F.lit("r/"), F.col("community")).alias("community"),
             score.cast("int").alias("relevance_score"),

@@ -161,6 +161,7 @@ def reddit_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "subreddits": subreddits_view(documents),
         "posts": posts_view(documents),
         "comments": comments_view(documents),
+        "documents": documents,
     }
     return memo[key]
 

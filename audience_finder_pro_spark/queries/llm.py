@@ -781,71 +781,76 @@ def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ONE tokenize + ONE doc-keyed exchange feeds every repetition metric:
     # posexplode the token stream, lead(1)/lead(2) in a single window give
-    # the 2- and 3-grams. The stream is then localCheckpoint'd ONCE for its
-    # three aggregation consumers — as separate logical branches each
-    # would re-run the scan+tokenize+window pipeline (at 100 TB the
-    # tokenizer is the CPU cost; this is the same single-materialization
-    # discipline as the pruned shingle index in operators/dedup.py).
+    # the 2- and 3-grams, then the token/2-gram/3-gram streams are STACKED
+    # into one (kind, gram) stream so a single two-level aggregate computes
+    # every per-doc metric. Both aggregation levels' group keys contain
+    # doc_id, so they ride the window's hashpartitioning(doc_id) with no
+    # further exchange — the whole repetition tier is 1 shuffle, 1 scan,
+    # 1 pipeline. (The r5 shape localCheckpoint'd the stream for three
+    # branch consumers, but the checkpoint's LogicalRDD drops partitioning
+    # info under AQE, so each branch re-exchanged twice — 6 real shuffles
+    # of the token stream. The stacked form trades 3x rows through an
+    # in-partition partial aggregate for zero extra shuffles; at 100 TB
+    # the exchange, not the map-side aggregate, is the cost.)
     from pyspark.sql import Window
 
     toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "t0"))
     w = Window.partitionBy("doc_id").orderBy("pos")
-    stream = toks.select(
-        "doc_id",
-        "t0",
-        F.lead("t0", 1).over(w).alias("t1"),
-        F.lead("t0", 2).over(w).alias("t2"),
-    ).select(
-        "doc_id",
-        "t0",
-        F.when(F.col("t1").isNotNull(), F.concat_ws(" ", "t0", "t1")).alias("g2"),
-        F.when(F.col("t2").isNotNull(), F.concat_ws(" ", "t0", "t1", "t2")).alias("g3"),
-    ).localCheckpoint(eager=True)
-
-    # Distinct counts as two-level aggregates, NOT countDistinct: two
-    # distinct aggs in one groupBy make Catalyst Expand the token stream
-    # 3x through the hash aggregate. Both level-1 groupings and the doc
-    # joins below ride the stream's existing doc_id partitioning (group
-    # keys are supersets of it), so none of this adds an exchange.
-    # mean_word_len via the exact long sum of per-token lengths: doc token
-    # counts keep the sums < 2^53, so it equals avg(length) bit-for-bit.
-    tok_agg = (
-        stream.groupBy("doc_id", "t0")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            F.round(F.sum(F.length("t0") * F.col("c")) / F.sum("c"), 4).alias("mean_word_len"),
-            F.count("*").alias("n_distinct"),
+    stacked = (
+        toks.select(
+            "doc_id",
+            "t0",
+            F.lead("t0", 1).over(w).alias("t1"),
+            F.lead("t0", 2).over(w).alias("t2"),
         )
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("t").alias("kind"), F.col("t0").alias("gram")),
+                    F.struct(
+                        F.lit("2").alias("kind"),
+                        F.when(
+                            F.col("t1").isNotNull(), F.concat_ws(" ", "t0", "t1")
+                        ).alias("gram"),
+                    ),
+                    F.struct(
+                        F.lit("3").alias("kind"),
+                        F.when(
+                            F.col("t2").isNotNull(), F.concat_ws(" ", "t0", "t1", "t2")
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("kg"),
+        )
+        .select("doc_id", F.col("kg.kind").alias("kind"), F.col("kg.gram").alias("gram"))
+        .filter(F.col("gram").isNotNull())
     )
-    g3_agg = (
-        stream.filter(F.col("g3").isNotNull())
-        .groupBy("doc_id", "g3")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("total3"), F.count("*").alias("dist3"))
-    )
+
+    # Distinct counts as two-level aggregates, NOT countDistinct: distinct
+    # aggs in one groupBy make Catalyst Expand the stream through the hash
+    # aggregate. mean_word_len via the exact long sum of per-token lengths:
+    # doc token counts keep the sums < 2^53, so it equals avg() bit-for-bit.
+    counts = stacked.groupBy("doc_id", "kind", "gram").agg(F.count("*").alias("c"))
+    is_t = F.col("kind") == "t"
+    is_2 = F.col("kind") == "2"
+    is_3 = F.col("kind") == "3"
     z = F.lit(0).cast("long")
-    tstats = tok_agg.join(g3_agg, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        "mean_word_len",
-        "n_distinct",
-        F.coalesce("total3", z).alias("total3"),
-        F.coalesce("dist3", z).alias("dist3"),
-    )
-    g2top = (
-        stream.filter(F.col("g2").isNotNull())
-        .groupBy("doc_id", "g2")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top2_cnt"))
+    tstats = counts.groupBy("doc_id").agg(
+        F.sum(F.when(is_t, F.col("c"))).alias("n_tokens"),
+        F.round(
+            F.sum(F.when(is_t, F.length("gram") * F.col("c")))
+            / F.sum(F.when(is_t, F.col("c"))),
+            4,
+        ).alias("mean_word_len"),
+        F.count(F.when(is_t, F.lit(True))).alias("n_distinct"),
+        F.coalesce(F.sum(F.when(is_3, F.col("c"))), z).alias("total3"),
+        F.count(F.when(is_3, F.lit(True))).alias("dist3"),
+        F.max(F.when(is_2, F.col("c"))).alias("top2_cnt"),
     )
 
     return (
-        tstats.join(g2top, "doc_id", "left")
-        .join(pii, "doc_id")
+        tstats.join(pii, "doc_id")
         .select(
             "doc_id",
             "n_tokens",

@@ -114,15 +114,20 @@ def test_mixture_split_is_shuffle_free_pruned_projection(spark, sf_smoke, no_aqe
 
 
 def test_quality_signals_single_tokenize(spark, sf_smoke, no_aqe):
-    """All repetition metrics derive from ONE token stream. Since r5 the
-    stream is localCheckpoint'd at build time (one tokenize+window
-    materialization for its three aggregation consumers), so the final
-    plan must contain NO tokenizer at all — every branch scans the
-    materialized stream RDD instead (the pre-checkpoint form showed one
-    `Generate posexplode` per consuming branch)."""
+    """All repetition metrics derive from ONE token stream in ONE
+    pipeline: a single tokenize (posexplode) feeds the doc_id window,
+    the token/2-gram/3-gram streams stack into one (kind, gram) stream
+    (the second Generate), and both aggregation levels ride the window's
+    hashpartitioning(doc_id) — exactly one wide exchange in the whole
+    repetition tier, no checkpointed branch re-shuffles (the r5
+    localCheckpoint form lost partitioning info under AQE and paid 6)."""
     plan = _plan(spark, "quality_signals", sf_smoke)
-    assert plan.count("Generate posexplode") == 0, plan[:800]
-    assert plan.count("Scan ExistingRDD") >= 2, plan[:800]  # branches reuse the stream
+    assert plan.count("Generate posexplode") == 1, plan[:800]
+    assert plan.count("Scan ExistingRDD") == 0, plan[:800]
+    wide = re.findall(
+        r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan
+    )
+    assert wide == ["hashpartitioning"], wide
 
 
 def test_ann_ivf_probe_declared_query_prunes_buckets(spark, sf_smoke, no_aqe):
