@@ -46,12 +46,18 @@ def get_spark(app_name: str = "audience_finder_pro_spark", cpus: int | None = No
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus)))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true): the tuning-guide
+        # suggestion of false was A/B-measured at sf0.1 and lost badly —
+        # coalescing small stages to one task serializes CPU-bound work
+        # (q04 0.24s -> 2.4s, bench total +33%). Task-launch floor is
+        # cheaper than lost cores at every SF this engine runs locally.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

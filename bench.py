@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_cc_clusters",
+    "embedding_cosine_neardup",
+    "mixture_split",
+    "pack_documents",
+    "decontaminate_docs",
     "quality_signals",
     "curation_pipeline",
     "ann_cosine_topk",
@@ -125,16 +129,18 @@ def main() -> None:
         except Exception as ex:  # never let warmup kill the bench
             print(f"# warmup {name} failed: {ex}", file=sys.stderr)
 
-    # best-of-2: this box runs shared load; the min is the engine's cost,
-    # the delta is scheduler noise. One failing query must not cost the
-    # whole bench record — it reports as failed and is excluded from total.
+    # best-of-3: this box runs shared load; the min is the engine's cost,
+    # the delta is scheduler noise (measured run-to-run swings of 2-5x on
+    # individual sub-second queries — 2 samples were not enough to shed
+    # them). One failing query must not cost the whole bench record — it
+    # reports as failed and is excluded from total.
     timings: dict[str, float] = {}
     failed: dict[str, str] = {}
     for name, fn in runnable.items():
         best, n = float("inf"), 0
         handles = []
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
@@ -184,7 +190,7 @@ def main() -> None:
 
 
 def duckdb_timings(sf_dir: str) -> dict[str, float]:
-    """Best-of-2 DuckDB wall time for each bench query that has oracle SQL."""
+    """Best-of-3 DuckDB wall time for each bench query that has oracle SQL."""
     try:
         import duckdb
     except ImportError:
@@ -199,7 +205,7 @@ def duckdb_timings(sf_dir: str) -> dict[str, float]:
             continue
         try:
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 best = min(best, time.perf_counter() - t0)

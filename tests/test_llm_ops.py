@@ -511,3 +511,35 @@ def test_resize_images_quarantines_corrupt_png(spark):
     out = resize_images(df, width=4, height=4).collect()
     assert len(out) == 1
     assert len(bytes(out[0].payload)) == 16  # stub: width*height bytes
+
+
+def test_cosine_neardup_planted_pairs(spark):
+    """The matmul block path must emit exactly the planted near-dup pairs
+    with id_a < id_b, stay inside the block boundary, skip zero vectors,
+    and be invariant to the chunk size (chunk smaller than the block
+    exercises the cross-chunk upper-triangle bookkeeping)."""
+    import math
+
+    from audience_finder_pro_spark.operators.similarity import cosine_neardup_pairs
+
+    # block 0: 1 and 2 nearly parallel (sim ~0.9996), 3 orthogonal,
+    #          9 is a zero vector (cosine undefined -> excluded)
+    # block 1: 4 parallel to 1 but in ANOTHER block -> no cross-block pair;
+    #          5 and 6 antiparallel (sim -1)
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.03, 0.0, 0.0], 0),
+        (3, [0.0, 1.0, 0.0, 0.0], 0),
+        (9, [0.0, 0.0, 0.0, 0.0], 0),
+        (4, [2.0, 0.0, 0.0, 0.0], 1),
+        (5, [0.0, 0.0, 1.0, 0.0], 1),
+        (6, [0.0, 0.0, -1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    expected_sim = round(1.0 / math.sqrt(1.0 + 0.03 * 0.03), 4)
+    for chunk in (1024, 2):
+        got = cosine_neardup_pairs(
+            df, threshold=0.9, block_col="label", chunk_rows=chunk
+        ).collect()
+        assert [(r.id_a, r.id_b) for r in got] == [(1, 2)], got
+        assert got[0].cosine_sim == pytest.approx(expected_sim, abs=1e-9)
