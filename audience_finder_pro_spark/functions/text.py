@@ -60,28 +60,47 @@ def shingles(tok: Column, n: int = 3) -> Column:
     return F.transform(idx, lambda i: F.array_join(F.slice(tok, i, k), " "))
 
 
-def shingle_stream(df, id_col: str, text_col: str, n: int = 3):
-    """(id, shingle) stream of word n-grams — the scale path for shingling.
+def gram_stream(df, id_col: str, text_col: str, n: int = 3):
+    """(id, t0..t{n-1}) positional token stream — one row per token, with
+    the n-1 following tokens alongside (null-padded at the doc tail).
 
     ``shingles()`` builds per-row arrays through higher-order lambdas,
     which Catalyst evaluates *interpreted* per element (measured ~20µs per
     shingle — 6s for one sf0.1 doc table on one core). This form stays
-    entirely inside whole-stage codegen: posexplode the token stream, then
-    ``lead`` over (id, pos) + ``concat_ws`` — byte-identical shingle
-    strings. The window's doc-id exchange is reused by any downstream
-    groupBy(id) (MinHash signatures, distinct-shingle counts), so it costs
-    no extra shuffle in those pipelines.
+    JVM-side with NO exchange at all: ``arrays_zip`` of the token array
+    with its offset-by-i slices yields (t_i, t_{i+1}, ..) per position in
+    a single generate — the doc never leaves its input partition. (The
+    previous form got the offsets from ``lead`` over a (doc, pos) window:
+    byte-identical output, but it shuffled the FULL token stream on doc id
+    and sorted it, and every downstream aggregation then rode that one
+    exchange with no map-side combine. Zip-sliced, the first shuffle in
+    any consumer is its own groupBy — which partial-aggregates before the
+    exchange, so at scale the wire carries combined groups, not tokens.)
+    """
+    tok = tokens(text_col)
+    slices = [
+        F.slice(tok, i + 1, F.greatest(F.size(tok) - i, F.lit(0))).alias(f"_s{i}")
+        for i in range(n)
+    ]
+    zipped = df.select(
+        F.col(id_col), F.explode(F.arrays_zip(*slices)).alias("_z")
+    )
+    return zipped.select(
+        id_col, *[F.col(f"_z._s{i}").alias(f"t{i}") for i in range(n)]
+    )
+
+
+def shingle_stream(df, id_col: str, text_col: str, n: int = 3):
+    """(id, shingle) stream of word n-grams — the scale path for shingling.
+
+    ``gram_stream`` + ``concat_ws``: zero-exchange, whole-stage codegen,
+    byte-identical shingle strings to the per-row HOF form.
 
     Emits duplicates (one row per occurrence); callers needing set
     semantics aggregate with distinct — min-style folds (MinHash) don't
     need it.
     """
-    from pyspark.sql import Window
-
-    toks = df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "t0"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    lead_cols = [F.lead("t0", i).over(w).alias(f"t{i}") for i in range(1, n)]
-    parts = toks.select(id_col, "t0", *lead_cols)
+    parts = gram_stream(df, id_col, text_col, n)
     return parts.filter(F.col(f"t{n - 1}").isNotNull()).select(
         id_col, F.concat_ws(" ", *[f"t{i}" for i in range(n)]).alias("shingle")
     )

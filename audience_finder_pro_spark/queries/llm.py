@@ -25,6 +25,7 @@ from audience_finder_pro_spark.functions.quality import (
     redact_pii,
 )
 from audience_finder_pro_spark.functions.text import (
+    gram_stream,
     norm_text_hash,
     norm_ws,
     shingle_stream,
@@ -72,7 +73,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join) annotated with group size — subsumes the former
     dedup_groups report (filter n_copies > 1), merged to free a slot
     under the driver's 50-query verification cap."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     reps = exact_dedup(docs, "text", "doc_id")
     counts = (
         docs.select(norm_text_hash("text").alias("text_hash"))
@@ -133,7 +134,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     set sizes come from the same pruned index (consistent Jaccard over the
     pruned universe). At 100 TB an uncapped ubiquitous shingle is a
     quadratic join key; relative caps survive corpus growth."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return ngram_jaccard_pairs(docs, threshold=0.8, df_cap_frac=0.05)
 
 
@@ -173,7 +174,7 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent check of the iterative Spark algorithm."""
     from audience_finder_pro_spark.operators.graph import dedup_clusters
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     pairs = ngram_jaccard_pairs(docs, threshold=0.8, df_cap_frac=0.05)
     return dedup_clusters(docs, pairs)
 
@@ -211,7 +212,7 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the wide agg pays on the flagged remnant only; the oracle counts
     the same shingles as strings (hash collisions at these cardinalities:
     none)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
     return ngram_contamination(docs, bench, id_col="doc_id", text_col="text", n=13, min_hits=1)
 
@@ -221,14 +222,14 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate generation is approximate (xxhash64 MinHash bands); the
     emitted pairs are exact-Jaccard-verified, recall asserted in tests."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return minhash_lsh_pairs(docs, threshold=0.5)
 
 
 # ---------------------------------------------------------------- A9 SimHash (no oracle)
 @_q("dedup_simhash", None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return simhash_buckets(docs)
 
 
@@ -420,7 +421,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOTES gotcha #1). `array_remove` counts stop words and
     `length(array_join(tok, ''))` sums token lengths — regular catalyst
     expressions, one shared tokenize."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     tok = tokens("text")
     n_tok = F.size(tok)
     n_stop = n_tok - F.size(F.array_remove(F.array_remove(tok, "the"), "a"))
@@ -492,7 +493,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise ValueError(
                 "self-overlapping trigram breaks the replace-count identity"
             )
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     base = docs.select(
         "doc_id", "lang", F.lower(norm_ws("text")).alias("n")
     ).withColumn("n_tg", F.greatest(F.length("n") - 2, F.lit(0)))
@@ -598,7 +599,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, '' digest)."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "t0"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     sh = (
@@ -663,7 +664,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lambda-free stop-word count (`array_remove`) for the same
     CSE reason as text_stats / curation_pipeline (NOTES gotcha #1)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     tok = tokens("text")
     len_score = F.least(F.size(tok) / 100.0, F.lit(1.0))
     ttr = F.size(F.array_distinct(tok)) / F.size(tok)
@@ -760,7 +761,7 @@ def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds) so the boolean is bit-identical across engines — no
     float-boundary flakiness in the driver's hash compare.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
 
     aug = F.when(
         F.col("doc_id") % 7 == 0,
@@ -779,30 +780,21 @@ def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(redact_pii(aug)).alias("redacted_hash"),
     )
 
-    # ONE tokenize + ONE doc-keyed exchange feeds every repetition metric:
-    # posexplode the token stream, lead(1)/lead(2) in a single window give
-    # the 2- and 3-grams, then the token/2-gram/3-gram streams are STACKED
-    # into one (kind, gram) stream so a single two-level aggregate computes
-    # every per-doc metric. Both aggregation levels' group keys contain
-    # doc_id, so they ride the window's hashpartitioning(doc_id) with no
-    # further exchange — the whole repetition tier is 1 shuffle, 1 scan,
-    # 1 pipeline. (The r5 shape localCheckpoint'd the stream for three
-    # branch consumers, but the checkpoint's LogicalRDD drops partitioning
-    # info under AQE, so each branch re-exchanged twice — 6 real shuffles
-    # of the token stream. The stacked form trades 3x rows through an
-    # in-partition partial aggregate for zero extra shuffles; at 100 TB
-    # the exchange, not the map-side aggregate, is the cost.)
-    from pyspark.sql import Window
-
-    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "t0"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    # ONE tokenize feeds every repetition metric with ZERO pre-aggregation
+    # shuffles: gram_stream (functions/text.py) yields (t_i, t_{i+1},
+    # t_{i+2}) per position from arrays_zip of sliced token arrays — no
+    # window, no doc_id exchange, no sort; the token/2-gram/3-gram streams
+    # are then STACKED into one (kind, gram) stream so a single two-level
+    # aggregate computes every per-doc metric. The only exchanges are the
+    # aggregates' own, and both partial-aggregate map-side first, so the
+    # wire carries combined (doc, kind, gram) counts — never raw tokens.
+    # (History: r5 localCheckpoint'd a window-derived stream for three
+    # branch consumers — 6 real shuffles of the full token stream, since
+    # the checkpoint's LogicalRDD drops partitioning info under AQE. The
+    # first r6 form kept the window: 1 exchange, but it shuffled and
+    # sorted every token row. This form shuffles only aggregated groups.)
     stacked = (
-        toks.select(
-            "doc_id",
-            "t0",
-            F.lead("t0", 1).over(w).alias("t1"),
-            F.lead("t0", 2).over(w).alias("t2"),
-        )
+        gram_stream(docs, "doc_id", "text", 3)
         .select(
             "doc_id",
             F.explode(
@@ -942,7 +934,7 @@ def mixture_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens + a chars/4 BPE-ish subword estimate, per source."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     tok = tokens("text")
     return (
         docs.select("source", F.size(tok).alias("n_words"), F.length("text").alias("n_chars"))
@@ -1000,7 +992,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from audience_finder_pro_spark.multimodal import decode_features
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     payload = docs.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),
@@ -1049,7 +1041,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative) → per-source corpus stats. The composition the engine
     exists for — each stage is the oracle-checked operator used alone
     elsewhere (quality_score, dedup_exact, token_count)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
 
     # Per-row array metrics, but LAMBDA-FREE. The previous form's one
     # `F.filter(tok, λ)` stop-word count looked innocent, but an

@@ -71,7 +71,9 @@ def get_spark(app_name: str = "audience_finder_pro_spark", cpus: int | None = No
     return builder.getOrCreate()
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/column pruning into it.
 
     The unresolved scan DataFrame is memoized per (session, sf_dir, table):
@@ -83,11 +85,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     only the relation resolution is cached. The memo lives on the session
     object so a foreign session (the correctness driver's) gets its own,
     and it dies with the session.
+
+    ``fan_out=True`` repartitions the scan to the session's parallelism
+    when the file yields fewer splits than cores (the fixtures are
+    single-row-group parquet — irreducibly ONE task per scan, so every
+    scan-rooted pipeline stage is single-threaded until its first
+    exchange). CPU-heavy per-document work (tokenize/shingle/decode)
+    must opt in or it serializes on one core; at real scale inputs are
+    many-files/many-row-groups and the gate makes this a no-op. The
+    round-robin exchange carries the raw scan rows once — strictly less
+    data than the full token-stream shuffle the old window-based
+    shingler paid for the same parallelism.
     """
     memo = getattr(spark, "_afp_table_memo", None)
     if memo is None:
         memo = {}
         spark._afp_table_memo = memo
+    if fan_out:
+        key = (sf_dir.rstrip("/"), name, "fan")
+        if key in memo:
+            return memo[key]
+        base = load_table(spark, sf_dir, name)
+        par = spark.sparkContext.defaultParallelism
+        df = base.repartition(par) if base.rdd.getNumPartitions() < par else base
+        memo[key] = df
+        return df
     key = (sf_dir.rstrip("/"), name)
     if key in memo:
         return memo[key]

@@ -114,20 +114,23 @@ def test_mixture_split_is_shuffle_free_pruned_projection(spark, sf_smoke, no_aqe
 
 
 def test_quality_signals_single_tokenize(spark, sf_smoke, no_aqe):
-    """All repetition metrics derive from ONE token stream in ONE
-    pipeline: a single tokenize (posexplode) feeds the doc_id window,
-    the token/2-gram/3-gram streams stack into one (kind, gram) stream
-    (the second Generate), and both aggregation levels ride the window's
-    hashpartitioning(doc_id) — exactly one wide exchange in the whole
-    repetition tier, no checkpointed branch re-shuffles (the r5
-    localCheckpoint form lost partitioning info under AQE and paid 6)."""
+    """All repetition metrics derive from ONE zip-sliced token stream in
+    ONE pipeline with no window and no sort: gram_stream's explode plus
+    the (kind, gram) stack are the only two Generates, and the only wide
+    exchanges are the two-level aggregate's own — both fed by map-side
+    partial aggregation, so the wire carries combined (doc, kind, gram)
+    counts, never raw token rows. (The r5 localCheckpoint form paid 6
+    full-stream shuffles; the first r6 form kept a window that shuffled
+    and sorted every token row.)"""
     plan = _plan(spark, "quality_signals", sf_smoke)
-    assert plan.count("Generate posexplode") == 1, plan[:800]
+    assert plan.count("Generate explode") == 2, plan[:800]
+    assert plan.count("Generate posexplode") == 0, plan[:800]
+    assert "Window" not in plan and "Sort" not in plan, plan[:800]
     assert plan.count("Scan ExistingRDD") == 0, plan[:800]
     wide = re.findall(
         r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan
     )
-    assert wide == ["hashpartitioning"], wide
+    assert wide == ["hashpartitioning", "hashpartitioning"], wide
 
 
 def test_ann_ivf_probe_declared_query_prunes_buckets(spark, sf_smoke, no_aqe):
