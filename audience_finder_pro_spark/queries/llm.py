@@ -589,42 +589,37 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     plagiarism/near-dup signature, here digested to one md5 over the
     sorted minima set plus its cardinality).
 
-    Shape: ONE posexplode + one doc-keyed window computes shingle hashes
-    WITH positions; the global min, the w-window minima (frame-bounded
-    min + count to drop ragged tail windows), and the per-doc digest all
-    reuse that exchange. Per-row lambda arrays are avoided throughout
-    (interpreted ~20µs/element — the round-1 array form measured 5.2s vs
-    ~1s at sf0.1). Docs with < 3 tokens have no shingles (dropped, both
+    Shape: zero windows, zero sorts. A 6-wide zip-sliced gram stream
+    (functions/text.gram_stream) gives every position its next five
+    tokens, so all FOUR overlapping 3-gram hashes a w=4 winnow window
+    spans are plain codegen projections of one row, and the rolling
+    frame-min collapses to ``least(h0..h3)``. The only exchange is the
+    per-doc aggregate's own, map-side combined. (The previous form
+    shuffled + sorted the full token stream through a (doc, pos) window
+    twice — lead() for shingles, a frame-min for the winnow. md5 is now
+    computed 4x per position instead of once; short-string md5 is ~100ns
+    JVM-side, orders cheaper than the full-stream exchange it replaces.)
+    Per-row lambda arrays are avoided throughout (interpreted
+    ~20µs/element — the round-1 array form measured 5.2s vs ~1s at
+    sf0.1). Docs with < 3 tokens have no shingles (dropped, both
     engines); docs with < 6 tokens have no full window (empty winnow
     set, '' digest)."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "t0"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = (
-        toks.select(
-            "doc_id",
-            "pos",
-            "t0",
-            F.lead("t0", 1).over(w).alias("t1"),
-            F.lead("t0", 2).over(w).alias("t2"),
-        )
-        .filter(F.col("t2").isNotNull())
-        .select("doc_id", "pos", F.md5(F.concat_ws(" ", "t0", "t1", "t2")).alias("h"))
-    )
-    wf = w.rowsBetween(Window.currentRow, 3)
-    win = sh.select(
+    g = gram_stream(docs, "doc_id", "text", 6)
+    h = [
+        F.md5(F.concat_ws(" ", f"t{i}", f"t{i + 1}", f"t{i + 2}")) for i in range(4)
+    ]
+    sh = g.filter(F.col("t2").isNotNull()).select(
         "doc_id",
-        F.min("h").over(wf).alias("wm"),
-        F.count("h").over(wf).alias("c"),
-        "h",
+        h[0].alias("h"),
+        # full w=4 winnow window exists iff the 4th shingle does (t5)
+        F.when(F.col("t5").isNotNull(), F.least(*h)).alias("wm"),
     )
-    per_doc = win.groupBy("doc_id").agg(
+    per_doc = sh.groupBy("doc_id").agg(
         F.min("h").alias("min_shingle_hash"),
         # ONE set aggregate; digest + cardinality derived from it (a
         # countDistinct alongside would force an Expand of the stream)
-        F.array_sort(F.collect_set(F.when(F.col("c") == 4, F.col("wm")))).alias("wmset"),
+        F.array_sort(F.collect_set("wm")).alias("wmset"),
     )
     return docs.select("doc_id", norm_text_hash("text").alias("full_hash")).join(
         per_doc, "doc_id"
