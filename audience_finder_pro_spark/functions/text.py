@@ -53,10 +53,17 @@ def shingles(tok: Column, n: int = 3) -> Column:
     """Word n-gram shingles from a token array → array<string> (space-joined).
 
     Built with higher-order functions only (transform over an index
-    sequence + slice) — stays JVM-side, no UDF.
+    sequence + slice) — stays JVM-side, no UDF. The sub-n guard must be a
+    ``when``, not ``sequence(1, greatest(cnt, 0))``: Spark sequences run
+    DESCENDING when stop < start, so the old greatest() form produced
+    [1, 0] for short docs and slice(start=0) threw at runtime (caught by
+    the gram_stream equivalence property test).
     """
     k = F.lit(n)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - k + 1, F.lit(0)))
+    cnt = F.size(tok) - k + 1
+    idx = F.when(cnt > 0, F.sequence(F.lit(1), cnt)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(idx, lambda i: F.array_join(F.slice(tok, i, k), " "))
 
 

@@ -169,3 +169,24 @@ def test_pack_sequences_properties(spark, token_counts, budget):
     assert [(r.bin_id, r.bin_pos) for r in out2] == [
         (r.bin_id, r.bin_pos) for r in out
     ]
+
+
+@settings(**SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=12), st.integers(min_value=2, max_value=4))
+def test_gram_stream_matches_hof_shingles(spark, texts, n):
+    """The zip-sliced gram/shingle stream must emit exactly the shingle
+    MULTISET the per-row HOF form (functions.text.shingles) builds —
+    order within a doc included — across adversarial texts (empty,
+    sub-n token counts, punctuation-only, unicode)."""
+    from audience_finder_pro_spark.functions.text import shingles
+
+    df = _df(spark, texts)
+    got = {}
+    for r in shingle_stream(df, "i", "t", n).collect():
+        got.setdefault(r["i"], []).append(r["shingle"])
+    want = {
+        r["i"]: list(r["sh"])
+        for r in df.select("i", shingles(tokens("t"), n).alias("sh")).collect()
+    }
+    for i, w in want.items():
+        assert got.get(i, []) == w
