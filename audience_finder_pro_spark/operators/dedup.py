@@ -77,21 +77,29 @@ def _shingle_index(
     meaningful at any corpus size, a fixed count does not.
     """
     # Exchange discipline (each step annotated with what it costs):
-    # - distinct: exchange-FREE — the shingle window already clustered the
-    #   stream by id, and HashPartitioning(id) satisfies the (id, shingle)
-    #   aggregation's clustering requirement.
+    # - dedup: groupBy(id).collect_set(shingle) then explode — ONE
+    #   exchange whose wire carries map-side-combined per-doc SETS, not
+    #   raw shingle occurrences, and whose output is hash(id)-clustered
+    #   (the zip-sliced gram stream arrives with no useful partitioning,
+    #   so a plain .distinct() would pay an (id, shingle) exchange and
+    #   the n_sh window below a SECOND one on id).
     # - df-cap count: groupBy(shingle) — map-side partial agg, so the
     #   shuffle carries (shingle, partial_count), not the index.
     # - prune: broadcast anti-join — preserves the id clustering.
     # - n_sh: per-doc PRUNED set size via a count window — exchange-free
-    #   on the still-id-clustered stream. Carrying it on every index row
+    #   on the id-clustered stream. Carrying it on every index row
     #   lets the pair join below compute Jaccard directly, deleting the
     #   separate sizes branch (a groupBy + two joins + two broadcast
     #   builds) that previously re-consumed the index.
     # - repartition(shingle): the ONE full-index exchange; the pair
     #   self-join's both sides then reuse it (localCheckpoint preserves
     #   outputPartitioning, so the reuse survives materialization).
-    idx = shingle_stream(df, id_col, text_col, n).distinct()
+    idx = (
+        shingle_stream(df, id_col, text_col, n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("_sh"))
+        .select(id_col, F.explode("_sh").alias("shingle"))
+    )
     if df_cap is not None or df_cap_frac is not None:
         freq = idx.groupBy("shingle").agg(F.count("*").alias("_df"))
         if df_cap_frac is not None:
