@@ -35,7 +35,6 @@ _STATEFUL_PLANS = {
     "dedup_ngram_jaccard",
     "dedup_cc_clusters",
     "quarantine_report",
-    "quality_signals",  # r5: checkpoints its token/n-gram stream
 }
 
 

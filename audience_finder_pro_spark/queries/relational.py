@@ -651,35 +651,83 @@ def q20_date_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return date_part.unionByName(math_part)
 
 
-# ---------------------------------------------------------------- F1-F11 strings
+# --------------------------------------------- F1-F11 strings + F12 CASE bands
 @_q(
     "q22_string_funcs",
     """
-    SELECT doc_id,
-           length(text) AS n_len,
-           upper(substr(text, 1, 10)) AS head_upper,
-           replace(substr(text, 1, 40), 'the', '___') AS replaced,
-           reverse(substr(text, 1, 10)) AS head_rev,
-           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
-           (lang || ':' || source) AS lang_source,
-           starts_with(source, 'src1') AS is_src1x,
-           CASE WHEN lang IN ('en', 'de') THEN 'germanic' ELSE 'other' END AS lang_family
+    SELECT 'str' AS part,
+           doc_id AS k1,
+           length(text) AS v1,
+           CAST(NULL AS DOUBLE) AS v2,
+           CAST(starts_with(source, 'src1') AS VARCHAR) AS b1,
+           upper(substr(text, 1, 10)) AS s1,
+           replace(substr(text, 1, 40), 'the', '___') AS s2,
+           reverse(substr(text, 1, 10)) AS s3,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS s4,
+           (lang || ':' || source) AS s5,
+           CASE WHEN lang IN ('en', 'de') THEN 'germanic' ELSE 'other' END AS s6
     FROM documents
+    UNION ALL
+    SELECT 'case',
+           CAST(NULL AS BIGINT),
+           count(*),
+           round(sum(c_acctbal), 4),
+           '',
+           c_mktsegment,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 3000 THEN 'low'
+                WHEN c_acctbal < 7000 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           '', '', '', ''
+    FROM customer GROUP BY c_mktsegment, bal_band
     """,
 )
 def q22_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F11 scalar string families over documents, tagged-union-merged
+    with the former q25_case_scoring (F12 CASE banding aggregate over
+    customer) — the r6 merge that freed the driver slot funding
+    ``stream_static_join`` (the driver verifies exactly 50 oracle rows;
+    ledger in NOTES.md). Generic k/v/b/s columns per the q20+q21 merge
+    pattern; each leg's columns are null/blank in the other leg."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.length("text").cast("long").alias("n_len"),
-        F.upper(F.substring("text", 1, 10)).alias("head_upper"),
-        F.replace(F.substring("text", 1, 40), F.lit("the"), F.lit("___")).alias("replaced"),
-        F.reverse(F.substring("text", 1, 10)).alias("head_rev"),
-        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
-        F.concat("lang", F.lit(":"), "source").alias("lang_source"),
-        F.col("source").startswith("src1").alias("is_src1x"),
-        F.when(F.col("lang").isin("en", "de"), "germanic").otherwise("other").alias("lang_family"),
+    str_leg = docs.select(
+        F.lit("str").alias("part"),
+        F.col("doc_id").alias("k1"),
+        F.length("text").cast("long").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+        F.col("source").startswith("src1").cast("string").alias("b1"),
+        F.upper(F.substring("text", 1, 10)).alias("s1"),
+        F.replace(F.substring("text", 1, 40), F.lit("the"), F.lit("___")).alias("s2"),
+        F.reverse(F.substring("text", 1, 10)).alias("s3"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("s4"),
+        F.concat("lang", F.lit(":"), "source").alias("s5"),
+        F.when(F.col("lang").isin("en", "de"), "germanic").otherwise("other").alias("s6"),
     )
+    customer = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    case_leg = (
+        customer.groupBy(F.col("c_mktsegment").alias("_seg"), band.alias("_band"))
+        .agg(F.count("*").alias("_n"), F.round(F.sum("c_acctbal"), 4).alias("_bal"))
+        .select(
+            F.lit("case").alias("part"),
+            F.lit(None).cast("long").alias("k1"),
+            F.col("_n").alias("v1"),
+            F.col("_bal").alias("v2"),
+            F.lit("").alias("b1"),
+            F.col("_seg").alias("s1"),
+            F.col("_band").alias("s2"),
+            F.lit("").alias("s3"),
+            F.lit("").alias("s4"),
+            F.lit("").alias("s5"),
+            F.lit("").alias("s6"),
+        )
+    )
+    return str_leg.unionByName(case_leg)
 
 
 # ---------------------------------------------------------------- F15 arrays
@@ -728,32 +776,6 @@ def q24_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.sum(F.when(k > 50, 1).otherwise(0)).cast("long").alias("n_big_k"),
     )
-
-
-# ---------------------------------------------------------------- F12 CASE bands
-@_q(
-    "q25_case_scoring",
-    """
-    SELECT c_mktsegment AS mktsegment,
-           CASE WHEN c_acctbal < 0 THEN 'negative'
-                WHEN c_acctbal < 3000 THEN 'low'
-                WHEN c_acctbal < 7000 THEN 'mid'
-                ELSE 'high' END AS bal_band,
-           count(*) AS n, round(sum(c_acctbal), 4) AS total_bal
-    FROM customer GROUP BY mktsegment, bal_band
-    """,
-)
-def q25_case_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    band = (
-        F.when(F.col("c_acctbal") < 0, "negative")
-        .when(F.col("c_acctbal") < 3000, "low")
-        .when(F.col("c_acctbal") < 7000, "mid")
-        .otherwise("high")
-    )
-    return customer.groupBy(
-        F.col("c_mktsegment").alias("mktsegment"), band.alias("bal_band")
-    ).agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 4).alias("total_bal"))
 
 
 # ---------------------------------------------------------------- skew-salted agg

@@ -123,3 +123,36 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------- T4 stream-static join
+@_q(
+    "stream_static_join",
+    """
+    SELECT e.event_id, e.user_id, e.event_type, round(e.value, 4) AS value,
+           c.c_name AS user_name, c.c_mktsegment AS segment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_static_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 stream x static-dim enrichment, batch form — runs the SAME
+    ``streaming.jobs.stream_static_join`` operator the streaming tier
+    uses (broadcast left join on user_id; in streaming the dim is
+    re-broadcast per micro-batch), so the oracle row checks the exact
+    join the batch<->stream differential in tests/test_streaming.py
+    replays through readStream. Dim = customer keyed by c_custkey
+    (events.user_id draws from the same key space). Promoted in r6 via
+    the q25->q22 merge (driver verifies exactly 50 oracle rows)."""
+    from audience_finder_pro_spark.streaming.jobs import stream_static_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
+    )
+    user_dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return stream_static_join(events, user_dim).select(
+        "event_id", "user_id", "event_type", "value", "user_name", "segment"
+    )
