@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "stream_tumbling_agg",
     "stream_sliding_agg",
     "stream_session_window",
+    "stream_static_join",
     "quarantine_report",
 ]
 
