@@ -61,12 +61,14 @@ def ngram_contamination(
     ``n`` tokens produce no shingles and cannot be flagged (matching the
     published n-gram rule's behavior on short docs)."""
     bcol = benchmark_text_col or text_col
-    # one UNIQUE id per benchmark row: shingle_stream's per-doc window
-    # partitions on the id, so a shared literal id would interleave the
-    # token streams of different benchmark docs (pos ties across rows)
-    # and shingle across document boundaries — caught when a multi-doc
-    # benchmark produced zero true shingles (r6); the single-doc planted
-    # test couldn't see it
+    # one UNIQUE id per benchmark row. Historical: the r5 window-based
+    # shingler partitioned on the id, so a shared literal id interleaved
+    # the token streams of different benchmark docs and shingled across
+    # document boundaries (caught when a multi-doc benchmark produced
+    # zero true shingles). The r6 zip-sliced gram_stream shingles each
+    # ROW independently, so duplicate ids are no longer hazardous — but
+    # unique ids stay: they keep downstream per-benchmark-doc semantics
+    # well-defined and guard against any future id-keyed consumer.
     bench_sh = (
         shingle_stream(
             benchmark.select(F.monotonically_increasing_id().alias("_bid"), F.col(bcol)),

@@ -266,7 +266,7 @@ def minhash_lsh_pairs(
 
     # verify candidates with exact Jaccard — shingle sets are built only for
     # docs that appear in a candidate pair (≪ corpus), semi-joined first.
-    # Sets are collected from the codegen shingle_stream (posexplode+window)
+    # Sets are collected from the codegen shingle_stream (zip-sliced)
     # as xxhash64 longs, not via shingles() HOF arrays: the lambda transform
     # evaluates interpreted per shingle (~20µs), and long-array intersection
     # beats string-array intersection downstream. A 64-bit hash collision
