@@ -46,7 +46,12 @@ def tokens(col: Column | str, lowercase: bool = True) -> Column:
     if lowercase:
         c = F.lower(c)
     arr = F.split(c, r"[^a-z0-9]+" if lowercase else r"[^A-Za-z0-9]+")
-    return F.filter(arr, lambda t: F.length(t) > 0)
+    # array_remove, not F.filter(λ len>0): the split only yields empty
+    # strings (never nulls), so the two are equivalent — and a HOF lambda
+    # here would evaluate interpreted per token AND block whole-stage
+    # subexpression elimination for every sibling expression that shares
+    # the tokenize subtree (NOTES gotcha; the curation_pipeline lesson).
+    return F.array_remove(arr, "")
 
 
 def shingles(tok: Column, n: int = 3) -> Column:
