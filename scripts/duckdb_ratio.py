@@ -24,7 +24,7 @@ from audience_finder_pro_spark.queries import ORACLES, QUERIES
 from audience_finder_pro_spark.session import TABLES, get_spark
 
 
-def best_of(fn, runs: int = 3) -> float:
+def best_of(fn, runs: int = 4) -> float:
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
