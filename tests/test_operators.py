@@ -780,3 +780,21 @@ def test_excel_sink_nonfinite_floats(spark):
     ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
     vals = [v.text for v in root.findall(".//m:v", ns)]
     assert vals == ["1.5"]  # only the finite value serializes
+
+
+def test_load_table_fan_out_gate(spark):
+    """fan_out must repartition single-split scans to session parallelism
+    and be memoized separately from the plain scan; the plain scan stays
+    un-repartitioned (cheap queries opt out of the exchange)."""
+    from audience_finder_pro_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    plain = load_table(spark, sf, "documents")
+    fanned = load_table(spark, sf, "documents", fan_out=True)
+    par = spark.sparkContext.defaultParallelism
+    assert plain.rdd.getNumPartitions() < par
+    assert fanned.rdd.getNumPartitions() == par
+    # memoized: same object back on repeat calls, per variant
+    assert load_table(spark, sf, "documents") is plain
+    assert load_table(spark, sf, "documents", fan_out=True) is fanned
+    assert fanned.count() == plain.count()
