@@ -98,19 +98,26 @@ def comments_view(documents: DataFrame) -> DataFrame:
         F.col("doc_id"),
         F.split("text", " ").alias("toks"),
     )
+    # explode the chunk-INDEX sequence and slice per exploded row: slice/
+    # array_join then run as plain codegen projections. (The previous form
+    # built the chunk array with a transform() lambda — interpreted per
+    # chunk, and a whole-stage-codegen CSE blocker for sibling expressions;
+    # see the tokens() lesson in NOTES.)
     sliced = toks.select(
         "doc_id",
+        "toks",
         F.posexplode(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.ceil(F.size("toks") / F.lit(COMMENT_CHUNK)).cast("int") - 1,
-                ),
-                lambda p: F.array_join(
-                    F.slice(F.col("toks"), p * COMMENT_CHUNK + 1, COMMENT_CHUNK), " "
-                ),
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("toks") / F.lit(COMMENT_CHUNK)).cast("int") - 1,
             )
-        ).alias("pos", "chunk"),
+        ).alias("pos", "_p"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("_p") * COMMENT_CHUNK + 1, COMMENT_CHUNK), " "
+        ).alias("chunk"),
     )
     return sliced.select(
         (F.col("doc_id") * 100 + F.col("pos")).alias("comment_id"),
