@@ -464,6 +464,107 @@ def ivf_build_index(
     cw.saveAsTable(f"{table}_cents")
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then mark near-copies
+    *within* each cluster — the cluster step bounds the pairwise work the
+    way ``label`` blocking bounds ``cosine_neardup_pairs`` when no natural
+    blocking key exists.
+
+    Declared (deterministic, SQL-replayable) semantics:
+
+    1. Centroids are the ``n_clusters`` lowest-id vectors (the same
+       bounded model state ``ivf_topk`` seeds from; no Lloyd iterations,
+       so a DuckDB oracle can replay the whole operator).
+    2. Each vector joins its nearest centroid by cosine (ties → lowest
+       ``cent_id``) — broadcast centroids, one narrow corpus pass.
+    3. A vector is a semantic duplicate iff its cluster contains a
+       LOWER-id vector with cosine ≥ ``threshold``; ``dup_of`` is the
+       smallest such id (greedy keep-lowest-id — the EXISTS-self-join
+       form of SemDeDup's keep-one-per-ε-ball rule). Transitive
+       *grouping* is deliberately out of scope here; feed the emitted
+       (``dup_of``, id) pairs to ``operators.graph.connected_components``
+       when cluster-level groups are wanted.
+
+    Scale shape: one shuffle of the corpus on ``cent_id`` (the
+    ``applyInPandas`` group exchange), then a chunked ``X @ X.T`` per
+    cluster — O(|cluster|²·dim) at BLAS speed with the live slab bounded
+    to ``chunk_rows × |cluster|`` floats, never a pair-expanded join.
+    ``n_clusters`` is the blowup control: size it so |corpus|/n_clusters
+    vectors fit one executor (raise it at scale; clusters are processed
+    independently). Zero vectors score sim 0 (never duplicates), matching
+    the SQL form where their cosine is NULL/NaN and fails the threshold.
+
+    Returns one row per input vector: (id_col, cent_id, is_dup, dup_of)
+    with ``dup_of`` NULL for kept vectors.
+    """
+    from pyspark.sql.types import BooleanType, IntegerType, StructField, StructType
+
+    cents = (
+        _centroid_rows(df, id_col, vec_col, n_clusters)
+        .withColumn("cent_id", F.row_number().over(Window.orderBy("cent_seed")) - 1)
+        .select("cent_id", "cvec")
+    )
+    assigned = _assign(df.select(id_col, vec_col), cents, vec_col, dim=dim)
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("cent_id", IntegerType()),
+            StructField("is_dup", BooleanType(), nullable=False),
+            StructField("dup_of", id_type),
+        ]
+    )
+    thr = float(threshold)
+
+    def cluster_flags(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()])[order]
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0.0] = np.inf  # zero vectors: sim 0 everywhere (see docstring)
+        n = len(ids)
+        col_idx = np.arange(n)
+        is_dup = np.zeros(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        for s in range(0, n, chunk_rows):
+            e = min(s + chunk_rows, n)
+            sims = (X[s:e] @ X.T) / np.outer(norms[s:e], norms)
+            # only strictly-lower ids (ids sorted → strictly-left columns) count
+            mask = (sims >= thr) & (col_idx[None, :] < np.arange(s, e)[:, None])
+            hit = mask.any(axis=1)
+            is_dup[s:e] = hit
+            first = mask.argmax(axis=1)  # leftmost True = smallest qualifying id
+            dup_of[s:e][hit] = ids[first[hit]]
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cent_id": np.full(n, pdf["cent_id"].iloc[0], dtype=np.int32),
+                "is_dup": is_dup,
+                "dup_of": pd.array(
+                    [int(d) if d >= 0 else None for d in dup_of], dtype="Int64"
+                ),
+            }
+        )
+
+    return (
+        assigned.select("cent_id", id_col, vec_col)
+        .groupBy("cent_id")
+        .applyInPandas(cluster_flags, out_schema)
+        .select(id_col, "cent_id", "is_dup", "dup_of")
+    )
+
+
 def ivf_probe_indexed(
     spark,
     table: str,

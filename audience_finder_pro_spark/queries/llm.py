@@ -1141,3 +1141,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return ivf_topk(emb, queries, k=10, n_lists=32, n_probe=4, refine_iters=0)
+
+
+# ------------------------------------------------------- A9/A10 semantic dedup (no oracle slot)
+@_q("semantic_dedup", None)
+def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus plus planted exact copies
+    (vec_id % 7 == 0, re-keyed +100000): cluster-blocked within-cluster
+    near-copy marking — the generic blocking path when no label column
+    exists (cf. ``embedding_cosine_neardup``'s label blocking). The
+    fixture has no natural pairs above 0.48 cosine, so the planted copies
+    are what exercises the dup path; every step is deterministic
+    relational algebra + one per-cluster matmul, and the equivalent
+    DuckDB SQL is hash-checked in tests/test_llm_ops.py (no driver
+    oracle slot is free — see NOTES.md merge ledger)."""
+    from audience_finder_pro_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    return semantic_dedup(emb.unionByName(planted), threshold=0.95, n_clusters=32)

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "semantic_dedup",
     "text_stats",
     "doc_fingerprint",
     "lang_id",

@@ -543,3 +543,80 @@ def test_cosine_neardup_planted_pairs(spark):
         ).collect()
         assert [(r.id_a, r.id_b) for r in got] == [(1, 2)], got
         assert got[0].cosine_sim == pytest.approx(expected_sim, abs=1e-9)
+
+
+# ---------------------------------------------------------------- semantic dedup
+def _semdedup_oracle() -> str:
+    """DuckDB replay of the declared semantic_dedup query (planted copies,
+    deterministic seed centroids, greedy keep-lowest-id within cluster)."""
+    from audience_finder_pro_spark.queries.llm import _cos_sql
+
+    return f"""
+WITH allv AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM allv ORDER BY vec_id LIMIT 32)
+),
+a AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT v.vec_id, v.embedding, s.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_sql("v.embedding", "s.cvec")} DESC, s.cent_id) AS r
+    FROM allv v CROSS JOIN seeds s
+  ) WHERE r = 1
+)
+SELECT x.vec_id, x.cent_id, count(y.vec_id) > 0 AS is_dup, min(y.vec_id) AS dup_of
+FROM a x LEFT JOIN a y
+  ON x.cent_id = y.cent_id AND y.vec_id < x.vec_id
+     AND {_cos_sql("x.embedding", "y.embedding")} >= 0.95
+GROUP BY x.vec_id, x.cent_id
+"""
+
+
+def test_semantic_dedup_matches_sql_oracle(spark, sf_smoke):
+    """The declared query is deterministic relational algebra end-to-end:
+    DuckDB replays it and the values hash-match (same compare the driver
+    runs — no driver slot free, so the differential lives here)."""
+    from tests.oracle import compare
+
+    from audience_finder_pro_spark.queries import QUERIES
+
+    df = QUERIES["semantic_dedup"](spark, sf_smoke)
+    compare(df, _semdedup_oracle(), sf_smoke, name="semantic_dedup")
+
+
+def test_semantic_dedup_planted_copies_flagged(spark, sf_smoke):
+    """Every planted exact copy is marked dup-of its original; no original
+    is marked (fixture max natural pair cosine ≈ 0.48 < 0.95)."""
+    from audience_finder_pro_spark.queries import QUERIES
+
+    rows = {r.vec_id: r for r in QUERIES["semantic_dedup"](spark, sf_smoke).collect()}
+    planted = [vid for vid in rows if vid >= 100000]
+    assert planted, "expected planted copies in the declared query"
+    for vid in planted:
+        r = rows[vid]
+        assert r.is_dup and r.dup_of == vid - 100000, r
+    for vid, r in rows.items():
+        if vid < 100000:
+            assert not r.is_dup and r.dup_of is None, r
+
+
+def test_semantic_dedup_repartition_invariant(spark, sf_smoke):
+    """Cluster-local matmul + deterministic assignment: the emitted flags
+    must not depend on the input partitioning."""
+    from audience_finder_pro_spark.operators.similarity import semantic_dedup
+    from audience_finder_pro_spark.session import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    # threshold 0.35 < the fixture's 0.479 max pair cosine, so real dup
+    # marking happens (not just an all-false pass-through)
+    base = sorted(map(tuple, semantic_dedup(emb, threshold=0.35, n_clusters=8).collect()))
+    shuffled = sorted(
+        map(tuple, semantic_dedup(emb.repartition(7), threshold=0.35, n_clusters=8).collect())
+    )
+    assert base == shuffled
+    assert any(r[2] for r in base), "expected some dups at threshold 0.35"
