@@ -472,6 +472,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     dim: int | None = None,
     chunk_rows: int = 1024,
+    assignment: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then mark near-copies
@@ -505,6 +506,23 @@ def semantic_dedup(
 
     Returns one row per input vector: (id_col, cent_id, is_dup, dup_of)
     with ``dup_of`` NULL for kept vectors.
+
+    ``assignment`` picks the nearest-centroid execution strategy:
+
+    - ``"expr"`` (default): broadcast crossJoin + ``max_by`` fold — the
+      sequential-double-fold arithmetic DuckDB replays bit-for-bit, so
+      the pytest hash-differential holds. Costs one extra corpus
+      exchange (the argmax groupBy; map-side combined, carries n rows).
+    - ``"arrow"``: centroids collected to the driver (n_clusters×dim
+      floats — the same bounded model state ``ivf_topk`` collects) and
+      assignment computed as a per-batch matmul argmax in
+      ``mapInPandas`` — a pure projection, so the cluster regroup is the
+      ONLY corpus shuffle. The 100 TB shape: at real embedding widths
+      the fold is also per-element-interpreted, while this path scores
+      at BLAS speed. Sims agree with the fold only to float tolerance
+      (~1e-15), so assignment can differ on exact centroid ties —
+      argmax tie-break (lowest cent_id) matches, and the two paths are
+      asserted identical on the fixture in tests.
     """
     from pyspark.sql.types import BooleanType, IntegerType, StructField, StructType
 
@@ -513,7 +531,42 @@ def semantic_dedup(
         .withColumn("cent_id", F.row_number().over(Window.orderBy("cent_seed")) - 1)
         .select("cent_id", "cvec")
     )
-    assigned = _assign(df.select(id_col, vec_col), cents, vec_col, dim=dim)
+    if assignment == "arrow":
+        cent_rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
+        C = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in cent_rows])
+        cnorm = np.linalg.norm(C, axis=1)
+        cnorm[cnorm == 0.0] = np.inf
+        assign_schema = StructType(
+            [
+                StructField(id_col, df.schema[id_col].dataType),
+                StructField(vec_col, df.schema[vec_col].dataType),
+                StructField("cent_id", IntegerType()),
+            ]
+        )
+
+        def assign_batches(it):
+            for pdf in it:
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()]
+                )
+                xnorm = np.linalg.norm(X, axis=1)
+                xnorm[xnorm == 0.0] = np.inf
+                sims = (X @ C.T) / np.outer(xnorm, cnorm)
+                # np.argmax returns the FIRST max → lowest cent_id on ties,
+                # same rule as the expr path's max_by struct tie-break
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        vec_col: pdf[vec_col].to_numpy(),
+                        "cent_id": sims.argmax(axis=1).astype(np.int32),
+                    }
+                )
+
+        assigned = df.select(id_col, vec_col).mapInPandas(assign_batches, assign_schema)
+    elif assignment == "expr":
+        assigned = _assign(df.select(id_col, vec_col), cents, vec_col, dim=dim)
+    else:
+        raise ValueError(f"assignment must be 'expr' or 'arrow', got {assignment!r}")
 
     id_type = df.schema[id_col].dataType
     out_schema = StructType(

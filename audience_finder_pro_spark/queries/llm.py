@@ -1143,18 +1143,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, n_lists=32, n_probe=4, refine_iters=0)
 
 
-# ------------------------------------------------------- A9/A10 semantic dedup (no oracle slot)
-@_q("semantic_dedup", None)
+# ------------------------------------------------------------ E8 semantic dedup
+_SEMDEDUP_ORACLE = f"""
+WITH allv AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM allv ORDER BY vec_id LIMIT 32)
+),
+a AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT v.vec_id, v.embedding, s.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_sql("v.embedding", "s.cvec")} DESC, s.cent_id) AS r
+    FROM allv v CROSS JOIN seeds s
+  ) WHERE r = 1
+)
+SELECT x.vec_id, x.cent_id, count(y.vec_id) > 0 AS is_dup, min(y.vec_id) AS dup_of
+FROM a x LEFT JOIN a y
+  ON x.cent_id = y.cent_id AND y.vec_id < x.vec_id
+     AND {_cos_sql("x.embedding", "y.embedding")} >= 0.95
+GROUP BY x.vec_id, x.cent_id
+"""
+
+
+@_q("semantic_dedup", _SEMDEDUP_ORACLE)
 def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embedding corpus plus planted exact copies
     (vec_id % 7 == 0, re-keyed +100000): cluster-blocked within-cluster
     near-copy marking — the generic blocking path when no label column
     exists (cf. ``embedding_cosine_neardup``'s label blocking). The
-    fixture has no natural pairs above 0.48 cosine, so the planted copies
-    are what exercises the dup path; every step is deterministic
-    relational algebra + one per-cluster matmul, and the equivalent
-    DuckDB SQL is hash-checked in tests/test_llm_ops.py (no driver
-    oracle slot is free — see NOTES.md merge ledger)."""
+    fixture has no natural pairs above 0.61 cosine at any local SF, so
+    the planted copies exercise the dup path with a wide margin to the
+    0.95 threshold (matmul-vs-fold float drift cannot flip the compare);
+    assignment uses the expression-fold path whose arithmetic DuckDB
+    replays bit-for-bit. Slot funded by the stream_tumbling_agg +
+    stream_sliding_agg tagged merge (``stream_window_aggs``)."""
     from audience_finder_pro_spark.operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -28,19 +28,11 @@ def _q(name: str, oracle: str | None):
 
 
 # ---------------------------------------------------------------- T1 tumbling
-@_q(
-    "stream_tumbling_agg",
-    """
-    SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 * 1000000 AS BIGINT)),
-                    '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           count(*) AS n, round(sum(value), 4) AS total_value
-    FROM events
-    GROUP BY window_start, event_type
-    """,
-)
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """6-hour tumbling windows × event_type (epoch-aligned, same as streaming)."""
+    """6-hour tumbling windows × event_type (epoch-aligned, same as streaming).
+
+    Batch leg of the declared ``stream_window_aggs`` query; kept callable
+    standalone for the batch≡stream differential in tests/test_streaming.py."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
@@ -55,24 +47,10 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- T1 sliding
-@_q(
-    "stream_sliding_agg",
-    """
-    WITH slides AS (
-      SELECT *, unnest(range(
-        CAST(floor((epoch(ts) - 10800) / 3600) + 1 AS BIGINT),
-        CAST(floor(epoch(ts) / 3600) AS BIGINT) + 1
-      )) AS slide_idx
-      FROM events
-    )
-    SELECT strftime(make_timestamp(slide_idx * 3600 * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
-           count(*) AS n, round(sum(value), 4) AS total_value
-    FROM slides
-    GROUP BY window_start
-    """,
-)
 def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-hour windows sliding hourly: each event lands in 3 windows."""
+    """3-hour windows sliding hourly: each event lands in 3 windows.
+
+    Batch leg of the declared ``stream_window_aggs`` query (see above)."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "3 hours", "1 hour").alias("w"))
@@ -83,6 +61,54 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# -------------------------------------------- T1 tumbling + sliding (tagged union)
+@_q(
+    "stream_window_aggs",
+    """
+    SELECT 'tumbling' AS kind,
+           strftime(make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 * 1000000 AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    UNION ALL
+    SELECT 'sliding' AS kind, window_start, NULL AS event_type, n, total_value FROM (
+      WITH slides AS (
+        SELECT *, unnest(range(
+          CAST(floor((epoch(ts) - 10800) / 3600) + 1 AS BIGINT),
+          CAST(floor(epoch(ts) / 3600) AS BIGINT) + 1
+        )) AS slide_idx
+        FROM events
+      )
+      SELECT strftime(make_timestamp(slide_idx * 3600 * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+             count(*) AS n, round(sum(value), 4) AS total_value
+      FROM slides
+      GROUP BY window_start
+    )
+    """,
+)
+def stream_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both T1 window shapes in one tagged result — the former
+    ``stream_tumbling_agg`` and ``stream_sliding_agg`` declared queries,
+    merged r7-prep to free a driver slot for ``semantic_dedup`` under the
+    50-query verification cap. Each leg is the unchanged batch form of
+    its streaming aggregation (the legs stay individually callable above
+    for the batch≡stream differentials); the sliding leg carries a NULL
+    ``event_type`` so the union is schema-aligned."""
+    tum = stream_tumbling_agg(spark, sf_dir).select(
+        F.lit("tumbling").alias("kind"), "window_start", "event_type", "n", "total_value"
+    )
+    sld = stream_sliding_agg(spark, sf_dir).select(
+        F.lit("sliding").alias("kind"),
+        "window_start",
+        F.lit(None).cast("string").alias("event_type"),
+        "n",
+        "total_value",
+    )
+    return tum.unionByName(sld)
 
 
 # ---------------------------------------------------------------- T2 session windows

@@ -56,8 +56,7 @@ BENCH_QUERIES = [
     "text_stats",
     "doc_fingerprint",
     "lang_id",
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
+    "stream_window_aggs",
     "stream_session_window",
     "stream_static_join",
     "quarantine_report",

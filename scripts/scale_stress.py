@@ -224,6 +224,49 @@ def main() -> None:
         f"in {t_pack:.1f}s, overflow invariant holds"
     )
 
+    # Semantic dedup at scale: arrow assignment (single corpus shuffle) over
+    # a synthetic corpus with planted exact copies. Centered rand vectors
+    # keep natural cosines away from the 0.95 threshold, so the planted
+    # copies are exactly the expected dup set.
+    from audience_finder_pro_spark.operators.similarity import semantic_dedup
+
+    n_emb = 200_000 * factor // 50
+    base_emb = (
+        spark.range(n_emb)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)), lambda _: (F.rand(7) - 0.5).cast("float")
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    copies = base_emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + n_emb).alias("vec_id"), "embedding"
+    )
+    corpus = base_emb.unionByName(copies)
+    t0 = time.time()
+    flags = semantic_dedup(corpus, threshold=0.95, n_clusters=256, assignment="arrow")
+    agg = flags.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("is_dup") & (F.col("vec_id") >= n_emb), 1).otherwise(0)).alias(
+            "copies_flagged"
+        ),
+    ).collect()[0]
+    t_sd = time.time() - t0
+    n_copies = n_emb // 10
+    assert agg["n"] == n_emb + n_copies, agg
+    assert agg["copies_flagged"] == n_copies, (
+        f"planted copies flagged {agg['copies_flagged']}/{n_copies}"
+    )
+    from audience_finder_pro_spark.caching import free_checkpoint as _fc
+
+    _fc(base_emb)
+    print(
+        f"semantic_dedup stress: {agg['n']} vectors (dim 64, 256 clusters, arrow assign) "
+        f"in {t_sd:.1f}s, all {n_copies} planted copies flagged"
+    )
+
     # Cosine dispatch crossover: expression fold vs Arrow-batched numpy at
     # increasing vector widths (functions/vectors.py VECTORIZE_MIN_DIM).
     from audience_finder_pro_spark.functions.vectors import _cosine_arrow, dot, l2_norm

@@ -546,47 +546,16 @@ def test_cosine_neardup_planted_pairs(spark):
 
 
 # ---------------------------------------------------------------- semantic dedup
-def _semdedup_oracle() -> str:
-    """DuckDB replay of the declared semantic_dedup query (planted copies,
-    deterministic seed centroids, greedy keep-lowest-id within cluster)."""
-    from audience_finder_pro_spark.queries.llm import _cos_sql
-
-    return f"""
-WITH allv AS (
-  SELECT vec_id, embedding FROM embeddings
-  UNION ALL
-  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0
-),
-seeds AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding AS cvec
-  FROM (SELECT vec_id, embedding FROM allv ORDER BY vec_id LIMIT 32)
-),
-a AS (
-  SELECT vec_id, embedding, cent_id FROM (
-    SELECT v.vec_id, v.embedding, s.cent_id,
-           row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY {_cos_sql("v.embedding", "s.cvec")} DESC, s.cent_id) AS r
-    FROM allv v CROSS JOIN seeds s
-  ) WHERE r = 1
-)
-SELECT x.vec_id, x.cent_id, count(y.vec_id) > 0 AS is_dup, min(y.vec_id) AS dup_of
-FROM a x LEFT JOIN a y
-  ON x.cent_id = y.cent_id AND y.vec_id < x.vec_id
-     AND {_cos_sql("x.embedding", "y.embedding")} >= 0.95
-GROUP BY x.vec_id, x.cent_id
-"""
-
-
 def test_semantic_dedup_matches_sql_oracle(spark, sf_smoke):
     """The declared query is deterministic relational algebra end-to-end:
-    DuckDB replays it and the values hash-match (same compare the driver
-    runs — no driver slot free, so the differential lives here)."""
+    DuckDB replays it and the values hash-match. The driver runs the same
+    differential at sf0.01; this runs it at sf0.001 too."""
     from tests.oracle import compare
 
-    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries import ORACLES, QUERIES
 
     df = QUERIES["semantic_dedup"](spark, sf_smoke)
-    compare(df, _semdedup_oracle(), sf_smoke, name="semantic_dedup")
+    compare(df, ORACLES["semantic_dedup"], sf_smoke, name="semantic_dedup")
 
 
 def test_semantic_dedup_planted_copies_flagged(spark, sf_smoke):
@@ -620,3 +589,29 @@ def test_semantic_dedup_repartition_invariant(spark, sf_smoke):
     )
     assert base == shuffled
     assert any(r[2] for r in base), "expected some dups at threshold 0.35"
+
+
+def test_semantic_dedup_arrow_assignment_agrees_and_saves_a_shuffle(spark, sf_smoke):
+    """The mapInPandas matmul assignment must produce the same flags as the
+    oracle-exact fold path on the fixture, and its plan must pay exactly
+    one corpus exchange (the cluster regroup) vs the fold path's two."""
+    import re
+
+    from audience_finder_pro_spark.operators.similarity import semantic_dedup
+    from audience_finder_pro_spark.session import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    expr_df = semantic_dedup(emb, threshold=0.35, n_clusters=8, assignment="expr")
+    arrow_df = semantic_dedup(emb, threshold=0.35, n_clusters=8, assignment="arrow")
+    assert sorted(map(tuple, expr_df.collect())) == sorted(map(tuple, arrow_df.collect()))
+
+    def n_exchanges(df):
+        # pre-execution plan: the post-AQE printer appends the Initial Plan
+        # section and would double-count every exchange
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"Exchange (hashpartitioning|SinglePartition)", plan))
+
+    fresh_arrow = semantic_dedup(emb, threshold=0.35, n_clusters=8, assignment="arrow")
+    fresh_expr = semantic_dedup(emb, threshold=0.35, n_clusters=8, assignment="expr")
+    assert n_exchanges(fresh_arrow) == 1, "arrow assignment should leave only the regroup"
+    assert n_exchanges(fresh_expr) == 2
