@@ -531,8 +531,22 @@ def semantic_dedup(
         .withColumn("cent_id", F.row_number().over(Window.orderBy("cent_seed")) - 1)
         .select("cent_id", "cvec")
     )
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("cent_id", IntegerType()),
+            StructField("is_dup", BooleanType(), nullable=False),
+            StructField("dup_of", id_type),
+        ]
+    )
+
     if assignment == "arrow":
         cent_rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
+        if not cent_rows:
+            # empty corpus: no centroids to collect — short-circuit to an
+            # empty result with the declared output schema
+            return df.sparkSession.createDataFrame([], out_schema)
         C = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in cent_rows])
         cnorm = np.linalg.norm(C, axis=1)
         cnorm[cnorm == 0.0] = np.inf
@@ -546,6 +560,8 @@ def semantic_dedup(
 
         def assign_batches(it):
             for pdf in it:
+                if pdf.empty:  # Spark may hand empty Arrow batches
+                    continue
                 X = np.stack(
                     [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()]
                 )
@@ -568,15 +584,6 @@ def semantic_dedup(
     else:
         raise ValueError(f"assignment must be 'expr' or 'arrow', got {assignment!r}")
 
-    id_type = df.schema[id_col].dataType
-    out_schema = StructType(
-        [
-            StructField(id_col, id_type),
-            StructField("cent_id", IntegerType()),
-            StructField("is_dup", BooleanType(), nullable=False),
-            StructField("dup_of", id_type),
-        ]
-    )
     thr = float(threshold)
 
     def cluster_flags(pdf: pd.DataFrame) -> pd.DataFrame:

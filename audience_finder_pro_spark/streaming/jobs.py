@@ -54,6 +54,21 @@ def tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T1 sliding form: 3-hour windows advancing hourly — each event lands in
+    3 windows; same plan as the stream_window_aggs sliding batch leg."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "3 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
 def session_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
     """T2: gap-based session windows with watermark-bounded state."""
     return (

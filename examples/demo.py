@@ -80,6 +80,16 @@ def main() -> None:
     )
     final.groupBy("split", "sampled").count().orderBy("split", "sampled").show()
 
+    print("== semantic dedup (SemDeDup): cluster-blocked embedding near-copies ==")
+    from audience_finder_pro_spark.operators.similarity import semantic_dedup
+
+    corpus = emb.unionByName(
+        emb.limit(3).select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    )
+    semantic_dedup(corpus, threshold=0.95, n_clusters=8, assignment="arrow").filter(
+        "is_dup"
+    ).show()
+
     print("== packing tier: fixed token-budget bins ==")
     from audience_finder_pro_spark.operators.packing import pack_sequences
 

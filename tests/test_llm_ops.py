@@ -615,3 +615,15 @@ def test_semantic_dedup_arrow_assignment_agrees_and_saves_a_shuffle(spark, sf_sm
     fresh_expr = semantic_dedup(emb, threshold=0.35, n_clusters=8, assignment="expr")
     assert n_exchanges(fresh_arrow) == 1, "arrow assignment should leave only the regroup"
     assert n_exchanges(fresh_expr) == 2
+
+
+def test_semantic_dedup_empty_corpus(spark):
+    """Both assignment paths must return an empty, correctly-typed result on
+    an empty corpus (the arrow path has no centroids to collect)."""
+    from audience_finder_pro_spark.operators.similarity import semantic_dedup
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    for mode in ("expr", "arrow"):
+        out = semantic_dedup(empty, n_clusters=4, assignment=mode)
+        assert out.columns == ["vec_id", "cent_id", "is_dup", "dup_of"], mode
+        assert out.count() == 0, mode

@@ -53,6 +53,19 @@ def test_tumbling_stream_equals_batch(spark, sf_smoke, events_dir):
     assert got == want
 
 
+def test_sliding_stream_equals_batch(spark, sf_smoke, events_dir):
+    """T1 sliding: watermarked 3h/1h sliding agg over the replay == the
+    stream_window_aggs sliding batch leg (complete mode emits all windows)."""
+    from audience_finder_pro_spark.queries.streaming import stream_sliding_agg
+    from audience_finder_pro_spark.streaming.jobs import sliding_agg
+
+    stream = _read_stream(spark, events_dir)
+    name = run_stream_to_memory(sliding_agg(stream), "t1_slide_out", output_mode="complete")
+    got = _rows(spark.table(name))
+    want = _rows(stream_sliding_agg(spark, sf_smoke))
+    assert got == want
+
+
 def test_session_stream_equals_batch(spark, sf_smoke, events_dir):
     """T2: session windows (gap merge) over the replay == batch session_window."""
     # Files arrive in random time order, so a short watermark would mark most
