@@ -51,10 +51,19 @@ def _pair_cosine(qvec: Column, cvec: Column, qn: str, cn: str, dim: int | None) 
     """Cosine for a joined pair, using the precomputed per-row norms on the
     fold path. dot/(qn·cn) is the identical floating-point expression the
     oracle computes (the norm value doesn't depend on where it's evaluated),
-    so hash equality with DuckDB is preserved."""
+    so hash equality with DuckDB is preserved.
+
+    Zero vectors: the denominator is 0 and ANSI mode makes a bare divide
+    THROW, so the division is guarded to NULL — which is exactly what the
+    DuckDB oracle's double division by zero returns, keeping parity. NULL
+    sims sort last under the desc() rank windows, so zero vectors can
+    never outrank a real similarity. (The Arrow kernel yields NaN instead
+    — 0/0 in IEEE — which Spark sorts FIRST in desc; corpora with zero
+    vectors at ≥VECTORIZE_MIN_DIM widths should pre-filter them.)"""
     if dim is not None and dim >= VECTORIZE_MIN_DIM:
         return cosine_similarity(qvec, cvec, dim=dim)
-    return dot(qvec, cvec) / (F.col(qn) * F.col(cn))
+    den = F.col(qn) * F.col(cn)
+    return F.when(den != 0.0, dot(qvec, cvec) / den)
 
 
 def _exact_topk(
@@ -341,9 +350,15 @@ def _assign(df, cents, vec_col: str, dim: int | None = None):
         F.broadcast(_with_norm(cents, "cvec", "_ctn", dim))
     ).withColumn("_sim", _pair_cosine(F.col(vec_col), F.col("cvec"), "_vn", "_ctn", dim))
     keys = [c for c in df.columns]
-    # tie-break deterministically: highest sim, then lowest cent_id
+    # tie-break deterministically: highest sim, then lowest cent_id. A zero
+    # vector's sim is NULL on the fold path (see _pair_cosine) — coalesce
+    # below every real sim so it still assigns (to cent_id 0 via the tie
+    # rule, same cluster the arrow path's all-zero argmax picks) instead of
+    # max_by propagating a NULL cent_id into the cluster regroup.
     return scored.groupBy(*keys).agg(
-        F.max_by("cent_id", F.struct(F.col("_sim"), -F.col("cent_id"))).alias("cent_id")
+        F.max_by(
+            "cent_id", F.struct(F.coalesce(F.col("_sim"), F.lit(-2.0)), -F.col("cent_id"))
+        ).alias("cent_id")
     )
 
 

@@ -627,3 +627,21 @@ def test_semantic_dedup_empty_corpus(spark):
         out = semantic_dedup(empty, n_clusters=4, assignment=mode)
         assert out.columns == ["vec_id", "cent_id", "is_dup", "dup_of"], mode
         assert out.count() == 0, mode
+
+
+def test_ann_zero_vector_corpus_does_not_throw(spark):
+    """ANSI regression (found by hypothesis): a zero embedding made the
+    fold-path cosine divide by zero and kill the job. It must instead score
+    NULL (DuckDB parity) and never outrank a real similarity."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = brute_force_topk(df, queries, k=3).collect()
+    assert [r.vec_id for r in got] == [0, 1, 2]  # zero vector ranked last (NULL sim)
+    assert got[2].cosine_sim is None

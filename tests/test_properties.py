@@ -190,3 +190,48 @@ def test_gram_stream_matches_hof_shingles(spark, texts, n):
     }
     for i, w in want.items():
         assert got.get(i, []) == w
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-3, max_value=3), min_size=4, max_size=4),
+        min_size=1,
+        max_size=24,
+    ),
+    st.sampled_from([0.7, 0.9, 0.99]),
+)
+def test_semantic_dedup_greedy_invariants(spark, vecs, threshold):
+    """semantic_dedup's declared semantics, on arbitrary small integer
+    vectors: (a) one output row per input id; (b) every dup points at a
+    lower-id vector in its own cluster with cosine >= threshold; (c) KEPT
+    vectors within a cluster are pairwise BELOW threshold (else the later
+    one would have been marked)."""
+    import math
+
+    from audience_finder_pro_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, threshold=threshold, n_clusters=4).collect()
+    assert sorted(r.vec_id for r in out) == list(range(len(vecs)))
+
+    def cos(a, b):
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        if na == 0 or nb == 0:
+            return 0.0
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    by_id = {r.vec_id: r for r in out}
+    for r in out:
+        if r.is_dup:
+            assert r.dup_of is not None and r.dup_of < r.vec_id
+            assert by_id[r.dup_of].cent_id == r.cent_id
+            assert cos(vecs[r.vec_id], vecs[r.dup_of]) >= threshold - 1e-9
+        else:
+            assert r.dup_of is None
+    kept = [r for r in out if not r.is_dup]
+    for i, a in enumerate(kept):
+        for b in kept[i + 1 :]:
+            if a.cent_id == b.cent_id:
+                assert cos(vecs[a.vec_id], vecs[b.vec_id]) < threshold + 1e-9
