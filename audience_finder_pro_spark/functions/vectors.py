@@ -93,4 +93,7 @@ def cosine_similarity(a: Column, b: Column, dim: int | None = None) -> Column:
     """
     if dim is not None and dim >= VECTORIZE_MIN_DIM:
         return _cosine_arrow()(a, b)
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # zero vectors: ANSI mode turns a bare /0 into a job-killing exception;
+    # guard to NULL, which is what DuckDB's double division by zero returns
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den != 0.0, dot(a, b) / den)

@@ -433,9 +433,15 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars"),
         n_tok.cast("long").alias("n_tokens"),
         F.size(F.array_distinct(tok)).cast("long").alias("n_distinct_tokens"),
-        F.round(F.size(F.array_distinct(tok)) / n_tok, 4).alias("type_token_ratio"),
-        F.round(F.length(F.array_join(tok, "")) / n_tok, 4).alias("avg_token_len"),
-        F.round(n_stop / n_tok, 4).alias("stopword_ratio"),
+        # n_tok guard: ANSI turns /0 into an exception for a zero-token doc;
+        # NULL matches DuckDB's division-by-zero result, row kept both sides
+        F.round(F.when(n_tok > 0, F.size(F.array_distinct(tok)) / n_tok), 4).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.when(n_tok > 0, F.length(F.array_join(tok, "")) / n_tok), 4).alias(
+            "avg_token_len"
+        ),
+        F.round(F.when(n_tok > 0, n_stop / n_tok), 4).alias("stopword_ratio"),
     )
 
 
@@ -664,11 +670,16 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     CSE reason as text_stats / curation_pipeline (NOTES gotcha #1)."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     tok = tokens("text")
-    len_score = F.least(F.size(tok) / 100.0, F.lit(1.0))
-    ttr = F.size(F.array_distinct(tok)) / F.size(tok)
-    stop_ratio = (
-        F.size(tok) - F.size(F.array_remove(F.array_remove(tok, "the"), "a"))
-    ) / F.size(tok)
+    n_tok = F.size(tok)
+    len_score = F.least(n_tok / 100.0, F.lit(1.0))
+    # zero-token docs: guarded to NULL (ANSI would throw on /0); quality then
+    # propagates NULL and the verdict CASE falls through to "drop" — the same
+    # path DuckDB takes (NULL division, NULL >= 0.5 is not true)
+    ttr = F.when(n_tok > 0, F.size(F.array_distinct(tok)) / n_tok)
+    stop_ratio = F.when(
+        n_tok > 0,
+        (n_tok - F.size(F.array_remove(F.array_remove(tok, "the"), "a"))) / n_tok,
+    )
     q = 0.4 * len_score + 0.4 * ttr + 0.2 * (1 - stop_ratio)
     return docs.select(
         "doc_id",
@@ -1058,8 +1069,10 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.size(tok)
     n_stop = n_words - F.size(F.array_remove(F.array_remove(tok, "the"), "a"))
     len_score = F.least(n_words / 100.0, F.lit(1.0))
-    ttr = F.size(F.array_distinct(tok)) / n_words
-    stop_ratio = n_stop / n_words
+    # /0 guard: zero-token docs score NULL and fail the quality>=0.5 gate in
+    # both engines instead of killing the job under ANSI
+    ttr = F.when(n_words > 0, F.size(F.array_distinct(tok)) / n_words)
+    stop_ratio = F.when(n_words > 0, n_stop / n_words)
     scored = docs.select(
         "doc_id",
         "source",

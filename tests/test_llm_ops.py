@@ -645,3 +645,61 @@ def test_ann_zero_vector_corpus_does_not_throw(spark):
     got = brute_force_topk(df, queries, k=3).collect()
     assert [r.vec_id for r in got] == [0, 1, 2]  # zero vector ranked last (NULL sim)
     assert got[2].cosine_sim is None
+
+    # same corpus through IVF (cosine_similarity fold guard + assignment):
+    # must not throw, zero vector still never outranks a real similarity
+    from audience_finder_pro_spark.operators.similarity import ivf_topk
+
+    ivf = ivf_topk(df, queries, k=3, n_lists=2, n_probe=2, refine_iters=0).collect()
+    assert [r.vec_id for r in ivf][:2] == [0, 1]
+
+
+def test_text_tier_zero_token_docs(spark, tmp_path):
+    """Degenerate documents (empty text, punctuation-only) must not kill the
+    job under ANSI mode: ratio metrics go NULL (matching DuckDB's division
+    by zero), quality verdicts fall through to drop, and the quality_signals
+    token-stream grouping drops token-less docs in BOTH engines. The oracle
+    SQL runs against the same crafted fixture to prove parity where the
+    real fixture has no such rows."""
+    import duckdb
+
+    from tests.oracle import canonicalize
+
+    from audience_finder_pro_spark.queries import ORACLES, QUERIES
+
+    rows = [
+        (1, "", "en", "src_1", 0),
+        (2, "!!! ??? ...", "en", "src_1", 11),
+        (3, "the a quick brown fox jumps over the lazy dog", "en", "src_2", 45),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf_dir = str(tmp_path)
+
+    # tests/oracle.compare registers every fixture table; this crafted dir
+    # only has documents, so register just that view
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    for name in ("text_stats", "quality_score", "curation_pipeline", "quality_signals"):
+        sdf = QUERIES[name](spark, sf_dir)
+        cur = con.execute(ORACLES[name])
+        o_cols = [d[0] for d in cur.description]
+        o_rows = cur.fetchall()
+        s_rows = [tuple(r) for r in sdf.collect()]
+        assert len(s_rows) == len(o_rows), (name, len(s_rows), len(o_rows))
+        _, s_canon = canonicalize(sdf.columns, s_rows)
+        _, o_canon = canonicalize(o_cols, o_rows)
+        assert s_canon == o_canon, (name, s_canon[:3], o_canon[:3])
+    con.close()
+
+    stats = {r.doc_id: r for r in QUERIES["text_stats"](spark, sf_dir).collect()}
+    assert len(stats) == 3
+    for d in (1, 2):
+        assert stats[d].n_tokens == 0 and stats[d].type_token_ratio is None
+    verdicts = {r.doc_id: r.verdict for r in QUERIES["quality_score"](spark, sf_dir).collect()}
+    assert verdicts[1] == "drop" and verdicts[2] == "drop"
+    qs_ids = {r.doc_id for r in QUERIES["quality_signals"](spark, sf_dir).collect()}
+    assert qs_ids == {3}
