@@ -671,6 +671,7 @@ def test_text_tier_zero_token_docs(spark, tmp_path):
         (1, "", "en", "src_1", 0),
         (2, "!!! ??? ...", "en", "src_1", 11),
         (3, "the a quick brown fox jumps over the lazy dog", "en", "src_2", 45),
+        (4, None, "en", "src_2", 0),  # NULL text: common in scraped corpora
     ]
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -696,10 +697,11 @@ def test_text_tier_zero_token_docs(spark, tmp_path):
     con.close()
 
     stats = {r.doc_id: r for r in QUERIES["text_stats"](spark, sf_dir).collect()}
-    assert len(stats) == 3
+    assert len(stats) == 4
     for d in (1, 2):
         assert stats[d].n_tokens == 0 and stats[d].type_token_ratio is None
+    assert stats[4].n_tokens is None and stats[4].type_token_ratio is None
     verdicts = {r.doc_id: r.verdict for r in QUERIES["quality_score"](spark, sf_dir).collect()}
-    assert verdicts[1] == "drop" and verdicts[2] == "drop"
+    assert verdicts[1] == "drop" and verdicts[2] == "drop" and verdicts[4] == "drop"
     qs_ids = {r.doc_id for r in QUERIES["quality_signals"](spark, sf_dir).collect()}
     assert qs_ids == {3}
