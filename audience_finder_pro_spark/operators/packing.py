@@ -208,3 +208,57 @@ def pack_sequences_tight(
             yield out
 
     return df.mapInPandas(run, schema=schema)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/long-context
+    complement to packing: split each document into windows of
+    ``chunk_tokens`` whitespace tokens advancing by ``chunk_tokens -
+    overlap``, so consecutive chunks share ``overlap`` tokens of context.
+
+    Declared semantics (deterministic, SQL-replayable):
+
+    - tokens = whitespace split with empties dropped (case and
+      punctuation PRESERVED — chunks are re-joined text for embedding or
+      context assembly, unlike the normalized analysis tokenizer).
+    - a doc with n tokens yields ``1`` chunk if ``n <= chunk_tokens``
+      else ``ceil((n - chunk_tokens) / step) + 1`` — exact coverage, the
+      last chunk shorter but always > ``overlap`` tokens.
+    - zero-token docs (empty/whitespace/NULL text) yield NO chunks.
+
+    Scale shape: one narrow pass — tokenize, explode the chunk-INDEX
+    sequence, slice per exploded row (plain codegen, no HOF lambdas, no
+    window, zero exchanges; same shape as plans/views comment chunks).
+    The sub-1-chunk guard is a ``when``, not ``sequence(greatest(...))``
+    — Spark sequences run DESCENDING when start > stop (see
+    functions/text.gram_stream).
+
+    Returns (id_col, chunk_id, chunk_text, n_tokens).
+    """
+    if not chunk_tokens > overlap >= 0:
+        raise ValueError(f"need chunk_tokens > overlap >= 0, got {chunk_tokens}/{overlap}")
+    step = chunk_tokens - overlap
+    tok = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    n = F.size(tok)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - chunk_tokens) / F.lit(float(step))).cast("int") + 1
+    )
+    toks = df.select(F.col(id_col), tok.alias("_tok"), n.alias("_n"), n_chunks.alias("_nc"))
+    sliced = toks.filter(F.col("_n") > 0).select(
+        id_col,
+        "_tok",
+        F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id", "_i"),
+    )
+    piece = F.slice(F.col("_tok"), F.col("_i") * step + 1, chunk_tokens)
+    return sliced.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )

@@ -1202,3 +1202,17 @@ def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
     )
     return semantic_dedup(emb.unionByName(planted), threshold=0.95, n_clusters=32)
+
+
+# ------------------------------------------------------- E9 retrieval chunking (no oracle slot)
+@_q("chunk_docs", None)
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking over documents (32-token windows,
+    8-token overlap — multi-chunk on the ~54-word fixture docs). Pure
+    codegen explode+slice, zero exchanges; the equivalent DuckDB SQL is
+    hash-checked in tests/test_llm_ops.py (no driver oracle slot free —
+    see NOTES.md merge ledger)."""
+    from audience_finder_pro_spark.operators.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "semantic_dedup",
+    "chunk_docs",
     "text_stats",
     "doc_fingerprint",
     "lang_id",

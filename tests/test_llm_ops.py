@@ -705,3 +705,68 @@ def test_text_tier_zero_token_docs(spark, tmp_path):
     assert verdicts[1] == "drop" and verdicts[2] == "drop" and verdicts[4] == "drop"
     qs_ids = {r.doc_id for r in QUERIES["quality_signals"](spark, sf_dir).collect()}
     assert qs_ids == {3}
+
+
+# ---------------------------------------------------------------- chunking
+CHUNK_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, tok,
+         CASE WHEN len(tok) <= 32 THEN 1
+              ELSE CAST(ceil((len(tok) - 32) / 24.0) AS INT) + 1 END AS n_chunks
+  FROM toks WHERE len(tok) > 0
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(tok, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text,
+       CAST(len(list_slice(tok, i * 24 + 1, i * 24 + 32)) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, tok, unnest(range(0, n_chunks)) AS i FROM c)
+"""
+
+
+def test_chunk_docs_matches_sql_oracle(spark, sf_smoke):
+    """The declared chunking query is deterministic relational algebra:
+    DuckDB replays it and values hash-match (driver slots are spent, so
+    the differential lives here)."""
+    from tests.oracle import compare
+
+    from audience_finder_pro_spark.queries import QUERIES
+
+    compare(QUERIES["chunk_docs"](spark, sf_smoke), CHUNK_ORACLE, sf_smoke, name="chunk_docs")
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Reconstruction invariants: de-overlapped chunk concatenation equals
+    the original token stream; consecutive full chunks share exactly
+    `overlap` tokens; degenerate docs emit nothing."""
+    from audience_finder_pro_spark.operators.packing import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(100))),  # 100 tokens -> 4 chunks
+        (2, "one two three"),  # single short chunk
+        (3, ""),  # no chunks
+        (4, None),  # no chunks
+        (5, "   \t  "),  # whitespace only -> no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=32, overlap=8)
+    got = sorted(
+        ((r.doc_id, r.chunk_id, r.chunk_text.split(" "), r.n_tokens) for r in out.collect())
+    )
+    by_doc: dict[int, list] = {}
+    for doc, cid, toks, n in got:
+        assert n == len(toks)
+        by_doc.setdefault(doc, []).append((cid, toks))
+    assert set(by_doc) == {1, 2}
+    assert len(by_doc[1]) == 4 and len(by_doc[2]) == 1
+
+    orig = [f"t{i}" for i in range(100)]
+    rebuilt = list(by_doc[1][0][1])
+    for (_, prev), (_, cur) in zip(by_doc[1], by_doc[1][1:]):
+        if len(prev) == 32:
+            assert prev[-8:] == cur[:8]  # shared overlap context
+        rebuilt.extend(cur[8:])
+    assert rebuilt == orig
+    assert by_doc[2][0][1] == ["one", "two", "three"]
