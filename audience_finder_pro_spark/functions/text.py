@@ -118,6 +118,41 @@ def shingle_stream(df, id_col: str, text_col: str, n: int = 3):
     )
 
 
+def hashed_shingle_stream(df, id_col: str, text_col: str, n: int = 3):
+    """(id, h) stream of word n-gram HASHES — for consumers that never need
+    the shingle text (decontamination, MinHash-style signatures).
+
+    Same zip-of-slices shape as ``shingle_stream``, but each token is
+    hashed ONCE up front (xxhash64 via a transform — ~54 interpreted
+    lambda calls per doc, measured cheaper than what it removes) and the
+    n-wide zip then copies 8-byte longs instead of token strings; the
+    per-position hash combines the n token hashes in one multi-column
+    xxhash64. Measured 0.43s vs 1.67s for the string form at n=13 on the
+    sf0.1 documents table — the string materialization was ~75% of the
+    13-gram pipeline.
+
+    Equality semantics: tokens contain no separator characters, so
+    distinct (t_i..t_{i+n-1}) tuples ⇔ distinct space-joined shingle
+    strings; hash equality differs from the string form only on xxhash64
+    collisions (~1e-12 at 1e6 shingles — the same exposure the string
+    form's xxhash64(shingle) already accepts).
+    """
+    tok = tokens(text_col)
+    th = F.transform(tok, lambda x: F.xxhash64(x))
+    slices = [
+        F.slice(F.col("_th"), i + 1, F.greatest(F.size(F.col("_th")) - i, F.lit(0))).alias(
+            f"_s{i}"
+        )
+        for i in range(n)
+    ]
+    zipped = df.select(F.col(id_col), th.alias("_th")).select(
+        id_col, F.explode(F.arrays_zip(*slices)).alias("_z")
+    )
+    return zipped.filter(F.col(f"_z._s{n - 1}").isNotNull()).select(
+        id_col, F.xxhash64(*[F.col(f"_z._s{i}") for i in range(n)]).alias("h")
+    )
+
+
 def norm_text_hash(col: Column | str) -> Column:
     """Deterministic fingerprint of normalized lowercase text.
 

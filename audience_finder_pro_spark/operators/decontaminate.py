@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from audience_finder_pro_spark.functions.text import norm_text_hash, shingle_stream
+from audience_finder_pro_spark.functions.text import hashed_shingle_stream, norm_text_hash
 
 
 def exact_decontaminate(
@@ -70,13 +70,13 @@ def ngram_contamination(
     # unique ids stay: they keep downstream per-benchmark-doc semantics
     # well-defined and guard against any future id-keyed consumer.
     bench_sh = (
-        shingle_stream(
+        hashed_shingle_stream(
             benchmark.select(F.monotonically_increasing_id().alias("_bid"), F.col(bcol)),
             "_bid",
             bcol,
             n,
         )
-        .select(F.xxhash64("shingle").alias("_h"))
+        .select(F.col("h").alias("_h"))
         .distinct()
     )
     # Semi-join BEFORE any dedup: the broadcast filter shrinks the corpus
@@ -84,8 +84,11 @@ def ngram_contamination(
     # distinct count pays its exchange on the flagged remnant, never on
     # the full corpus stream (count_distinct dedups repeated shingles
     # within a doc — min_hits counts DISTINCT leaked n-grams).
-    train_sh = shingle_stream(train, id_col, text_col, n).select(
-        id_col, F.xxhash64("shingle").alias("_h")
+    # hashed stream on BOTH sides (hash-equality is all the rule needs):
+    # skips the 13-token string materialization that was ~75% of the
+    # pipeline cost (functions/text.hashed_shingle_stream)
+    train_sh = hashed_shingle_stream(train, id_col, text_col, n).select(
+        id_col, F.col("h").alias("_h")
     )
     hits = (
         train_sh.join(F.broadcast(bench_sh), "_h", "left_semi")
