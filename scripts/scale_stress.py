@@ -224,6 +224,33 @@ def main() -> None:
         f"in {t_pack:.1f}s, overflow invariant holds"
     )
 
+    # Decontamination at 50x: hashed 13-gram overlap rule against a planted
+    # benchmark (every 50th doc verbatim). Hashed shingle stream (no string
+    # materialization); hits = exactly the planted copies' doc population.
+    from audience_finder_pro_spark.operators.decontaminate import ngram_contamination
+
+    bench = big.filter(F.col("doc_id") % 50 == 0).select(F.col("text"))
+    t0 = time.time()
+    flagged = ngram_contamination(big, bench).count()
+    t_dc = time.time() - t0
+    print(
+        f"decontaminate stress: {n} docs vs {bench.count()}-doc benchmark -> "
+        f"{flagged} flagged in {t_dc:.1f}s (hashed 13-gram rule)"
+    )
+
+    # Chunking throughput: overlapping 256/32 token windows over the same
+    # corpus — zero-exchange explode+slice; count forces the full stream.
+    from audience_finder_pro_spark.operators.packing import chunk_documents
+
+    chunks = chunk_documents(big, chunk_tokens=64, overlap=16)
+    t0 = time.time()
+    # noop sink, NOT count(): count would let Catalyst prune the chunk_text
+    # join/array work and time only the index explode (bench.py gotcha)
+    chunks.write.format("noop").mode("overwrite").save()
+    t_ch = time.time() - t0
+    n_chunks = chunks.count()
+    print(f"chunking stress: {n} docs -> {n_chunks} chunks (64/16) in {t_ch:.1f}s")
+
     # Semantic dedup at scale: arrow assignment (single corpus shuffle) over
     # a synthetic corpus with planted exact copies. Centered rand vectors
     # keep natural cosines away from the 0.95 threshold, so the planted
