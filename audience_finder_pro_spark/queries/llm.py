@@ -1216,3 +1216,22 @@ def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+# ------------------------------------------------------- vocab prep (no oracle slot)
+@_q("vocab_topk", None)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary prep: corpus-wide token frequencies, top 100 by
+    (count desc, token asc). One explode + one map-side-combined groupBy +
+    TakeOrderedAndProject — the canonical heavy-hitter shape (the shuffle
+    carries per-partition combined (token, count) rows, never the token
+    stream; the top-k never sorts the full vocab). DuckDB differential in
+    tests/test_llm_ops.py (no driver oracle slot free)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(100)
+    )

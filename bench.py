@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "semantic_dedup",
     "chunk_docs",
+    "vocab_topk",
     "text_stats",
     "doc_fingerprint",
     "lang_id",

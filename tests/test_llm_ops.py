@@ -770,3 +770,25 @@ def test_chunk_documents_coverage_and_overlap(spark):
         rebuilt.extend(cur[8:])
     assert rebuilt == orig
     assert by_doc[2][0][1] == ["one", "two", "three"]
+
+
+def test_vocab_topk_matches_sql_oracle(spark, sf_smoke):
+    """Vocabulary heavy-hitters hash-match DuckDB; plan keeps the top-k as
+    TakeOrderedAndProject (no full vocab sort)."""
+    from tests.oracle import compare
+
+    from audience_finder_pro_spark.queries import QUERIES
+
+    oracle = r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> length(x) > 0)) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS n FROM toks GROUP BY token
+    ORDER BY n DESC, token LIMIT 100
+    """
+    df = QUERIES["vocab_topk"](spark, sf_smoke)
+    compare(df, oracle, sf_smoke, name="vocab_topk")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
