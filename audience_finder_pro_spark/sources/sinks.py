@@ -161,6 +161,29 @@ def write_parquet_partitioned(
     w.partitionBy(*partition_cols).parquet(path)
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Newline-delimited JSON sink — the standard LLM training-corpus
+    interchange format (one document object per line; what tokenizer and
+    trainer ingest jobs read). One file per partition, written in
+    parallel; ``compression`` defaults to gzip (JSONL text compresses
+    ~10x and every consumer streams gzip), ``max_records_per_file``
+    bounds file size so downstream loaders parallelize within a
+    partition. Round-trips through sources/quarantine.read_jsonl_quarantined.
+    """
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.json(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

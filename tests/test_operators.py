@@ -798,3 +798,27 @@ def test_load_table_fan_out_gate(spark):
     assert load_table(spark, sf, "documents") is plain
     assert load_table(spark, sf, "documents", fan_out=True) is fanned
     assert fanned.count() == plain.count()
+
+
+def test_jsonl_sink_roundtrip(spark, sf_smoke, tmp_path):
+    """S5-family: JSONL export (the LLM training-corpus interchange format)
+    round-trips through the quarantined JSONL source with identical rows,
+    gzip-compressed, and honors the file-size bound."""
+    from audience_finder_pro_spark.session import load_table
+    from audience_finder_pro_spark.sources.quarantine import read_jsonl_quarantined
+    from audience_finder_pro_spark.sources.sinks import write_jsonl
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text", "source")
+    out = str(tmp_path / "corpus_jsonl")
+    write_jsonl(docs, out, max_records_per_file=100)
+
+    import glob
+
+    files = glob.glob(f"{out}/*.json.gz")
+    assert files, "expected gzip-compressed part files"
+
+    good, bad = read_jsonl_quarantined(spark, out, docs.schema)
+    assert bad.count() == 0
+    assert sorted(map(tuple, good.select("doc_id", "text", "source").collect())) == sorted(
+        map(tuple, docs.collect())
+    )
