@@ -235,3 +235,58 @@ def test_semantic_dedup_greedy_invariants(spark, vecs, threshold):
         for b in kept[i + 1 :]:
             if a.cent_id == b.cent_id:
                 assert cos(vecs[a.vec_id], vecs[b.vec_id]) < threshold + 1e-9
+
+
+@settings(**SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=10), st.sampled_from([(8, 3), (5, 0), (4, 2)]))
+def test_chunk_documents_matches_python_reference(spark, texts, params):
+    """chunk_documents on arbitrary text == a direct python implementation of
+    the declared semantics (whitespace tokens, exact coverage, overlap)."""
+    import math
+
+    from audience_finder_pro_spark.operators.packing import chunk_documents
+
+    chunk_tokens, overlap = params
+    step = chunk_tokens - overlap
+    df = _df(spark, texts).selectExpr("i as doc_id", "t as text")
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(df, chunk_tokens, overlap).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        tok = [w for w in (t or "").split()]
+        if not tok:
+            continue
+        n = len(tok)
+        n_chunks = 1 if n <= chunk_tokens else math.ceil((n - chunk_tokens) / step) + 1
+        for c in range(n_chunks):
+            piece = tok[c * step : c * step + chunk_tokens]
+            want[(i, c)] = (" ".join(piece), len(piece))
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=10), st.integers(min_value=2, max_value=13))
+def test_hashed_shingle_stream_counts_match_string_form(spark, texts, n):
+    """The hashed shingle stream must agree with the string form on per-doc
+    TOTAL and DISTINCT shingle counts for arbitrary text (the equivalence
+    the decontamination rewrite relies on; any xxhash64 collision at test
+    scale would fail this)."""
+    from audience_finder_pro_spark.functions.text import hashed_shingle_stream, shingle_stream
+
+    df = _df(spark, texts)
+    strings = (
+        shingle_stream(df, "i", "t", n)
+        .groupBy("i")
+        .agg(
+            F.count("*").alias("total"),
+            F.count_distinct("shingle").alias("n_distinct"),
+        )
+    )
+    hashes = (
+        hashed_shingle_stream(df, "i", "t", n)
+        .groupBy("i")
+        .agg(F.count("*").alias("total"), F.count_distinct("h").alias("n_distinct"))
+    )
+    assert sorted(map(tuple, strings.collect())) == sorted(map(tuple, hashes.collect()))
