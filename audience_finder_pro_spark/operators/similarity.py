@@ -510,6 +510,15 @@ def semantic_dedup(
        (``dup_of``, id) pairs to ``operators.graph.connected_components``
        when cluster-level groups are wanted.
 
+    Blocking trade-off (inherited from SemDeDup's k-means blocking): a
+    near-copy pair that straddles a cluster boundary is MISSED — exact
+    copies never are (identical vectors share an argmax), and a
+    perturbed copy misses only when its original sits within the
+    perturbation of a centroid decision boundary (recall asserted ≥0.9
+    on planted perturbed copies in tests). ``embedding_cosine_neardup``
+    with LSH-bucket blocking is the multi-probe alternative when recall
+    on boundary pairs matters more than the cluster structure.
+
     Scale shape: one shuffle of the corpus on ``cent_id`` (the
     ``applyInPandas`` group exchange), then a chunked ``X @ X.T`` per
     cluster — O(|cluster|²·dim) at BLAS speed with the live slab bounded

@@ -792,3 +792,29 @@ def test_vocab_topk_matches_sql_oracle(spark, sf_smoke):
     compare(df, oracle, sf_smoke, name="vocab_topk")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_semantic_dedup_perturbed_copy_recall(spark, sf_smoke):
+    """Cluster blocking misses only boundary-straddling pairs: planted
+    PERTURBED copies (not bit-identical, cosine >> threshold) must still
+    be flagged at >=0.9 recall — quantifies the SemDeDup blocking
+    trade-off the docstring declares."""
+    import numpy as np
+
+    from audience_finder_pro_spark.operators.similarity import semantic_dedup
+    from audience_finder_pro_spark.session import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    rows = emb.collect()
+    rng = np.random.default_rng(7)
+    planted = []
+    for r in rows:
+        if r.vec_id % 5 == 0:
+            v = np.asarray(r.embedding, dtype=np.float64)
+            noise = rng.normal(0.0, 0.01 * (np.linalg.norm(v) / np.sqrt(len(v))), len(v))
+            planted.append((int(r.vec_id) + 100000, [float(x) for x in v + noise]))
+    pdf = spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    out = semantic_dedup(emb.unionByName(pdf), threshold=0.95, n_clusters=16).collect()
+    flagged = {r.vec_id for r in out if r.is_dup and r.vec_id >= 100000}
+    recall = len(flagged) / len(planted)
+    assert recall >= 0.9, f"perturbed-copy recall {recall:.2f} ({len(flagged)}/{len(planted)})"
