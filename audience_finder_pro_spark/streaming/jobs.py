@@ -94,6 +94,21 @@ def stream_static_join(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     return events.join(F.broadcast(user_dim), "user_id", "left")
 
 
+def stream_decontaminate(docs: DataFrame, benchmark: DataFrame) -> DataFrame:
+    """T4 × E7: continuous-ingest decontamination — drop streamed documents
+    whose normalized-text fingerprint appears in the (static, broadcast)
+    benchmark. Stream-static LEFT ANTI join: the benchmark hash set is
+    re-broadcast per micro-batch, the stream is never shuffled, and the
+    semantics are exactly ``operators.decontaminate.exact_decontaminate``
+    on the same rows (asserted batch≡stream in tests)."""
+    from audience_finder_pro_spark.functions.text import norm_text_hash
+
+    bench_hashes = benchmark.select(norm_text_hash("text").alias("_bh")).distinct()
+    return docs.join(
+        F.broadcast(bench_hashes), norm_text_hash("text") == F.col("_bh"), "left_anti"
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming plan to completion over the available files and
     return the SparkSession-queryable memory table name (test harness;

@@ -345,3 +345,23 @@ def test_stateful_dedup_differential_with_late_duplicates(spark, sf_smoke, tmp_p
     in_rows = {tuple(r) for r in batch_union.collect()}
     for r in got.collect():
         assert tuple(r) in in_rows
+
+
+def test_stream_decontaminate_equals_batch(spark, sf_smoke):
+    """T4 x E7: streamed exact decontamination == the batch anti-join on the
+    same rows (benchmark = every 50th doc)."""
+    from audience_finder_pro_spark.operators.decontaminate import exact_decontaminate
+    from audience_finder_pro_spark.streaming.jobs import (
+        read_documents_stream,
+        stream_decontaminate,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    stream = read_documents_stream(spark, sf_smoke)
+    name = run_stream_to_memory(
+        stream_decontaminate(stream, bench), "t4e7_out", output_mode="append"
+    )
+    got = sorted(r.doc_id for r in spark.table(name).select("doc_id").collect())
+    want = sorted(r.doc_id for r in exact_decontaminate(docs, bench).select("doc_id").collect())
+    assert got == want and len(got) < docs.count()
