@@ -1204,14 +1204,31 @@ def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb.unionByName(planted), threshold=0.95, n_clusters=32)
 
 
-# ------------------------------------------------------- E9 retrieval chunking (no oracle slot)
-@_q("chunk_docs", None)
+# ------------------------------------------------------------ E9 retrieval chunking
+_CHUNK_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, tok,
+         CASE WHEN len(tok) <= 32 THEN 1
+              ELSE CAST(ceil((len(tok) - 32) / 24.0) AS INT) + 1 END AS n_chunks
+  FROM toks WHERE len(tok) > 0
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(tok, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text,
+       CAST(len(list_slice(tok, i * 24 + 1, i * 24 + 32)) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, tok, unnest(range(0, n_chunks)) AS i FROM c)
+"""
+
+
+@_q("chunk_docs", _CHUNK_ORACLE)
 def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking over documents (32-token windows,
     8-token overlap — multi-chunk on the ~54-word fixture docs). Pure
-    codegen explode+slice, zero exchanges; the equivalent DuckDB SQL is
-    hash-checked in tests/test_llm_ops.py (no driver oracle slot free —
-    see NOTES.md merge ledger)."""
+    codegen explode+slice, zero exchanges. Oracle slot funded by the
+    q07+q08 → q07_range_asof_joins tagged merge (r7-prep)."""
     from audience_finder_pro_spark.operators.packing import chunk_documents
 
     docs = load_table(spark, sf_dir, "documents")

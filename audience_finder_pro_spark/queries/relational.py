@@ -201,19 +201,39 @@ def q06_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- J7 range join
 @_q(
-    "q07_range_join",
+    "q07_range_asof_joins",
     """
-    SELECT strftime(bucket_start, '%Y-%m-%d') AS day, event_type,
-           count(*) AS n_events, round(sum(value), 4) AS sum_value
-    FROM events
-    JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-29', INTERVAL 1 DAY)) AS bucket_start) b
-      ON ts >= bucket_start AND ts < bucket_start + INTERVAL 1 DAY
-    GROUP BY day, event_type
+    SELECT 'range' AS op, day AS s1, event_type AS s2,
+           n_events AS id1, CAST(NULL AS BIGINT) AS id2, sum_value AS val
+    FROM (
+      SELECT strftime(bucket_start, '%Y-%m-%d') AS day, event_type,
+             count(*) AS n_events, round(sum(value), 4) AS sum_value
+      FROM events
+      JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-29', INTERVAL 1 DAY)) AS bucket_start) b
+        ON ts >= bucket_start AND ts < bucket_start + INTERVAL 1 DAY
+      GROUP BY day, event_type
+    )
+    UNION ALL
+    SELECT 'asof' AS op, ts_s AS s1, event_type AS s2,
+           event_id AS id1, user_id AS id2, last_purchase_value AS val
+    FROM (
+      SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             e.event_type, round(p.value, 4) AS last_purchase_value
+      FROM events e
+      ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        ON e.user_id = p.user_id AND e.ts >= p.ts
+    )
     """,
 )
-def q07_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval join via the bucketized equi-join path of operators.asof.range_join."""
+def q07_range_asof_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both J7 interval-join forms in one tagged result — the former
+    q07_range_join (bucketized equi-join path of operators.asof.range_join)
+    and q08_asof_join (scalable union+window as-of pattern), merged
+    r7-prep to free a driver slot for ``chunk_docs`` under the 50-query
+    verification cap. Legs are unchanged; the union pads each leg to the
+    shared (op, s1, s2, id1, id2, val) frame."""
     events = load_table(spark, sf_dir, "events")
+
     buckets = spark.sql(
         """
         SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
@@ -221,29 +241,25 @@ def q07_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).withColumn("bucket_end", F.col("bucket_start") + F.expr("interval 1 day"))
     joined = range_join(events, buckets, "ts", "bucket_start", "bucket_end", bucket_width_expr="86400")
-    return joined.groupBy(
-        F.date_format("bucket_start", "yyyy-MM-dd").alias("day"), F.col("event_type")
-    ).agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    range_leg = (
+        joined.groupBy(
+            F.date_format("bucket_start", "yyyy-MM-dd").alias("s1"), F.col("event_type").alias("s2")
+        )
+        .agg(F.count("*").alias("id1"), F.round(F.sum("value"), 4).alias("val"))
+        .select(
+            F.lit("range").alias("op"),
+            "s1",
+            "s2",
+            "id1",
+            F.lit(None).cast("long").alias("id2"),
+            "val",
+        )
+    )
 
-
-# ---------------------------------------------------------------- J7 as-of join
-@_q(
-    "q08_asof_join",
-    """
-    SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-           e.event_type, round(p.value, 4) AS last_purchase_value
-    FROM events e
-    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
-      ON e.user_id = p.user_id AND e.ts >= p.ts
-    """,
-)
-def q08_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of via the scalable union+window pattern (operators.asof.asof_join)."""
-    events = load_table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("value").alias("last_purchase_value")
     )
-    joined = asof_join(
+    asof = asof_join(
         events.select("event_id", "user_id", "ts", "event_type"),
         purchases,
         ["user_id"],
@@ -251,13 +267,15 @@ def q08_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         ["last_purchase_value"],
     )
-    return joined.select(
-        "event_id",
-        "user_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
-        "event_type",
-        F.round("last_purchase_value", 4).alias("last_purchase_value"),
+    asof_leg = asof.select(
+        F.lit("asof").alias("op"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("s1"),
+        F.col("event_type").alias("s2"),
+        F.col("event_id").alias("id1"),
+        F.col("user_id").alias("id2"),
+        F.round("last_purchase_value", 4).alias("val"),
     )
+    return range_leg.unionByName(asof_leg)
 
 
 # ---------------------------------------------------------------- W1 top-k/group

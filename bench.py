@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "q02_revenue_by_nation",
     "q03_top_orders",
     "q04_semi_anti_join",
-    "q08_asof_join",
+    "q07_range_asof_joins",
     "q09_window_topk",
     "q12_sessionize",
     "q13_rollup_gsets",

@@ -708,33 +708,18 @@ def test_text_tier_zero_token_docs(spark, tmp_path):
 
 
 # ---------------------------------------------------------------- chunking
-CHUNK_ORACLE = r"""
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tok
-  FROM documents
-),
-c AS (
-  SELECT doc_id, tok,
-         CASE WHEN len(tok) <= 32 THEN 1
-              ELSE CAST(ceil((len(tok) - 32) / 24.0) AS INT) + 1 END AS n_chunks
-  FROM toks WHERE len(tok) > 0
-)
-SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
-       array_to_string(list_slice(tok, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text,
-       CAST(len(list_slice(tok, i * 24 + 1, i * 24 + 32)) AS BIGINT) AS n_tokens
-FROM (SELECT doc_id, tok, unnest(range(0, n_chunks)) AS i FROM c)
-"""
-
-
 def test_chunk_docs_matches_sql_oracle(spark, sf_smoke):
     """The declared chunking query is deterministic relational algebra:
-    DuckDB replays it and values hash-match (driver slots are spent, so
-    the differential lives here)."""
+    DuckDB replays it and the values hash-match. The driver runs the same
+    differential at sf0.01 (slot funded by the q07+q08 merge); this runs
+    it at sf0.001 too."""
     from tests.oracle import compare
 
-    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries import ORACLES, QUERIES
 
-    compare(QUERIES["chunk_docs"](spark, sf_smoke), CHUNK_ORACLE, sf_smoke, name="chunk_docs")
+    compare(
+        QUERIES["chunk_docs"](spark, sf_smoke), ORACLES["chunk_docs"], sf_smoke, name="chunk_docs"
+    )
 
 
 def test_chunk_documents_coverage_and_overlap(spark):
