@@ -1235,15 +1235,28 @@ def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=32, overlap=8)
 
 
-# ------------------------------------------------------- vocab prep (no oracle slot)
-@_q("vocab_topk", None)
+# ------------------------------------------------------------ E10 vocab prep
+_VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> length(x) > 0)) AS token
+  FROM documents
+)
+SELECT token, count(*) AS n FROM toks GROUP BY token
+ORDER BY n DESC, token LIMIT 100
+"""
+
+
+@_q("vocab_topk", _VOCAB_ORACLE)
 def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocabulary prep: corpus-wide token frequencies, top 100 by
-    (count desc, token asc). One explode + one map-side-combined groupBy +
-    TakeOrderedAndProject — the canonical heavy-hitter shape (the shuffle
-    carries per-partition combined (token, count) rows, never the token
-    stream; the top-k never sorts the full vocab). DuckDB differential in
-    tests/test_llm_ops.py (no driver oracle slot free)."""
+    (count desc, token asc — a deterministic total order, so the LIMIT
+    cutoff selects the identical set in both engines). One explode + one
+    map-side-combined groupBy + TakeOrderedAndProject — the canonical
+    heavy-hitter shape (the shuffle carries per-partition combined
+    (token, count) rows, never the token stream; the top-k never sorts
+    the full vocab). Oracle slot funded by the q14→q13 cube merge
+    (r7-prep)."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return (
         docs.select(F.explode(tokens("text")).alias("token"))

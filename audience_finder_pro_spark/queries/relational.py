@@ -400,42 +400,48 @@ def q12_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q13_rollup_gsets",
     """
-    SELECT 'rollup' AS op, coalesce(l_returnflag, 'ALL') AS returnflag,
-           coalesce(l_linestatus, 'ALL') AS linestatus,
+    SELECT 'rollup' AS op, coalesce(l_returnflag, 'ALL') AS k1,
+           coalesce(l_linestatus, 'ALL') AS k2,
            round(sum(l_quantity), 4) AS val, count(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     UNION ALL
-    SELECT 'gsets' AS op, coalesce(l_returnflag, 'ALL') AS returnflag,
-           coalesce(l_linestatus, 'ALL') AS linestatus,
+    SELECT 'gsets' AS op, coalesce(l_returnflag, 'ALL') AS k1,
+           coalesce(l_linestatus, 'ALL') AS k2,
            round(sum(l_extendedprice), 4) AS val, count(*) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     UNION ALL
-    SELECT 'pivot' AS op, l_returnflag AS returnflag, 'O' AS linestatus,
+    SELECT 'pivot' AS op, l_returnflag AS k1, 'O' AS k2,
            round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 4) AS val,
            count(*) AS n
     FROM lineitem GROUP BY l_returnflag
     UNION ALL
-    SELECT 'pivot' AS op, l_returnflag AS returnflag, 'F' AS linestatus,
+    SELECT 'pivot' AS op, l_returnflag AS k1, 'F' AS k2,
            round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 4) AS val,
            count(*) AS n
     FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'cube' AS op, coalesce(c_mktsegment, 'ALL') AS k1,
+           coalesce(o_orderpriority, 'ALL') AS k2,
+           round(sum(o_totalprice), 4) AS val, count(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderpriority)
     """,
 )
 def q13_rollup_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All multi-grouping forms over lineitem in one tagged result: A8
-    ROLLUP hierarchy + explicit GROUPING SETS, plus the former q26
-    pivot/unpivot leg (conditional-agg pivot wide, melted back to tagged
-    rows via DataFrame.unpivot) — merged r6 to free a driver slot for
-    ``decontaminate_docs`` under the 50-query verification cap."""
+    """All A8 multi-grouping forms in one tagged (op, k1, k2, val, n)
+    result: ROLLUP hierarchy + explicit GROUPING SETS + the former q26
+    pivot/unpivot leg (merged r6, funded ``decontaminate_docs``) + the
+    former q14 CUBE over orders x customer (merged r7-prep, funded
+    ``vocab_topk``'s oracle slot)."""
     li = load_table(spark, sf_dir, "lineitem")
     roll = (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(F.round(F.sum("l_quantity"), 4).alias("val"), F.count("*").alias("n"))
         .select(
             F.lit("rollup").alias("op"),
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("k1"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("k2"),
             "val",
             "n",
         )
@@ -444,8 +450,8 @@ def q13_rollup_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     gsets = spark.sql(
         """
         SELECT 'gsets' AS op,
-               coalesce(l_returnflag, 'ALL') AS returnflag,
-               coalesce(l_linestatus, 'ALL') AS linestatus,
+               coalesce(l_returnflag, 'ALL') AS k1,
+               coalesce(l_linestatus, 'ALL') AS k2,
                round(sum(l_extendedprice), 4) AS val, count(*) AS n
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -463,43 +469,30 @@ def q13_rollup_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivot_leg = pvt.unpivot(
         ids=["l_returnflag", "n"],
         values=["O", "F"],
-        variableColumnName="linestatus",
+        variableColumnName="k2",
         valueColumnName="val",
     ).select(
         F.lit("pivot").alias("op"),
-        F.col("l_returnflag").alias("returnflag"),
-        "linestatus",
+        F.col("l_returnflag").alias("k1"),
+        "k2",
         "val",
         "n",
     )
-    return roll.unionByName(gsets).unionByName(pivot_leg)
-
-
-# ---------------------------------------------------------------- A8 cube
-@_q(
-    "q14_cube",
-    """
-    SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
-           coalesce(o_orderpriority, 'ALL') AS orderpriority,
-           count(*) AS n, round(sum(o_totalprice), 4) AS total
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    GROUP BY CUBE (c_mktsegment, o_orderpriority)
-    """,
-)
-def q14_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    return (
+    cube_leg = (
         orders.join(customer, orders.o_custkey == customer.c_custkey)
         .cube("c_mktsegment", "o_orderpriority")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("val"))
         .select(
-            F.coalesce("c_mktsegment", F.lit("ALL")).alias("mktsegment"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            F.lit("cube").alias("op"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("k1"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("k2"),
+            "val",
             "n",
-            "total",
         )
     )
+    return roll.unionByName(gsets).unionByName(pivot_leg).unionByName(cube_leg)
 
 
 # ---------------------------------------------------------------- U3 intersect+except

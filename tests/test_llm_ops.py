@@ -764,17 +764,10 @@ def test_vocab_topk_matches_sql_oracle(spark, sf_smoke):
 
     from audience_finder_pro_spark.queries import QUERIES
 
-    oracle = r"""
-    WITH toks AS (
-      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                x -> length(x) > 0)) AS token
-      FROM documents
-    )
-    SELECT token, count(*) AS n FROM toks GROUP BY token
-    ORDER BY n DESC, token LIMIT 100
-    """
+    from audience_finder_pro_spark.queries import ORACLES
+
     df = QUERIES["vocab_topk"](spark, sf_smoke)
-    compare(df, oracle, sf_smoke, name="vocab_topk")
+    compare(df, ORACLES["vocab_topk"], sf_smoke, name="vocab_topk")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
 

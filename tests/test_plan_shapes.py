@@ -91,15 +91,21 @@ def test_ann_lsh_no_interpreted_hyperplane_regen(spark, sf_smoke, no_aqe):
 
 
 def test_column_pruning_reaches_scan(spark, sf_smoke, no_aqe):
-    """q13 (rollup + gsets + pivot legs) touches 4 lineitem columns — every
-    one of its three scans must prune down, never read all 16."""
+    """q13 (rollup + gsets + pivot + cube legs) touches 4 of lineitem's 16
+    columns, 3 of orders' 9, 2 of customer's 8 — every scan must prune to
+    its leg's referenced columns, never read the full table."""
     plan = _plan(spark, "q13_rollup_gsets", sf_smoke)
-    want = {"l_quantity", "l_returnflag", "l_linestatus", "l_extendedprice"}
+    want_by_prefix = {
+        "l_": {"l_quantity", "l_returnflag", "l_linestatus", "l_extendedprice"},
+        "o_": {"o_custkey", "o_orderpriority", "o_totalprice"},
+        "c_": {"c_custkey", "c_mktsegment"},
+    }
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert schemas, plan[:500]
     for s in schemas:
         cols = {c.split(":")[0] for c in s.split(",")}
-        assert cols <= want, cols
+        prefix = next(iter(cols))[:2]
+        assert cols <= want_by_prefix[prefix], cols
 
 
 def test_mixture_split_is_shuffle_free_pruned_projection(spark, sf_smoke, no_aqe):
