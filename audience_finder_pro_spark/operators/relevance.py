@@ -1,0 +1,131 @@
+"""Corpus-statistics relevance scoring: TF-IDF keyword extraction and
+bigram language-model (perplexity-style) document quality scoring.
+
+Both are staple large-corpus curation steps the reference's keyword
+matcher (app.py:93-149 substring scan) only gestures at: TF-IDF ranks
+WHICH terms characterize a document against the whole corpus instead of
+matching a fixed list, and the bigram LM score is the classic
+CCNet/KenLM-style "does this read like natural language" filter used to
+bucket web text by fluency before training.
+
+Scale shapes (both pure DataFrame, zero Python UDFs):
+
+- TF-IDF: explode → (doc, token) count with map-side combine → token
+  document-frequency aggregate (input already one row per (doc, token),
+  so the DF agg combines partials too) → shuffle hash join back on
+  ``token`` (the model side is vocabulary-sized — sublinear in corpus
+  bytes but far too big to assume broadcastable at 100 TB; AQE may still
+  choose broadcast when it measures small) → per-doc top-k window.
+  The window partitions on ``doc_id`` — billions of distinct keys, so no
+  skew concentration (unlike the n_queries-key ANN window this repo
+  already pre-prunes); Spark's WindowGroupLimit pushes the rank filter
+  into a partial group-limit before the exchange.
+- Corpus total-doc-count N enters as a broadcast nested-loop join of a
+  ONE-ROW aggregate (no driver action, no collect; the scan of the doc
+  table it costs is the same scan TF needs and AQE reuses nothing across
+  the two, but at scale this is a count-only column-pruned pass).
+- Bigram LM: one zip-sliced ``gram_stream`` (no window/sort — NOTES r6)
+  over the TRAIN corpus builds unigram/bigram count models; the SCORE
+  corpus's bigram stream left-joins both models on token keys (shuffle
+  hash joins — the bigram model is the big side's same order of
+  magnitude, never broadcast) and averages add-one-smoothed
+  log-probabilities per document.
+
+Determinism: token counts are integers, log-prob inputs are therefore
+identical across partitionings; per-doc float means average ~50 terms
+(fixture) — far below the 200k-row drift regime that forced q27 to
+DECIMAL (NOTES gotcha), so round(4) is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from audience_finder_pro_spark.functions.text import gram_stream, tokens
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF.
+
+    score = tf * (ln((N + 1) / (df + 1)) + 1)  — the smoothed-IDF form
+    (scikit-learn's default) so unseen/ubiquitous terms stay finite and
+    positive. Ties break on token ascending for a deterministic cutoff.
+
+    Returns (id_col, token, score, rnk) with rnk in 1..k.
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))  # 1 row → broadcast NLJ below
+    idf = dfreq.crossJoin(F.broadcast(n)).select(
+        "token",
+        (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)).alias(
+            "idf"
+        ),
+    )
+    scored = tf.join(idf, "token").select(
+        id_col, "token", (F.col("tf") * F.col("idf")).alias("score")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "token", "score", "rnk")
+    )
+
+
+def lm_score_docs(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean bigram log-probability under an add-one-smoothed
+    bigram model counted from ``train``.
+
+    logp(w2 | w1) = ln((c(w1,w2) + 1) / (c(w1) + V)), V = |train vocab|.
+    Documents with < 2 tokens have no bigrams and drop out (same rule in
+    the SQL oracle). Higher (less negative) = more fluent under the
+    model; the canonical use is train=curated corpus, score=web crawl,
+    keep the top fluency bucket. Returns (id_col, n_bigrams, lm_logprob).
+    """
+    bi_train = gram_stream(train, id_col, text_col, n=2)
+    # every token occurs exactly once as t0 (tail row has t1 null), so the
+    # t0 stream IS the token stream: one gram_stream feeds both models
+    uni = bi_train.groupBy(F.col("t0").alias("w1")).agg(F.count("*").alias("c1"))
+    bim = (
+        bi_train.filter(F.col("t1").isNotNull())
+        .groupBy(F.col("t0").alias("w1"), F.col("t1").alias("w2"))
+        .agg(F.count("*").alias("c2"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))  # 1 row → broadcast NLJ
+
+    bi_score = gram_stream(score, id_col, text_col, n=2).filter(
+        F.col("t1").isNotNull()
+    )
+    logp = (
+        bi_score.join(
+            bim,
+            (bi_score.t0 == bim.w1) & (bi_score.t1 == bim.w2),
+            "left",
+        )
+        .drop("w1", "w2")
+        .join(uni, bi_score.t0 == uni.w1, "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    return logp.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"), F.avg("logp").alias("lm_logprob")
+    )

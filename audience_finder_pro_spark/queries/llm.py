@@ -1265,3 +1265,52 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(100)
     )
+
+
+# ------------------------------------------------- E11 TF-IDF keyword extraction
+@_q("tfidf_terms", None)
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by smoothed TF-IDF
+    (operators/relevance.tfidf_top_terms) — corpus-statistics keyword
+    extraction, vs the reference's fixed-list substring scan
+    (app.py:93-149). Declared without an oracle slot (50-query driver cap
+    — same status vocab_topk held until a merge freed a slot); the exact
+    DuckDB differential lives in tests/test_llm_ops.py. Scores rounded to
+    4dp for cross-engine hash stability."""
+    from audience_finder_pro_spark.operators.relevance import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    out = tfidf_top_terms(docs, k=5)
+    return out.select("doc_id", "token", F.round("score", 4).alias("score"), "rnk")
+
+
+# ------------------------------------------- E12 bigram-LM fluency (quality) score
+@_q("lm_quality", None)
+def lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/KenLM-style fluency scoring: mean add-one-smoothed bigram
+    log-probability per document under a model counted from the corpus
+    itself (operators/relevance.lm_score_docs; in production train=curated
+    corpus, score=crawl). Pure DataFrame — one zip-sliced gram_stream for
+    the model, shuffle hash joins on token keys for scoring, no Python.
+    DuckDB differential in tests/test_llm_ops.py (no driver slot free)."""
+    from audience_finder_pro_spark.operators.relevance import lm_score_docs
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    out = lm_score_docs(docs, docs)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("lm_logprob", 4).alias("lm_logprob")
+    )
+
+
+# ------------------------------------------------ E13 sketch-based corpus profile
+@_q("corpus_profile", None)
+def corpus_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile via mergeable sketches (HLL++ distinct
+    tokens, GK length quantiles) in one exploded aggregate pass —
+    operators/profile.corpus_profile. Estimates are engine-specific by
+    nature, so there is no hash oracle; tests pin each estimate inside
+    the sketch's own error bound against exact values."""
+    from audience_finder_pro_spark.operators.profile import corpus_profile
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return corpus_profile(docs)

@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "chunk_docs",
     "vocab_topk",
+    "tfidf_terms",
+    "lm_quality",
+    "corpus_profile",
     "text_stats",
     "doc_fingerprint",
     "lang_id",

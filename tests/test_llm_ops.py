@@ -796,3 +796,159 @@ def test_semantic_dedup_perturbed_copy_recall(spark, sf_smoke):
     flagged = {r.vec_id for r in out if r.is_dup and r.vec_id >= 100000}
     recall = len(flagged) / len(planted)
     assert recall >= 0.9, f"perturbed-copy recall {recall:.2f} ({len(flagged)}/{len(planted)})"
+
+
+def test_tfidf_terms_matches_sql_oracle(spark, sf_smoke):
+    """E11: smoothed TF-IDF top-5 terms per doc hash-match an exact DuckDB
+    CTE; the plan stays JVM-side (no Python eval) and pushes the per-doc
+    rank filter into a window group limit before the final sort."""
+    from tests.oracle import compare
+
+    from audience_finder_pro_spark.queries import QUERIES
+
+    oracle = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> length(x) > 0)) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score
+      FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, token, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, token, round(score, 4) AS score, rnk
+    FROM ranked WHERE rnk <= 5
+    """
+    df = QUERIES["tfidf_terms"](spark, sf_smoke)
+    compare(df, oracle, sf_smoke, name="tfidf_terms")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_lm_quality_matches_sql_oracle(spark, sf_smoke):
+    """E12: per-doc mean add-one-smoothed bigram log-prob hash-matches an
+    exact DuckDB CTE built from the same tokenizer; plan stays JVM-side."""
+    from tests.oracle import compare
+
+    from audience_finder_pro_spark.queries import QUERIES
+
+    oracle = r"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> length(x) > 0) AS toks
+      FROM documents
+    ),
+    bi0 AS (
+      SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+      FROM tok WHERE len(toks) >= 2
+    ),
+    bi AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bi0),
+    uni AS (SELECT u.token AS w1, count(*) AS c1
+            FROM tok, unnest(toks) AS u(token) GROUP BY 1),
+    bim AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+    v AS (SELECT count(*) AS v FROM uni)
+    SELECT bi.doc_id, count(*) AS n_bigrams,
+           round(avg(ln((coalesce(bim.c2, 0) + 1.0)
+                        / (coalesce(uni.c1, 0) + v.v))), 4) AS lm_logprob
+    FROM bi
+    LEFT JOIN bim ON bi.w1 = bim.w1 AND bi.w2 = bim.w2
+    LEFT JOIN uni ON bi.w1 = uni.w1
+    CROSS JOIN v
+    GROUP BY bi.doc_id
+    """
+    df = QUERIES["lm_quality"](spark, sf_smoke)
+    compare(df, oracle, sf_smoke, name="lm_quality")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_lm_quality_ranks_planted_gibberish_last(spark):
+    """The fluency score must actually separate fluency: repeated natural
+    sentences score above a unique-token gibberish doc under a model
+    trained on the natural docs."""
+    from audience_finder_pro_spark.operators.relevance import lm_score_docs
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    rows.append((99, "zq1 xv2 kj3 wq4 pz5 vx6 jk7 qw8 zp9 xv10"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lm_logprob for r in lm_score_docs(docs, docs).collect()}
+    natural = [v for k, v in got.items() if k != 99]
+    assert got[99] < min(natural)
+
+
+def test_corpus_profile_within_sketch_error(spark, sf_smoke):
+    """E13: every sketch estimate lands inside its own error bound against
+    exact aggregation — HLL++ within 3x rsd, GK quantiles within the
+    rank-error window — and the exact companions match exactly."""
+    import duckdb
+
+    from audience_finder_pro_spark.queries import QUERIES
+
+    prof = {r.source: r.asDict() for r in QUERIES["corpus_profile"](spark, sf_smoke).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_smoke}/documents.parquet')"
+    )
+    exact = con.execute(
+        r"""
+        WITH tok AS (
+          SELECT doc_id, source, length(text) AS doc_chars,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> length(x) > 0) AS toks
+          FROM documents
+        ),
+        doc_level AS (
+          SELECT source, count(*) AS n_docs, sum(len(toks)) AS total_tokens,
+                 quantile_disc(doc_chars, 0.5) AS p50,
+                 quantile_disc(doc_chars, 0.95) AS p95
+          FROM tok GROUP BY source
+        ),
+        tok_level AS (
+          SELECT source, count(DISTINCT u.token) AS distinct_tokens
+          FROM tok, unnest(toks) AS u(token) GROUP BY source
+        )
+        SELECT * FROM doc_level JOIN tok_level USING (source)
+        """
+    ).df()
+    assert set(prof) == set(exact["source"])
+    for _, row in exact.iterrows():
+        got = prof[row["source"]]
+        assert got["n_docs"] == row["n_docs"]
+        assert got["total_tokens"] == row["total_tokens"]
+        rel = abs(got["approx_distinct_tokens"] - row["distinct_tokens"]) / row["distinct_tokens"]
+        assert rel <= 0.15, (row["source"], got["approx_distinct_tokens"], row["distinct_tokens"])
+        # GK sketch at accuracy=10000 on n<=thousands of rows is exact-rank;
+        # allow one rank of slack against DuckDB's discrete quantile
+        assert abs(got["p50_doc_chars"] - row["p50"]) <= max(5, 0.05 * row["p50"])
+        assert abs(got["p95_doc_chars"] - row["p95"]) <= max(5, 0.05 * row["p95"])
+
+
+def test_corpus_profile_single_exchange(spark, sf_smoke):
+    """The profile must stay ONE map-side-combined aggregate: a single
+    shuffle exchange, no window, no sort, no second scan of documents."""
+    from audience_finder_pro_spark.queries import QUERIES
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        fn = QUERIES["corpus_profile"]
+        fn = getattr(fn, "__wrapped__", fn)
+        plan = fn(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # exactly the aggregate's own hash exchange (the fan_out round-robin
+    # repartition is a local-SF parallelism shim, not a data shuffle)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan
+    assert plan.count("ReadSchema") == 1  # one scan of documents
