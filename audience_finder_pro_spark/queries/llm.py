@@ -400,37 +400,36 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- F17 text stats
-@_q(
-    "text_stats",
-    """
-    WITH toks AS (
-      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS tok
-      FROM documents
-    )
-    SELECT d.doc_id,
+# SQL fragments shared by the standalone oracles (kept for the degenerate-
+# fixture differential in tests) and the merged text_profile driver oracle.
+_STATS_SELECT_SQL = """
            length(d.text) AS n_chars,
            len(t.tok) AS n_tokens,
            len(list_distinct(t.tok)) AS n_distinct_tokens,
            round(len(list_distinct(t.tok)) / len(t.tok), 4) AS type_token_ratio,
            round(list_sum(list_transform(t.tok, x -> length(x))) / len(t.tok), 4) AS avg_token_len,
            round(len(list_filter(t.tok, x -> x IN ('the', 'a'))) / len(t.tok), 4) AS stopword_ratio
+"""
+
+_TEXT_STATS_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS tok
+      FROM documents
+    )
+    SELECT d.doc_id,
+           {_STATS_SELECT_SQL}
     FROM documents d JOIN toks t ON d.doc_id = t.doc_id
-    """,
-)
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lambda-free on purpose: an outer HOF lambda (`F.filter`/`F.aggregate`)
-    blocks its argument subtree from subexpression elimination, so each
-    metric would re-run the tokenizer (the curation_pipeline lesson,
-    NOTES gotcha #1). `array_remove` counts stop words and
-    `length(array_join(tok, ''))` sums token lengths — regular catalyst
-    expressions, one shared tokenize."""
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    tok = tokens("text")
+    """
+
+
+def _stats_cols(text_col: str = "text") -> list:
+    """The six per-doc text-stat expressions (one shared tokenize subtree —
+    lambda-free so CSE holds, NOTES gotcha #1)."""
+    tok = tokens(text_col)
     n_tok = F.size(tok)
     n_stop = n_tok - F.size(F.array_remove(F.array_remove(tok, "the"), "a"))
-    return docs.select(
-        "doc_id",
-        F.length("text").cast("long").alias("n_chars"),
+    return [
+        F.length(text_col).cast("long").alias("n_chars"),
         n_tok.cast("long").alias("n_tokens"),
         F.size(F.array_distinct(tok)).cast("long").alias("n_distinct_tokens"),
         # n_tok guard: ANSI turns /0 into an exception for a zero-token doc;
@@ -442,24 +441,26 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_token_len"
         ),
         F.round(F.when(n_tok > 0, n_stop / n_tok), 4).alias("stopword_ratio"),
-    )
+    ]
+
+
+@_q("text_stats", None)  # oracle slot moved to the merged text_profile (r7)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-free on purpose: an outer HOF lambda (`F.filter`/`F.aggregate`)
+    blocks its argument subtree from subexpression elimination, so each
+    metric would re-run the tokenizer (the curation_pipeline lesson,
+    NOTES gotcha #1). `array_remove` counts stop words and
+    `length(array_join(tok, ''))` sums token lengths — regular catalyst
+    expressions, one shared tokenize. Driver-verified through the merged
+    ``text_profile`` (same expressions); the standalone DuckDB
+    differential (_TEXT_STATS_ORACLE) runs in tests."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return docs.select("doc_id", *_stats_cols("text"))
 
 
 # ---------------------------------------------------------------- F17 language ID
-@_q(
-    "lang_id",
-    f"""
-    WITH nrm AS (
-      SELECT doc_id, lang,
-             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS n
-      FROM documents
-    ),
-    h AS (
-      SELECT doc_id, lang, greatest(length(n) - 2, 0) AS n_tg,
-             {trigram_hits_sql("n")}
-      FROM nrm
-    )
-    SELECT doc_id, lang AS labeled_lang,
+_LANG_SELECT_SQL = """
+           lang AS labeled_lang,
            CASE WHEN n_tg = 0 OR greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'unk'
                 WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
                 WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
@@ -469,9 +470,84 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN n_tg > 0 THEN round(en_hits * 1.0 / n_tg, 4) ELSE 0.0 END AS en_score,
            CASE WHEN n_tg > 0 THEN round(es_hits * 1.0 / n_tg, 4) ELSE 0.0 END AS es_score,
            CASE WHEN n_tg > 0 THEN round(fr_hits * 1.0 / n_tg, 4) ELSE 0.0 END AS fr_score
+"""
+
+_LANG_CTES_SQL = f"""
+    nrm AS (
+      SELECT doc_id, lang,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS n
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, lang, greatest(length(n) - 2, 0) AS n_tg,
+             {trigram_hits_sql("n")}
+      FROM nrm
+    )
+"""
+
+_LANG_ID_ORACLE = f"""
+    WITH {_LANG_CTES_SQL}
+    SELECT doc_id, {_LANG_SELECT_SQL}
     FROM h
-    """,
-)
+    """
+
+
+def _check_lang_profiles() -> None:
+    # data-integrity check, not a debug assert (assert strips under -O):
+    # a self-overlapping profile trigram would silently undercount hits
+    for grams in LANG_TRIGRAMS.values():
+        if any(len(g) == 3 and g[0] == g[2] for g in grams):
+            raise ValueError(
+                "self-overlapping trigram breaks the replace-count identity"
+            )
+
+
+def _trigram_hits(grams: tuple[str, ...]):
+    """Per-language hit count over col ``n`` as a pure codegen expression:
+    ``(length(n) - length(replace(n, T, ''))) / 3`` summed per profile
+    trigram (non-overlap == per-position count; see lang_id docstring)."""
+    n = F.col("n")
+    # grams that aren't exactly 3 chars can never equal a 3-char
+    # substr in the position-count semantics (and the oracle's
+    # IN-list agrees) — but replace WOULD find them, so skip them
+    counts = [
+        ((F.length(n) - F.length(F.replace(n, F.lit(g)))) / 3).cast("long")
+        for g in grams
+        if len(g) == 3
+    ]
+    total = F.lit(0).cast("long")
+    for c in counts:
+        total = total + c
+    return total
+
+
+def _lang_cols() -> list:
+    """labeled/predicted lang + 4 scores; expects n_tg and *_hits columns."""
+    de, en, es, fr = (F.col(f"{lang}_hits") for lang in ("de", "en", "es", "fr"))
+    pred = (
+        F.when((F.col("n_tg") == 0) | (F.greatest(de, en, es, fr) == 0), "unk")
+        .when((de >= en) & (de >= es) & (de >= fr), "de")
+        .when((en >= es) & (en >= fr), "en")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    )
+
+    def score(c):
+        return F.when(F.col("n_tg") > 0, F.round(c * 1.0 / F.col("n_tg"), 4)).otherwise(
+            F.lit(0.0)
+        )
+
+    return [
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        score(de).alias("de_score"),
+        score(en).alias("en_score"),
+        score(es).alias("es_score"),
+        score(fr).alias("fr_score"),
+    ]
+
+
+@_q("lang_id", None)  # oracle slot moved to the merged text_profile (r7)
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram-profile language ID (Cavnar-Trenkle style): per-language
     hit counts over the document's character trigrams, deterministic
@@ -493,64 +569,75 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     noop sink; `count()` had hidden the cost entirely by pruning the
     projection). The fixture text is English-ish for every row
     regardless of the `lang` label, so the operator is exercised via
-    its scores, not label accuracy.
+    its scores, not label accuracy. Driver-verified through the merged
+    ``text_profile``; the standalone oracle (_LANG_ID_ORACLE) stays as a
+    module constant.
     """
-    # data-integrity check, not a debug assert (assert strips under -O):
-    # a self-overlapping profile trigram would silently undercount hits
-    for grams in LANG_TRIGRAMS.values():
-        if any(len(g) == 3 and g[0] == g[2] for g in grams):
-            raise ValueError(
-                "self-overlapping trigram breaks the replace-count identity"
-            )
+    _check_lang_profiles()
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     base = docs.select(
         "doc_id", "lang", F.lower(norm_ws("text")).alias("n")
     ).withColumn("n_tg", F.greatest(F.length("n") - 2, F.lit(0)))
-
-    def hits(grams: tuple[str, ...]):
-        n = F.col("n")
-        # grams that aren't exactly 3 chars can never equal a 3-char
-        # substr in the position-count semantics (and the oracle's
-        # IN-list agrees) — but replace WOULD find them, so skip them
-        counts = [
-            ((F.length(n) - F.length(F.replace(n, F.lit(g)))) / 3).cast("long")
-            for g in grams
-            if len(g) == 3
-        ]
-        total = F.lit(0).cast("long")
-        for c in counts:
-            total = total + c
-        return total
-
     h = base.select(
         "doc_id",
         "lang",
         "n_tg",
-        *[hits(grams).alias(f"{lang}_hits") for lang, grams in LANG_TRIGRAMS.items()],
+        *[
+            _trigram_hits(grams).alias(f"{lang}_hits")
+            for lang, grams in LANG_TRIGRAMS.items()
+        ],
     )
-    de, en, es, fr = (F.col(f"{lang}_hits") for lang in ("de", "en", "es", "fr"))
-    pred = (
-        F.when((F.col("n_tg") == 0) | (F.greatest(de, en, es, fr) == 0), "unk")
-        .when((de >= en) & (de >= es) & (de >= fr), "de")
-        .when((en >= es) & (en >= fr), "en")
-        .when(es >= fr, "es")
-        .otherwise("fr")
-    )
+    return h.select("doc_id", *_lang_cols())
 
-    def score(c):
-        return F.when(F.col("n_tg") > 0, F.round(c * 1.0 / F.col("n_tg"), 4)).otherwise(
-            F.lit(0.0)
-        )
 
-    return h.select(
+# ------------------------------------------- F17 merged per-doc text profile
+@_q(
+    "text_profile",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS tok
+      FROM documents
+    ),
+    {_LANG_CTES_SQL}
+    SELECT d.doc_id,
+           {_STATS_SELECT_SQL},
+           {_LANG_SELECT_SQL.replace("lang AS labeled_lang", "h.lang AS labeled_lang")}
+    FROM documents d
+    JOIN toks t ON d.doc_id = t.doc_id
+    JOIN h ON d.doc_id = h.doc_id
+    """,
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full per-doc text tier in ONE projection: the six text_stats
+    metrics + language ID (labeled/predicted + 4 trigram scores) — 13
+    columns, one scan, zero exchanges, every expression shared through
+    whole-stage codegen CSE (both constituents were already lambda-free).
+
+    This is the r7 tagged-merge that funds ``tfidf_terms``'s oracle slot
+    under the driver's 50-query cap: text_stats and lang_id stay
+    individually declared (bench stages, degenerate-fixture tests) but
+    hand their driver rows to this merged frame, which verifies the
+    identical expressions — the oracle SQL is the literal concatenation
+    of their two oracle bodies."""
+    _check_lang_profiles()
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    base = docs.select(
         "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        pred.alias("predicted_lang"),
-        score(de).alias("de_score"),
-        score(en).alias("en_score"),
-        score(es).alias("es_score"),
-        score(fr).alias("fr_score"),
+        "lang",
+        "text",
+        F.lower(norm_ws("text")).alias("n"),
+    ).withColumn("n_tg", F.greatest(F.length("n") - 2, F.lit(0)))
+    h = base.select(
+        "doc_id",
+        "lang",
+        "text",
+        "n_tg",
+        *[
+            _trigram_hits(grams).alias(f"{lang}_hits")
+            for lang, grams in LANG_TRIGRAMS.items()
+        ],
     )
+    return h.select("doc_id", *_stats_cols("text"), *_lang_cols())
 
 
 # ---------------------------------------------------------------- F17 fingerprints
@@ -1268,15 +1355,41 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- E11 TF-IDF keyword extraction
-@_q("tfidf_terms", None)
+_TFIDF_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> length(x) > 0)) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score
+  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, round(score, 4) AS score, rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@_q("tfidf_terms", _TFIDF_ORACLE)
 def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per document by smoothed TF-IDF
     (operators/relevance.tfidf_top_terms) — corpus-statistics keyword
     extraction, vs the reference's fixed-list substring scan
-    (app.py:93-149). Declared without an oracle slot (50-query driver cap
-    — same status vocab_topk held until a merge freed a slot); the exact
-    DuckDB differential lives in tests/test_llm_ops.py. Scores rounded to
-    4dp for cross-engine hash stability."""
+    (app.py:93-149). Oracle slot funded by the text_stats+lang_id →
+    ``text_profile`` merge (r7). Scores rounded to 4dp for cross-engine
+    hash stability; (score DESC, token ASC) is a deterministic total
+    order so both engines cut the same top-5."""
     from audience_finder_pro_spark.operators.relevance import tfidf_top_terms
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)

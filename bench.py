@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "tfidf_terms",
     "lm_quality",
     "corpus_profile",
+    "text_profile",
     "text_stats",
     "doc_fingerprint",
     "lang_id",

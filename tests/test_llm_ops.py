@@ -684,9 +684,14 @@ def test_text_tier_zero_token_docs(spark, tmp_path):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet/*.parquet')"
     )
+    from audience_finder_pro_spark.queries.llm import _TEXT_STATS_ORACLE
+
+    # text_stats handed its driver-oracle slot to the merged text_profile;
+    # its standalone oracle persists as a module constant for this test
+    degenerate_oracles = dict(ORACLES) | {"text_stats": _TEXT_STATS_ORACLE}
     for name in ("text_stats", "quality_score", "curation_pipeline", "quality_signals"):
         sdf = QUERIES[name](spark, sf_dir)
-        cur = con.execute(ORACLES[name])
+        cur = con.execute(degenerate_oracles[name])
         o_cols = [d[0] for d in cur.description]
         o_rows = cur.fetchall()
         s_rows = [tuple(r) for r in sdf.collect()]
@@ -806,32 +811,10 @@ def test_tfidf_terms_matches_sql_oracle(spark, sf_smoke):
 
     from audience_finder_pro_spark.queries import QUERIES
 
-    oracle = r"""
-    WITH tok AS (
-      SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                x -> length(x) > 0)) AS token
-      FROM documents
-    ),
-    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-    n AS (SELECT count(*) AS n_docs FROM documents),
-    scored AS (
-      SELECT tf.doc_id, tf.token,
-             tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score
-      FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
-    ),
-    ranked AS (
-      SELECT doc_id, token, score,
-             row_number() OVER (PARTITION BY doc_id
-                                ORDER BY score DESC, token) AS rnk
-      FROM scored
-    )
-    SELECT doc_id, token, round(score, 4) AS score, rnk
-    FROM ranked WHERE rnk <= 5
-    """
+    from audience_finder_pro_spark.queries import ORACLES
+
     df = QUERIES["tfidf_terms"](spark, sf_smoke)
-    compare(df, oracle, sf_smoke, name="tfidf_terms")
+    compare(df, ORACLES["tfidf_terms"], sf_smoke, name="tfidf_terms")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert "WindowGroupLimit" in plan

@@ -177,3 +177,14 @@ def test_pack_documents_no_single_partition_window(spark, sf_smoke, no_aqe):
     plan = _plan(spark, "pack_documents", sf_smoke)
     assert "Exchange SinglePartition" not in plan
     assert "MapInPandas" in plan  # the narrow offset+cumsum pass
+
+
+def test_text_profile_single_projection(spark, sf_smoke, no_aqe):
+    """The merged text tier (text_stats + lang_id) must keep both
+    constituents' zero-shuffle shape: one scan, no join, no aggregate,
+    no exchange beyond the fan_out parallelism shim."""
+    plan = _plan(spark, "text_profile", sf_smoke)
+    assert "Exchange hashpartitioning" not in plan, plan[:800]
+    assert "Join" not in plan
+    assert "Aggregate" not in plan
+    assert plan.count("ReadSchema") == 1
