@@ -601,6 +601,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_LANG_CTES_SQL}
     SELECT d.doc_id,
            {_STATS_SELECT_SQL},
+           {{QUALITY}},
            {_LANG_SELECT_SQL.replace("lang AS labeled_lang", "h.lang AS labeled_lang")}
     FROM documents d
     JOIN toks t ON d.doc_id = t.doc_id
@@ -609,16 +610,17 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full per-doc text tier in ONE projection: the six text_stats
-    metrics + language ID (labeled/predicted + 4 trigram scores) — 13
-    columns, one scan, zero exchanges, every expression shared through
-    whole-stage codegen CSE (both constituents were already lambda-free).
+    metrics + the quality_score composite/verdict + language ID
+    (labeled/predicted + 4 trigram scores) — 15 columns, one scan, zero
+    exchanges, every expression shared through whole-stage codegen CSE
+    (all three constituents were already lambda-free).
 
-    This is the r7 tagged-merge that funds ``tfidf_terms``'s oracle slot
-    under the driver's 50-query cap: text_stats and lang_id stay
-    individually declared (bench stages, degenerate-fixture tests) but
-    hand their driver rows to this merged frame, which verifies the
-    identical expressions — the oracle SQL is the literal concatenation
-    of their two oracle bodies."""
+    This is the r7 wide-merge that funds the ``tfidf_terms`` and
+    ``lm_quality`` oracle slots under the driver's 50-query cap:
+    text_stats, quality_score and lang_id stay individually declared
+    (bench stages, degenerate-fixture tests) but hand their driver rows
+    to this merged frame, which verifies the identical expressions — the
+    oracle SQL is the literal concatenation of their oracle bodies."""
     _check_lang_profiles()
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     base = docs.select(
@@ -637,7 +639,9 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for lang, grams in LANG_TRIGRAMS.items()
         ],
     )
-    return h.select("doc_id", *_stats_cols("text"), *_lang_cols())
+    return h.select(
+        "doc_id", *_stats_cols("text"), *_quality_cols("text"), *_lang_cols()
+    )
 
 
 # ---------------------------------------------------------------- F17 fingerprints
@@ -731,32 +735,35 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- F17 quality score
-@_q(
-    "quality_score",
-    """
+# the composite expression in terms of a token-list SQL reference, shared by
+# the standalone oracle (tests) and the merged text_profile driver oracle
+_QUALITY_EXPR_SQL = (
+    "0.4 * least(len({tok}) / 100.0, 1.0)"
+    " + 0.4 * (len(list_distinct({tok})) / len({tok}))"
+    " + 0.2 * (1 - len(list_filter({tok}, x -> x IN ('the', 'a'))) / len({tok}))"
+)
+
+_QUALITY_SELECT_SQL = (
+    f"round({_QUALITY_EXPR_SQL}, 4) AS quality,\n"
+    f"           CASE WHEN {_QUALITY_EXPR_SQL} >= 0.5 THEN 'keep'\n"
+    "                ELSE 'drop' END AS verdict"
+)
+
+_QUALITY_SCORE_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS tok
       FROM documents
-    ),
-    feat AS (
-      SELECT doc_id,
-             least(len(tok) / 100.0, 1.0) AS len_score,
-             len(list_distinct(tok)) / len(tok) AS ttr,
-             len(list_filter(tok, x -> x IN ('the', 'a'))) / len(tok) AS stop_ratio
-      FROM toks
     )
     SELECT doc_id,
-           round(0.4 * len_score + 0.4 * ttr + 0.2 * (1 - stop_ratio), 4) AS quality,
-           CASE WHEN 0.4 * len_score + 0.4 * ttr + 0.2 * (1 - stop_ratio) >= 0.5 THEN 'keep'
-                ELSE 'drop' END AS verdict
-    FROM feat
-    """,
-)
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lambda-free stop-word count (`array_remove`) for the same
-    CSE reason as text_stats / curation_pipeline (NOTES gotcha #1)."""
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    tok = tokens("text")
+           {_QUALITY_SELECT_SQL.replace("{tok}", "tok")}
+    FROM toks
+    """
+
+
+def _quality_cols(text_col: str = "text") -> list:
+    """quality + verdict columns (shares the tokenize subtree with
+    _stats_cols through whole-stage codegen CSE — all lambda-free)."""
+    tok = tokens(text_col)
     n_tok = F.size(tok)
     len_score = F.least(n_tok / 100.0, F.lit(1.0))
     # zero-token docs: guarded to NULL (ANSI would throw on /0); quality then
@@ -768,11 +775,28 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_tok - F.size(F.array_remove(F.array_remove(tok, "the"), "a"))) / n_tok,
     )
     q = 0.4 * len_score + 0.4 * ttr + 0.2 * (1 - stop_ratio)
-    return docs.select(
-        "doc_id",
+    return [
         F.round(q, 4).alias("quality"),
         F.when(q >= 0.5, "keep").otherwise("drop").alias("verdict"),
-    )
+    ]
+
+
+# text_profile's decorator runs before these constants exist (definition
+# order), so its oracle carries a {QUALITY} placeholder — fill it now,
+# still at module import time, before the registry reads ORACLES
+ORACLES["text_profile"] = ORACLES["text_profile"].replace(
+    "{QUALITY}", _QUALITY_SELECT_SQL.replace("{tok}", "t.tok")
+)
+
+
+@_q("quality_score", None)  # oracle slot moved to the merged text_profile (r7)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-free stop-word count (`array_remove`) for the same
+    CSE reason as text_stats / curation_pipeline (NOTES gotcha #1).
+    Driver-verified through the merged ``text_profile``; the standalone
+    oracle (_QUALITY_SCORE_ORACLE) stays as a module constant."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return docs.select("doc_id", *_quality_cols("text"))
 
 
 # ------------------------------------------------- F17 repetition + PII signals
@@ -1398,14 +1422,41 @@ def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------- E12 bigram-LM fluency (quality) score
-@_q("lm_quality", None)
+_LM_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> length(x) > 0) AS toks
+  FROM documents
+),
+bi0 AS (
+  SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+  FROM tok WHERE len(toks) >= 2
+),
+bi AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bi0),
+uni AS (SELECT u.token AS w1, count(*) AS c1
+        FROM tok, unnest(toks) AS u(token) GROUP BY 1),
+bim AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+v AS (SELECT count(*) AS v FROM uni)
+SELECT bi.doc_id, count(*) AS n_bigrams,
+       round(avg(ln((coalesce(bim.c2, 0) + 1.0)
+                    / (coalesce(uni.c1, 0) + v.v))), 4) AS lm_logprob
+FROM bi
+LEFT JOIN bim ON bi.w1 = bim.w1 AND bi.w2 = bim.w2
+LEFT JOIN uni ON bi.w1 = uni.w1
+CROSS JOIN v
+GROUP BY bi.doc_id
+"""
+
+
+@_q("lm_quality", _LM_ORACLE)
 def lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/KenLM-style fluency scoring: mean add-one-smoothed bigram
     log-probability per document under a model counted from the corpus
     itself (operators/relevance.lm_score_docs; in production train=curated
     corpus, score=crawl). Pure DataFrame — one zip-sliced gram_stream for
     the model, shuffle hash joins on token keys for scoring, no Python.
-    DuckDB differential in tests/test_llm_ops.py (no driver slot free)."""
+    Oracle slot funded by the quality_score → text_profile wide merge
+    (r7)."""
     from audience_finder_pro_spark.operators.relevance import lm_score_docs
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)

@@ -684,11 +684,18 @@ def test_text_tier_zero_token_docs(spark, tmp_path):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet/*.parquet')"
     )
-    from audience_finder_pro_spark.queries.llm import _TEXT_STATS_ORACLE
+    from audience_finder_pro_spark.queries.llm import (
+        _QUALITY_SCORE_ORACLE,
+        _TEXT_STATS_ORACLE,
+    )
 
-    # text_stats handed its driver-oracle slot to the merged text_profile;
-    # its standalone oracle persists as a module constant for this test
-    degenerate_oracles = dict(ORACLES) | {"text_stats": _TEXT_STATS_ORACLE}
+    # text_stats and quality_score handed their driver-oracle slots to the
+    # merged text_profile; their standalone oracles persist as module
+    # constants for this test
+    degenerate_oracles = dict(ORACLES) | {
+        "text_stats": _TEXT_STATS_ORACLE,
+        "quality_score": _QUALITY_SCORE_ORACLE,
+    }
     for name in ("text_stats", "quality_score", "curation_pipeline", "quality_signals"):
         sdf = QUERIES[name](spark, sf_dir)
         cur = con.execute(degenerate_oracles[name])
@@ -827,32 +834,10 @@ def test_lm_quality_matches_sql_oracle(spark, sf_smoke):
 
     from audience_finder_pro_spark.queries import QUERIES
 
-    oracle = r"""
-    WITH tok AS (
-      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                 x -> length(x) > 0) AS toks
-      FROM documents
-    ),
-    bi0 AS (
-      SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
-      FROM tok WHERE len(toks) >= 2
-    ),
-    bi AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bi0),
-    uni AS (SELECT u.token AS w1, count(*) AS c1
-            FROM tok, unnest(toks) AS u(token) GROUP BY 1),
-    bim AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
-    v AS (SELECT count(*) AS v FROM uni)
-    SELECT bi.doc_id, count(*) AS n_bigrams,
-           round(avg(ln((coalesce(bim.c2, 0) + 1.0)
-                        / (coalesce(uni.c1, 0) + v.v))), 4) AS lm_logprob
-    FROM bi
-    LEFT JOIN bim ON bi.w1 = bim.w1 AND bi.w2 = bim.w2
-    LEFT JOIN uni ON bi.w1 = uni.w1
-    CROSS JOIN v
-    GROUP BY bi.doc_id
-    """
+    from audience_finder_pro_spark.queries import ORACLES
+
     df = QUERIES["lm_quality"](spark, sf_smoke)
-    compare(df, oracle, sf_smoke, name="lm_quality")
+    compare(df, ORACLES["lm_quality"], sf_smoke, name="lm_quality")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
 
