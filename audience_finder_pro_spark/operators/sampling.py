@@ -80,3 +80,76 @@ def mixture_sample(
     disagree on a float boundary."""
     b = hash_bucket(id_col, salt)
     return df.withColumn("sampled", b < F.round(rate * BUCKETS).cast("long"))
+
+
+def quantile_bins(
+    df: DataFrame,
+    score_col: str,
+    n_bins: int = 10,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Adds a ``bin`` column (0..n_bins-1) assigning each row to its
+    global quantile bucket of ``score_col`` — curriculum / quality-tier
+    binning ("train on the top 3 deciles first") without a global sort.
+
+    Scale shape: the naive form — ``ntile(n)`` over a global ordered
+    window — is a single-partition window (the pack_documents
+    anti-pattern). Instead the n_bins-1 interior cutoffs come from ONE
+    ``percentile_approx`` aggregate (Greenwald-Khanna mergeable sketch,
+    map-side combined, one row out) broadcast back over the frame, and
+    bin assignment is a pure projection counting cutoffs ≤ score
+    (``F.aggregate`` over the tiny cutoff array — n_bins-1 elements, not
+    a per-token hot path). Two narrow passes over the scan, zero wide
+    shuffles, no sort anywhere.
+
+    Bins are approximate at sketch precision: boundary rows within
+    rank-error n/accuracy of a cutoff may land one bin off; bin
+    populations are equal to within that error. NULL scores get bin
+    NULL.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    cuts = df.agg(
+        F.percentile_approx(score_col, probs, accuracy).alias("cuts")
+    )
+    s = F.col(score_col)
+    bin_expr = F.when(
+        s.isNotNull(),
+        F.aggregate(
+            "cuts",
+            F.lit(0),
+            lambda acc, c: acc + F.when(s >= c, 1).otherwise(0),
+        ),
+    )
+    return df.crossJoin(F.broadcast(cuts)).withColumn("bin", bin_expr).drop("cuts")
+
+
+def stratified_sample_k(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ksample",
+) -> DataFrame:
+    """Deterministic k-per-group sample (eval-set construction: "exactly 3
+    docs from every source, reproducibly"): rows ordered inside each group
+    by the salted md5 of their id (a fair, partitioning-independent coin)
+    with the id itself as tiebreaker, first k kept, rank exposed as
+    ``sample_rank`` (1..k).
+
+    Scale shape: one window keyed on the group column — Spark's
+    InferWindowGroupLimit prunes each map partition to k rows per group
+    BEFORE the exchange, so the shuffle carries ≤ n_partitions × groups
+    × k rows, not the corpus. Unlike fraction-based ``mixture_sample``
+    this guarantees exact counts; unlike ``df.sampleBy`` it needs no seed
+    state and reproduces bit-identically in SQL (md5 order), so the
+    DuckDB oracle computes the same sample.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return df.withColumn("sample_rank", F.row_number().over(w)).filter(
+        F.col("sample_rank") <= k
+    )

@@ -1478,3 +1478,45 @@ def corpus_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return corpus_profile(docs)
+
+
+# ---------------------------------------- E14 quantile quality binning (curriculum)
+@_q("quality_bins", None)
+def quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/quality-tier binning: the quality composite binned into
+    global deciles via operators/sampling.quantile_bins (one GK-sketch
+    cutoff aggregate broadcast over a projection — no global sort, no
+    single-partition window), summarized per bin. Sketch cutoffs are
+    engine-specific (discrete-rank conventions differ), so no hash
+    oracle; tests pin bin populations, range disjointness, and
+    determinism under repartitioning."""
+    from audience_finder_pro_spark.operators.sampling import quantile_bins
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    scored = docs.select("doc_id", *_quality_cols("text"))
+    binned = quantile_bins(scored, "quality", n_bins=10)
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("quality"), 4).alias("min_quality"),
+            F.round(F.max("quality"), 4).alias("max_quality"),
+        )
+        .orderBy("bin")
+    )
+
+
+# -------------------------------------- E15 deterministic per-group eval sample
+@_q("eval_sample", None)
+def eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-3-docs-per-source reproducible sample
+    (operators/sampling.stratified_sample_k): md5-ordered WindowGroupLimit
+    window — the eval-set constructor. md5 order reproduces in DuckDB
+    bit-identically; the differential lives in tests (no driver slot
+    free)."""
+    from audience_finder_pro_spark.operators.sampling import stratified_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample_k(docs, "source", k=3).select(
+        "doc_id", "source", "sample_rank"
+    )

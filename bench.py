@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "lm_quality",
     "corpus_profile",
     "text_profile",
+    "quality_bins",
+    "eval_sample",
     "text_stats",
     "doc_fingerprint",
     "lang_id",

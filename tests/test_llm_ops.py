@@ -920,3 +920,81 @@ def test_corpus_profile_single_exchange(spark, sf_smoke):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Window" not in plan
     assert plan.count("ReadSchema") == 1  # one scan of documents
+
+
+def test_quality_bins_decile_properties(spark, sf_smoke):
+    """E14: ten bins, near-equal populations (sketch-exact at this n),
+    disjoint monotone score ranges."""
+    from audience_finder_pro_spark.queries import QUERIES
+
+    rows = sorted(
+        (r.bin, r.n_docs, r.min_quality, r.max_quality)
+        for r in QUERIES["quality_bins"](spark, sf_smoke).collect()
+    )
+    assert [r[0] for r in rows] == list(range(10))
+    total = sum(r[1] for r in rows)
+    for _, n, _, _ in rows:
+        assert 0.5 * total / 10 <= n <= 1.5 * total / 10, rows
+    for (_, _, _, hi), (_, _, lo, _) in zip(rows, rows[1:]):
+        assert hi <= lo, rows
+
+
+def test_quantile_bins_deterministic_and_null_safe(spark):
+    """Operator contract: same data -> same bins under any partitioning;
+    NULL scores get bin NULL; every non-null row lands in [0, n_bins-1]."""
+    from audience_finder_pro_spark.operators.sampling import quantile_bins
+
+    rows = [(i, float(i % 97)) for i in range(500)] + [(999, None)]
+    df = spark.createDataFrame(rows, "id long, s double")
+    a = {r.id: r.bin for r in quantile_bins(df, "s", n_bins=4).collect()}
+    b = {
+        r.id: r.bin
+        for r in quantile_bins(df.repartition(13, "id"), "s", n_bins=4).collect()
+    }
+    assert a == b
+    assert a[999] is None
+    assert all(v in (0, 1, 2, 3) for k, v in a.items() if k != 999)
+
+
+def test_eval_sample_matches_sql_oracle(spark, sf_smoke):
+    """E15: the md5-ordered k-per-group sample hash-matches DuckDB row
+    numbering over the same salted md5 order; plan keeps the partial
+    window group limit (shuffle carries <= partitions x groups x k)."""
+    from tests.oracle import compare
+
+    from audience_finder_pro_spark.queries import QUERIES
+
+    oracle = r"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('ksample:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, source, sample_rank FROM ranked WHERE sample_rank <= 3
+    """
+    df = QUERIES["eval_sample"](spark, sf_smoke)
+    compare(df, oracle, sf_smoke, name="eval_sample")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_stratified_sample_k_exact_counts_and_determinism(spark):
+    """Every group with >= k rows yields exactly k; smaller groups yield all
+    rows; the picked set is partitioning-independent."""
+    from audience_finder_pro_spark.operators.sampling import stratified_sample_k
+
+    rows = [(i, f"g{i % 7}") for i in range(200)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample_k(df, "source", k=5)
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["tiny"] == 1
+    assert all(v == 5 for g, v in counts.items() if g != "tiny")
+    a = {(r.doc_id, r.sample_rank) for r in out.collect()}
+    b = {
+        (r.doc_id, r.sample_rank)
+        for r in stratified_sample_k(df.repartition(17), "source", k=5).collect()
+    }
+    assert a == b
