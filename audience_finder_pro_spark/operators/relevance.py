@@ -95,31 +95,65 @@ def lm_score_docs(
     model; the canonical use is train=curated corpus, score=web crawl,
     keep the top fluency bucket. Returns (id_col, n_bigrams, lm_logprob).
     """
-    bi_train = gram_stream(train, id_col, text_col, n=2)
-    # every token occurs exactly once as t0 (tail row has t1 null), so the
-    # t0 stream IS the token stream: one gram_stream feeds both models
-    uni = bi_train.groupBy(F.col("t0").alias("w1")).agg(F.count("*").alias("c1"))
-    bim = (
-        bi_train.filter(F.col("t1").isNotNull())
-        .groupBy(F.col("t0").alias("w1"), F.col("t1").alias("w2"))
-        .agg(F.count("*").alias("c2"))
+    # ONE evaluation of the train stream: per-(doc, t0, t1) position counts
+    # (t1-null doc-tail rows kept — they carry the final token's unigram
+    # occurrence). Both model tables then come out of ONE stacked aggregate
+    # over m_train — ('uni', t0, null) + ('bi', t0, t1) rows grouped by
+    # (kind, k1, k2) — instead of two separate groupBys (A/B at sf0.1:
+    # 1.6s vs 1.9-2.2s; one exchange saved, and m_train's shuffle is
+    # shared by the model branch and — when score IS train, the common
+    # self-scoring case — the score side via ReusedExchange). m_train is
+    # never larger than the raw stream (it's the distinct-bigram remnant),
+    # so every downstream exchange carries combined rows, which is also
+    # why the score side joins m (weighted by n) rather than raw
+    # positions: at scale the join exchange then moves distinct per-doc
+    # bigrams, not the token stream.
+    m_train = (
+        gram_stream(train, id_col, text_col, n=2)
+        .groupBy(id_col, "t0", "t1")
+        .agg(F.count("*").alias("n"))
+    )
+    model = (
+        m_train.select(
+            F.expr(
+                "stack(2, 'uni', t0, cast(null as string), 'bi', t0, t1)"
+                " as (kind, k1, k2)"
+            ),
+            "n",
+        )
+        .filter(~((F.col("kind") == "bi") & F.col("k2").isNull()))
+        .groupBy("kind", "k1", "k2")
+        .agg(F.sum("n").alias("c"))
+    )
+    bim = model.filter(F.col("kind") == "bi").select(
+        F.col("k1").alias("w1"), F.col("k2").alias("w2"), F.col("c").alias("c2")
+    )
+    uni = model.filter(F.col("kind") == "uni").select(
+        F.col("k1").alias("w1"), F.col("c").alias("c1")
     )
     vocab = uni.agg(F.count("*").alias("v"))  # 1 row → broadcast NLJ
 
-    bi_score = gram_stream(score, id_col, text_col, n=2).filter(
-        F.col("t1").isNotNull()
-    )
+    if score is train:
+        m_score = m_train.filter(F.col("t1").isNotNull())
+    else:
+        m_score = (
+            gram_stream(score, id_col, text_col, n=2)
+            .filter(F.col("t1").isNotNull())
+            .groupBy(id_col, "t0", "t1")
+            .agg(F.count("*").alias("n"))
+        )
     logp = (
-        bi_score.join(
+        m_score.join(
             bim,
-            (bi_score.t0 == bim.w1) & (bi_score.t1 == bim.w2),
+            (m_score.t0 == bim.w1) & (m_score.t1 == bim.w2),
             "left",
         )
         .drop("w1", "w2")
-        .join(uni, bi_score.t0 == uni.w1, "left")
+        .join(uni, m_score.t0 == uni.w1, "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             id_col,
+            "n",
             F.log(
                 (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
                 / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
@@ -127,5 +161,6 @@ def lm_score_docs(
         )
     )
     return logp.groupBy(id_col).agg(
-        F.count("*").alias("n_bigrams"), F.avg("logp").alias("lm_logprob")
+        F.sum("n").cast("long").alias("n_bigrams"),
+        (F.sum(F.col("n") * F.col("logp")) / F.sum("n")).alias("lm_logprob"),
     )
