@@ -115,6 +115,36 @@ def main() -> None:
             f"doc_fingerprint (winnowing) {nf} rows in {t_f:.1f}s"
         )
 
+        # Relevance tier at scale: TF-IDF (tf/df agg + token join + per-doc
+        # group-limit window) and the bigram LM (stacked model aggregate +
+        # weighted score join) are shuffle-heavier than the projection tier
+        # — cost should still track token volume ~linearly because every
+        # exchange carries combined rows.
+        from audience_finder_pro_spark.operators.relevance import (
+            lm_score_docs,
+            tfidf_top_terms,
+        )
+        from audience_finder_pro_spark.operators.sampling import quantile_bins
+
+        t0 = time.time()
+        n_tfidf = tfidf_top_terms(bigdocs, k=5).count()
+        t_t = time.time() - t0
+        t0 = time.time()
+        lm = lm_score_docs(bigdocs, bigdocs)
+        lm.write.format("noop").mode("overwrite").save()
+        t_l = time.time() - t0
+        t0 = time.time()
+        binned = quantile_bins(
+            bigdocs.select("doc_id", F.length("text").alias("s")), "s", n_bins=10
+        )
+        binned.write.format("noop").mode("overwrite").save()
+        t_b = time.time() - t0
+        print(
+            f"relevance tier at {factor}x: tfidf_top_terms {n_tfidf} rows in "
+            f"{t_t:.1f}s | lm_score_docs in {t_l:.1f}s | quantile_bins(10) in "
+            f"{t_b:.1f}s"
+        )
+
     # Aggregation-skew stress: 95% of rows share ONE group key, so a naive
     # groupBy lands ~95% of the volume on a single reducer task while the
     # salted two-phase form stays uniform. (AQE splits skewed JOINS, not
