@@ -696,7 +696,15 @@ def test_text_tier_zero_token_docs(spark, tmp_path):
         "text_stats": _TEXT_STATS_ORACLE,
         "quality_score": _QUALITY_SCORE_ORACLE,
     }
-    for name in ("text_stats", "quality_score", "curation_pipeline", "quality_signals"):
+    for name in (
+        "text_stats",
+        "quality_score",
+        "curation_pipeline",
+        "quality_signals",
+        "text_profile",
+        "tfidf_terms",
+        "lm_quality",
+    ):
         sdf = QUERIES[name](spark, sf_dir)
         cur = con.execute(degenerate_oracles[name])
         o_cols = [d[0] for d in cur.description]
