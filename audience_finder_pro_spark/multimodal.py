@@ -316,3 +316,73 @@ def sample_frames(payload_df: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
 
     return payload_df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+EMBED_SCHEMA = "doc_id long, embedding array<float>"
+
+
+def _embed_png(payload: bytes, grid: int) -> list[float]:
+    """Real image embedding: grayscale block-mean pooling over a grid×grid
+    partition of the decoded pixels (the classic pre-neural baseline —
+    deterministic, translation-sensitive, robust to re-encoding). Values
+    in [0, 1]; cosine between two embeddings tracks visual similarity."""
+    width, height, ch, _color, px = _png_pixels(payload)
+    out = []
+    for gy in range(grid):
+        y0, y1 = gy * height // grid, max((gy + 1) * height // grid, gy * height // grid + 1)
+        for gx in range(grid):
+            x0, x1 = gx * width // grid, max((gx + 1) * width // grid, gx * width // grid + 1)
+            acc = n = 0
+            for y in range(y0, min(y1, height)):
+                row = y * width * ch
+                for x in range(x0, min(x1, width)):
+                    s = row + x * ch
+                    acc += sum(px[s : s + ch]) / ch
+                    n += 1
+            out.append(acc / (255.0 * n) if n else 0.0)
+    return out
+
+
+def _embed_bytes(payload: bytes, dim: int) -> list[float]:
+    """Deterministic byte-histogram embedding for codec-less payloads:
+    byte values folded into ``dim`` bins, L1-normalized. Two payloads
+    with similar byte distributions (e.g. same charset/format) land
+    close in cosine — the honest structural fake, same spirit as
+    _decode_stub."""
+    hist = [0] * dim
+    for b in payload:
+        hist[b % dim] += 1
+    total = len(payload) or 1
+    return [h / total for h in hist]
+
+
+def embed_media(payload_df: DataFrame, grid: int = 8) -> DataFrame:
+    """Media → fixed-width embedding (mapInPandas, Arrow batches): the
+    bridge from the D4 binary-payload tier into the A10/E8 similarity
+    tier (image near-dup, media ANN, semantic dedup over media).
+
+    Real path: PNG payloads (magic-byte dispatch) decode and pool to a
+    grid²-dim block-mean embedding. Codec-less payloads get the
+    byte-histogram embedding at the same width, so downstream cosine
+    operators see ONE uniform `array<float>` column regardless of
+    payload mix. Corrupt PNGs fall back to the byte path (quarantine
+    policy: one bad blob must not kill the job). Embeddings are
+    deterministic → the composed pipelines stay replay-stable.
+    """
+    dim = grid * grid
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if b[:8] == _PNG_MAGIC:
+                    try:
+                        embs.append(_embed_png(b, grid))
+                        continue
+                    except Exception:
+                        pass  # corrupt PNG → byte-histogram fallback
+                embs.append(_embed_bytes(b, dim))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "embedding": embs})
+
+    return payload_df.mapInPandas(run, schema=EMBED_SCHEMA)

@@ -1520,3 +1520,34 @@ def eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample_k(docs, "source", k=3).select(
         "doc_id", "source", "sample_rank"
     )
+
+
+# --------------------------------- E16 media embedding + near-dup (D4 x A10)
+@_q("media_neardup", None)
+def media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal-to-similarity bridge end-to-end: binary payloads →
+    embed_media (Arrow-batched; real PNG block-mean pooling, byte
+    histograms for codec-less payloads) → per-block Arrow-matmul cosine
+    near-dup (operators/similarity.cosine_neardup_pairs). The fixture's
+    payloads are text bytes (stub embedding path), blocked on media_type;
+    pairs at ≥0.999 byte-distribution cosine. Python embedding path → no
+    SQL oracle; the real-PNG end-to-end differential (planted noisy
+    copies) lives in tests/test_llm_ops.py."""
+    from audience_finder_pro_spark.multimodal import embed_media
+    from audience_finder_pro_spark.operators.similarity import cosine_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    emb = embed_media(payloads, grid=8).join(
+        payloads.select("doc_id", "media_type"), "doc_id"
+    )
+    return cosine_neardup_pairs(
+        emb, threshold=0.999, block_col="media_type", id_col="doc_id"
+    ).orderBy("id_a", "id_b")

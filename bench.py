@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "text_profile",
     "quality_bins",
     "eval_sample",
+    "media_neardup",
     "text_stats",
     "doc_fingerprint",
     "lang_id",

@@ -1006,3 +1006,75 @@ def test_stratified_sample_k_exact_counts_and_determinism(spark):
         for r in stratified_sample_k(df.repartition(17), "source", k=5).collect()
     }
     assert a == b
+
+
+def test_embed_media_real_png_neardup_pipeline(spark):
+    """E16 end-to-end on REAL PNGs: a pixel-perturbed copy of a gradient
+    image embeds within near-dup cosine of its original, while the
+    inverted gradient lands far away — through the full
+    embed_media → cosine_neardup_pairs composition."""
+    import struct
+    import zlib
+    from binascii import crc32
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def png(pixel_fn, w=16, h=16):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        raw = b"".join(
+            b"\x00" + bytes(v for x in range(w) for v in pixel_fn(x, y) * 3)
+            for y in range(h)
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    grad = png(lambda x, y: ((x + y) * 8 % 256,))
+    grad_noisy = png(lambda x, y: (min(255, (x + y) * 8 % 256 + 2),))
+    inverted = png(lambda x, y: (255 - (x + y) * 8 % 256,))
+    rows = [
+        (1, bytearray(grad), "image/png"),
+        (2, bytearray(grad_noisy), "image/png"),
+        (3, bytearray(inverted), "image/png"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, media_type string")
+
+    from audience_finder_pro_spark.multimodal import embed_media
+    from audience_finder_pro_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = embed_media(df, grid=4).join(df.select("doc_id", "media_type"), "doc_id")
+    pairs = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in cosine_neardup_pairs(
+            emb, threshold=0.99, block_col="media_type", id_col="doc_id"
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.99
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_embed_media_uniform_width_and_corrupt_fallback(spark):
+    """Mixed payload batches yield ONE embedding width: real PNGs, text
+    bytes, and a corrupt PNG (magic bytes, garbage body → byte-histogram
+    fallback) all produce grid² floats, deterministically."""
+    from audience_finder_pro_spark.multimodal import _PNG_MAGIC, embed_media
+
+    rows = [
+        (1, bytearray(b"plain text payload"), "text/plain"),
+        (2, bytearray(_PNG_MAGIC + b"garbage-not-a-png"), "image/png"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, media_type string")
+    a = {r.doc_id: list(r.embedding) for r in embed_media(df, grid=8).collect()}
+    b = {r.doc_id: list(r.embedding) for r in embed_media(df, grid=8).collect()}
+    assert a == b
+    assert all(len(v) == 64 for v in a.values())
+    assert abs(sum(a[1]) - 1.0) < 1e-6  # byte histogram is L1-normalized
