@@ -1551,3 +1551,31 @@ def media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(
         emb, threshold=0.999, block_col="media_type", id_col="doc_id"
     ).orderBy("id_a", "id_b")
+
+
+# ------------------------------------------ E17 BPE subword tokenizer (train+apply)
+@_q("bpe_tokenize", None)
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real subword tokenization end-to-end (operators/bpe): fit a BPE
+    merge list on a deterministic md5-ordered corpus sample (bounded
+    model state, like the IVF centroids), broadcast it, Arrow-encode the
+    corpus in one shuffle-free map stage, and report per-source subword
+    statistics (vs token_count's chars/4 estimate). Python encode path →
+    no SQL oracle; python-reference equality, determinism, and
+    reconstruction tests live in tests/test_llm_ops.py."""
+    from audience_finder_pro_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    merges = train_bpe(docs, n_merges=200, sample_docs=2000)
+    enc = bpe_encode(docs, merges)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        enc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_subwords").cast("long").alias("total_subwords"),
+            F.round(F.avg("n_subwords"), 4).alias("avg_subwords_per_doc"),
+        )
+        .orderBy("source")
+    )

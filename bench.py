@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "quality_bins",
     "eval_sample",
     "media_neardup",
+    "bpe_tokenize",
     "text_stats",
     "doc_fingerprint",
     "lang_id",

@@ -1078,3 +1078,53 @@ def test_embed_media_uniform_width_and_corrupt_fallback(spark):
     assert a == b
     assert all(len(v) == 64 for v in a.values())
     assert abs(sum(a[1]) - 1.0) < 1e-6  # byte histogram is L1-normalized
+
+
+def test_bpe_matches_python_reference_and_reconstructs(spark):
+    """E17: distributed encode ≡ the pure-python reference on every doc;
+    subwords reconstruct the normalized words exactly (BPE is lossless
+    over its own word segmentation); training is deterministic."""
+    from audience_finder_pro_spark.operators.bpe import (
+        END,
+        bpe_encode,
+        encode_word,
+        train_bpe,
+        _words,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quicker brown foxes jumped over lazy dogs"),
+        (3, "pack my box with five dozen liquor jugs"),
+        (4, ""),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(docs, n_merges=50, sample_docs=100)
+    assert merges == train_bpe(docs, n_merges=50, sample_docs=100)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    out = {r.doc_id: list(r.subwords) for r in bpe_encode(docs, merges).collect()}
+    for doc_id, text in rows:
+        expect = []
+        for w in _words(text or ""):
+            expect.extend(encode_word(w, ranks))
+        assert out[doc_id] == expect, doc_id
+        rebuilt = "".join(out[doc_id]).replace(END, " ").split()
+        assert rebuilt == _words(text or "")
+
+
+def test_bpe_learns_frequent_merges(spark, sf_smoke):
+    """On the real corpus sample, high-frequency English units ('th'+'e',
+    common suffix+END) must appear among the learned merges, and encoding
+    compresses vs characters."""
+    from audience_finder_pro_spark.operators.bpe import bpe_encode, train_bpe
+    from audience_finder_pro_spark.session import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    merges = train_bpe(docs, n_merges=100, sample_docs=500)
+    assert ("t", "h") in merges or ("h", "e") in merges
+    enc = bpe_encode(docs, merges)
+    row = enc.join(docs.select("doc_id", "text"), "doc_id").select(
+        F.avg(F.col("n_subwords") / F.length("text")).alias("r")
+    ).first()
+    assert row.r < 0.6  # far fewer subwords than characters
