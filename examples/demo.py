@@ -126,6 +126,42 @@ def main() -> None:
     )
     decode_features(media).show()
 
+    print("== relevance tier: TF-IDF keywords + bigram-LM fluency ==")
+    from audience_finder_pro_spark.operators.relevance import (
+        lm_score_docs,
+        tfidf_top_terms,
+    )
+
+    tfidf_top_terms(docs, k=3).show(6)
+    lm_score_docs(docs, docs).orderBy(F.desc("lm_logprob")).show(3)
+
+    print("== profiling + curriculum: sketches, deciles, eval sample ==")
+    from audience_finder_pro_spark.operators.profile import corpus_profile
+    from audience_finder_pro_spark.operators.sampling import (
+        quantile_bins,
+        stratified_sample_k,
+    )
+
+    corpus_profile(docs).show(3)
+    quantile_bins(
+        docs.select("doc_id", F.length("text").alias("chars")), "chars", n_bins=4
+    ).groupBy("bin").count().orderBy("bin").show()
+    stratified_sample_k(docs, "source", k=1).show(3)
+
+    print("== subword tokenizer: BPE train-on-sample + distributed encode ==")
+    from audience_finder_pro_spark.operators.bpe import bpe_encode, train_bpe
+
+    merges = train_bpe(docs, n_merges=60, sample_docs=200)
+    print("first merges:", merges[:8])
+    bpe_encode(docs, merges).select("doc_id", "n_subwords").show(3)
+
+    print("== media embeddings: payload -> vector -> near-dup ==")
+    from audience_finder_pro_spark.multimodal import embed_media
+
+    embed_media(media).select(
+        "doc_id", F.slice("embedding", 1, 4).alias("embedding_head")
+    ).show(truncate=60)
+
     print("demo complete")
 
 
