@@ -1528,13 +1528,20 @@ def media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal-to-similarity bridge end-to-end: binary payloads →
     embed_media (Arrow-batched; real PNG block-mean pooling, byte
     histograms for codec-less payloads) → per-block Arrow-matmul cosine
-    near-dup (operators/similarity.cosine_neardup_pairs). The fixture's
-    payloads are text bytes (stub embedding path), blocked on media_type;
-    pairs at ≥0.999 byte-distribution cosine. Python embedding path → no
-    SQL oracle; the real-PNG end-to-end differential (planted noisy
-    copies) lives in tests/test_llm_ops.py."""
+    near-dup (operators/similarity.cosine_neardup_pairs). Blocking key =
+    sign-LSH bucket of the embedding (the generic bounded-occupancy key
+    the near-dup operator documents) — NOT media_type, whose fixed
+    cardinality would let block sizes grow with the corpus and blow the
+    per-block pandas group at scale. LSH blocking trades recall for
+    boundedness exactly as SemDeDup's cluster blocking does (near-dups
+    straddling a bucket boundary are missed; at cosine ≥0.999 the sign
+    vectors almost always agree). Python embedding path → no SQL oracle;
+    the real-PNG end-to-end differential lives in tests/test_llm_ops.py."""
     from audience_finder_pro_spark.multimodal import embed_media
-    from audience_finder_pro_spark.operators.similarity import cosine_neardup_pairs
+    from audience_finder_pro_spark.operators.similarity import (
+        _sign_lsh_bits,
+        cosine_neardup_pairs,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select(
@@ -1545,11 +1552,11 @@ def media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("video/mp4")
         .alias("media_type"),
     ).repartition(spark.sparkContext.defaultParallelism)
-    emb = embed_media(payloads, grid=8).join(
-        payloads.select("doc_id", "media_type"), "doc_id"
+    emb = embed_media(payloads, grid=8).withColumn(
+        "lsh_block", _sign_lsh_bits(F.col("embedding"), dim=64, n_bits=4)
     )
     return cosine_neardup_pairs(
-        emb, threshold=0.999, block_col="media_type", id_col="doc_id"
+        emb, threshold=0.999, block_col="lsh_block", id_col="doc_id"
     ).orderBy("id_a", "id_b")
 
 
