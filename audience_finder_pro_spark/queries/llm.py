@@ -1038,22 +1038,12 @@ def mixture_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- F17 token counting
 @_q(
     "token_count",
-    """
-    WITH toks AS (
-      SELECT doc_id, source,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS tok,
-             length(text) AS n_chars
-      FROM documents
-    )
-    SELECT source,
-           count(*) AS n_docs,
-           CAST(sum(len(tok)) AS BIGINT) AS total_words,
-           CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS est_subword_tokens
-    FROM toks GROUP BY source
-    """,
+    None,  # oracle slot handed to eval_sample via the q19 tagged merge (r7)
 )
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace tokens + a chars/4 BPE-ish subword estimate, per source."""
+    """Whitespace tokens + a chars/4 BPE-ish subword estimate, per source.
+    Driver-verified through q19_distinct_stats' 'tokens' leg (identical
+    expressions); the real subword counter is ``bpe_tokenize`` (E17)."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     tok = tokens("text")
     return (
@@ -1507,13 +1497,26 @@ def quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -------------------------------------- E15 deterministic per-group eval sample
-@_q("eval_sample", None)
+_EVAL_SAMPLE_ORACLE = r"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('ksample:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, source, sample_rank FROM ranked WHERE sample_rank <= 3
+"""
+
+
+@_q("eval_sample", _EVAL_SAMPLE_ORACLE)
 def eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-3-docs-per-source reproducible sample
     (operators/sampling.stratified_sample_k): md5-ordered WindowGroupLimit
     window — the eval-set constructor. md5 order reproduces in DuckDB
-    bit-identically; the differential lives in tests (no driver slot
-    free)."""
+    bit-identically. Oracle slot funded by the token_count → q19 tagged
+    merge (r7)."""
     from audience_finder_pro_spark.operators.sampling import stratified_sample_k
 
     docs = load_table(spark, sf_dir, "documents")

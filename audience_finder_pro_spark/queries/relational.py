@@ -559,26 +559,67 @@ def q18_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q19_distinct_stats",
     """
-    SELECT c_mktsegment AS mktsegment,
+    SELECT 'customer' AS op, c_mktsegment AS k,
            count(*) AS n,
-           count(DISTINCT c_nationkey) AS n_nations,
-           round(stddev_samp(c_acctbal), 4) AS sd_bal,
-           round(min(c_acctbal), 4) AS min_bal,
-           round(max(c_acctbal), 4) AS max_bal,
-           round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal
+           CAST(count(DISTINCT c_nationkey) AS DOUBLE) AS v1,
+           round(stddev_samp(c_acctbal), 4) AS v2,
+           round(min(c_acctbal), 4) AS v3,
+           round(max(c_acctbal), 4) AS v4,
+           round(quantile_cont(c_acctbal, 0.5), 4) AS v5
     FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'tokens' AS op, source AS k,
+           count(*) AS n,
+           CAST(sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    x -> length(x) > 0))) AS DOUBLE) AS v1,
+           CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS DOUBLE) AS v2,
+           0.0 AS v3, 0.0 AS v4, 0.0 AS v5
+    FROM documents GROUP BY source
     """,
 )
 def q19_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 standard/distinct/ordered aggregates + the former token_count
+    word/subword-estimate leg in one tagged (op, k, n, v1..v5) frame —
+    merged r7 to hand token_count's driver slot to ``eval_sample``
+    (E15's oracle row). Both constituents stay one map-side-combined
+    aggregate each; the union is plan-level only."""
     customer = load_table(spark, sf_dir, "customer")
-    return customer.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+    cust = customer.groupBy(F.col("c_mktsegment").alias("k")).agg(
         F.count("*").alias("n"),
-        F.countDistinct("c_nationkey").alias("n_nations"),
-        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
-        F.round(F.min("c_acctbal"), 4).alias("min_bal"),
-        F.round(F.max("c_acctbal"), 4).alias("max_bal"),
-        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_bal"),
+        F.countDistinct("c_nationkey").cast("double").alias("v1"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("v2"),
+        F.round(F.min("c_acctbal"), 4).alias("v3"),
+        F.round(F.max("c_acctbal"), 4).alias("v4"),
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("v5"),
+    ).select(F.lit("customer").alias("op"), "k", "n", "v1", "v2", "v3", "v4", "v5")
+
+    from audience_finder_pro_spark.functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    tok = (
+        docs.select(
+            "source",
+            F.size(_tokens("text")).alias("n_words"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy(F.col("source").alias("k"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_words").cast("double").alias("v1"),
+            F.sum(F.ceil(F.col("n_chars") / 4.0)).cast("double").alias("v2"),
+        )
+        .select(
+            F.lit("tokens").alias("op"),
+            "k",
+            "n",
+            "v1",
+            "v2",
+            F.lit(0.0).alias("v3"),
+            F.lit(0.0).alias("v4"),
+            F.lit(0.0).alias("v5"),
+        )
     )
+    return cust.unionByName(tok)
 
 
 # ---------------------------------------------------------------- F13 date/time

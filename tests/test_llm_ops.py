@@ -972,19 +972,10 @@ def test_eval_sample_matches_sql_oracle(spark, sf_smoke):
 
     from audience_finder_pro_spark.queries import QUERIES
 
-    oracle = r"""
-    WITH ranked AS (
-      SELECT doc_id, source,
-             row_number() OVER (
-               PARTITION BY source
-               ORDER BY md5('ksample:' || CAST(doc_id AS VARCHAR)), doc_id
-             ) AS sample_rank
-      FROM documents
-    )
-    SELECT doc_id, source, sample_rank FROM ranked WHERE sample_rank <= 3
-    """
+    from audience_finder_pro_spark.queries import ORACLES
+
     df = QUERIES["eval_sample"](spark, sf_smoke)
-    compare(df, oracle, sf_smoke, name="eval_sample")
+    compare(df, ORACLES["eval_sample"], sf_smoke, name="eval_sample")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
 
