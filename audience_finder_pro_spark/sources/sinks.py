@@ -211,3 +211,45 @@ def write_bucketed_table(
         # lives in the catalog, so bucket pruning works identically
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_mb: int = 256,
+    shuffle: bool = False,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(bytes / target_mb)`` files of ~target size. Returns the
+    output file count.
+
+    The small-files problem is a first-order 100 TB operational concern:
+    a streaming sink or over-parallel writer that leaves 100k tiny files
+    makes every downstream scan pay 100k open/footer reads and the
+    driver pay a giant file index. Compaction is the standard nightly
+    fix.
+
+    ``shuffle=False`` (default) uses ``coalesce`` — a NARROW rewrite:
+    each output task reads a contiguous group of input files, no
+    exchange, the cheapest possible pass. File sizes then track input
+    locality (skewed inputs → skewed outputs). ``shuffle=True`` pays one
+    round-robin exchange for evenly sized output files — worth it when
+    the compacted set is long-lived and scanned often. Input size is
+    read from the filesystem (driver-side listing, metadata only), so
+    the target is based on actual on-disk bytes, not estimates.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    out = df.repartition(n_files) if shuffle else df.coalesce(n_files)
+    out.write.mode(mode).parquet(dst)
+    return n_files

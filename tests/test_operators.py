@@ -822,3 +822,35 @@ def test_jsonl_sink_roundtrip(spark, sf_smoke, tmp_path):
     assert sorted(map(tuple, good.select("doc_id", "text", "source").collect())) == sorted(
         map(tuple, docs.collect())
     )
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    """Compaction rewrites a many-small-files directory into the computed
+    target count with identical content; shuffle=False stays a narrow
+    coalesce (no exchange in the write plan)."""
+    from audience_finder_pro_spark.session import load_table
+    from audience_finder_pro_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "shattered")
+    dst = str(tmp_path / "compacted")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs.repartition(37).write.parquet(src)
+    import glob
+
+    n_in = len(glob.glob(f"{src}/*.parquet"))
+    assert n_in >= 30
+    n_out = compact_parquet(spark, src, dst, target_mb=256)
+    assert n_out == 1  # tiny fixture << 256 MB
+    assert len(glob.glob(f"{dst}/*.parquet")) == 1
+    a = sorted(r.doc_id for r in spark.read.parquet(dst).collect())
+    b = sorted(r.doc_id for r in docs.collect())
+    assert a == b
+    # narrow path: no Exchange in the compaction read+coalesce plan
+    plan = (
+        spark.read.parquet(src)
+        .coalesce(1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
