@@ -1,0 +1,92 @@
+"""Time-series regularization: bucketed rollup with a dense time spine
+and forward fill (gap-fill) — the hypertable/`time_bucket_gapfill`
+operation Spark has no built-in for.
+
+Monitoring and feature pipelines need "one row per (key, bucket), gaps
+filled" before any rolling computation; a plain groupBy silently drops
+empty buckets and every downstream moving window is then wrong.
+
+Scale shape (pure DataFrame, zero UDFs):
+
+1. bucketed aggregate — map-side-combined groupBy on (key, bucket);
+2. per-key dense spine — min/max bucket per key (rides the same
+   aggregate's partitioning) exploded through ``sequence()``: spine
+   rows are data-proportional (sum over keys of that key's span), never
+   a cartesian of keys × global range — a key active for one hour costs
+   one hour of rows even in a year-long table;
+3. left join spine ⋈ aggregate on (key, bucket) — shuffle hash join on
+   a high-cardinality composite key, AQE-splittable;
+4. forward fill — ``last(value, ignorenulls=True)`` over
+   (key, ORDER BY bucket, ROWS UNBOUNDED PRECEDING..CURRENT): per-key
+   window over high-cardinality keys, no skew concentration; Spark
+   evaluates the running last in one pass per partition.
+
+Determinism: bucket boundaries are integer epoch arithmetic; the fill
+is a running expression over a total order — same data, same result,
+any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_bucket(ts: Column | str, step_seconds: int) -> Column:
+    """Epoch-aligned bucket start (timestamp) for ``ts``."""
+    t = F.col(ts) if isinstance(ts, str) else ts
+    epoch = F.unix_timestamp(t)
+    return F.timestamp_seconds((epoch - F.pmod(epoch, F.lit(step_seconds))))
+
+
+def gapfill_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    step_seconds: int = 3600,
+    fill: str = "forward",
+) -> DataFrame:
+    """(key, bucket, n_events, sum_value, filled_sum) with one row per
+    key per ``step_seconds`` bucket between that key's first and last
+    event — empty buckets present with n_events=0 and, under
+    ``fill='forward'``, ``filled_sum`` carrying the last seen sum
+    (``fill='zero'`` writes 0.0; ``fill='none'`` leaves NULL)."""
+    if fill not in ("forward", "zero", "none"):
+        raise ValueError(f"unknown fill mode {fill!r}")
+    bucket = time_bucket(ts_col, step_seconds)
+    agg = (
+        df.select(F.col(key_col).alias("key"), bucket.alias("bucket"), F.col(value_col))
+        .groupBy("key", "bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+    )
+    spine = (
+        agg.groupBy("key")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(
+                    "lo", "hi", F.expr(f"INTERVAL {int(step_seconds)} SECONDS")
+                )
+            ).alias("bucket"),
+        )
+    )
+    dense = spine.join(agg, ["key", "bucket"], "left").withColumn(
+        "n_events", F.coalesce("n_events", F.lit(0))
+    )
+    if fill == "forward":
+        w = (
+            Window.partitionBy("key")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = F.last("sum_value", ignorenulls=True).over(w)
+    elif fill == "zero":
+        filled = F.coalesce("sum_value", F.lit(0.0))
+    else:
+        filled = F.col("sum_value")
+    return dense.withColumn("filled_sum", filled)

@@ -1589,3 +1589,19 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------ E18 time-bucket gap-fill rollup
+@_q("gapfill_rollup", None)
+def gapfill_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style regularization over events: hourly rollup per
+    event_type with a dense per-key bucket spine (empty hours present,
+    n_events=0) and forward-filled running sums
+    (operators/timeseries.gapfill_rollup). DuckDB differential in
+    tests/test_llm_ops.py (no driver slot free); spine rows are
+    data-proportional — per-key min..max span, never keys × global
+    range."""
+    from audience_finder_pro_spark.operators.timeseries import gapfill_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    return gapfill_rollup(ev, step_seconds=3600).orderBy("key", "bucket")

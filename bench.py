@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "eval_sample",
     "media_neardup",
     "bpe_tokenize",
+    "gapfill_rollup",
     "text_stats",
     "doc_fingerprint",
     "lang_id",

@@ -1119,3 +1119,70 @@ def test_bpe_learns_frequent_merges(spark, sf_smoke):
         F.avg(F.col("n_subwords") / F.length("text")).alias("r")
     ).first()
     assert row.r < 0.6  # far fewer subwords than characters
+
+
+def test_gapfill_rollup_matches_duckdb(spark, sf_smoke):
+    """E18: the dense gap-filled hourly rollup hash-matches a DuckDB CTE
+    (epoch-aligned buckets, per-key generate_series spine, IGNORE NULLS
+    running last)."""
+    from tests.oracle import compare
+
+    from audience_finder_pro_spark.queries import QUERIES
+
+    oracle = r"""
+    WITH agg AS (
+      SELECT event_type AS key,
+             date_trunc('hour', ts)::TIMESTAMP AS bucket,
+             count(*) AS n_events,
+             round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM (SELECT key, min(bucket) AS lo, max(bucket) AS hi FROM agg GROUP BY key)
+    ),
+    dense AS (
+      SELECT s.key, s.bucket,
+             coalesce(a.n_events, 0) AS n_events, a.sum_value
+      FROM spine s LEFT JOIN agg a ON s.key = a.key AND s.bucket = a.bucket
+    )
+    SELECT key, bucket, n_events, sum_value,
+           last_value(sum_value IGNORE NULLS) OVER (
+             PARTITION BY key ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_sum
+    FROM dense
+    """
+    df = QUERIES["gapfill_rollup"](spark, sf_smoke)
+    compare(df, oracle, sf_smoke, name="gapfill_rollup")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_gapfill_modes_and_dense_spine(spark):
+    """Every bucket between a key's first and last event exists exactly
+    once; zero-fill and no-fill modes behave as declared."""
+    from audience_finder_pro_spark.operators.timeseries import gapfill_rollup
+
+    rows = [
+        (1, "2024-01-01 00:05:00", "a", 1.0),
+        (2, "2024-01-01 03:10:00", "a", 2.0),
+        (3, "2024-01-01 01:00:00", "b", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, event_type string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = gapfill_rollup(df, step_seconds=3600).collect()
+    a_rows = sorted((r.bucket.hour, r.n_events, r.filled_sum) for r in out if r.key == "a")
+    assert a_rows == [(0, 1, 1.0), (1, 0, 1.0), (2, 0, 1.0), (3, 1, 2.0)]
+    assert [(r.bucket.hour, r.n_events) for r in out if r.key == "b"] == [(1, 1)]
+    zero = {
+        (r.key, r.bucket.hour): r.filled_sum
+        for r in gapfill_rollup(df, step_seconds=3600, fill="zero").collect()
+    }
+    assert zero[("a", 1)] == 0.0 and zero[("a", 2)] == 0.0
+    none = {
+        (r.key, r.bucket.hour): r.filled_sum
+        for r in gapfill_rollup(df, step_seconds=3600, fill="none").collect()
+    }
+    assert none[("a", 1)] is None
