@@ -348,12 +348,13 @@ def _embed_bytes(payload: bytes, dim: int) -> list[float]:
     byte values folded into ``dim`` bins, L1-normalized. Two payloads
     with similar byte distributions (e.g. same charset/format) land
     close in cosine — the honest structural fake, same spirit as
-    _decode_stub."""
-    hist = [0] * dim
-    for b in payload:
-        hist[b % dim] += 1
-    total = len(payload) or 1
-    return [h / total for h in hist]
+    _decode_stub. Vectorized (np.bincount over the buffer) — the
+    per-byte Python loop was the batch hot path."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr % dim, minlength=dim).astype(float)
+    return (hist / (len(arr) or 1)).tolist()
 
 
 def embed_media(payload_df: DataFrame, grid: int = 8) -> DataFrame:

@@ -1548,19 +1548,17 @@ def media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select(
-        "doc_id",
-        F.encode("text", "UTF-8").alias("payload"),
-        F.when(F.col("doc_id") % 3 == 0, "image/png")
-        .when(F.col("doc_id") % 3 == 1, "audio/wav")
-        .otherwise("video/mp4")
-        .alias("media_type"),
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
     ).repartition(spark.sparkContext.defaultParallelism)
     emb = embed_media(payloads, grid=8).withColumn(
         "lsh_block", _sign_lsh_bits(F.col("embedding"), dim=64, n_bits=4)
     )
+    # no final orderBy: pair order is meaningless, the driver's check is
+    # order-insensitive, and the sort would add a range exchange on top of
+    # the Python->shuffle->Python pipeline
     return cosine_neardup_pairs(
         emb, threshold=0.999, block_col="lsh_block", id_col="doc_id"
-    ).orderBy("id_a", "id_b")
+    )
 
 
 # ------------------------------------------ E17 BPE subword tokenizer (train+apply)
