@@ -74,3 +74,30 @@ def corpus_profile(
             4,
         ).alias("avg_doc_tokens"),
     )
+
+
+def frequent_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    support: float = 0.01,
+) -> list[str]:
+    """One-pass approximate heavy hitters over the token stream via
+    Spark's `freqItems` (Karp-Papadimitriou-Shenker counters — bounded
+    memory per partition, mergeable): every token occurring in more
+    than ``support`` fraction of token positions is GUARANTEED present
+    (possibly with false positives, never false negatives — callers
+    needing exactness re-count just the returned candidates, a
+    vocabulary-sized second pass instead of a full heavy-hitter
+    aggregate).
+
+    This is the sketch companion to ``vocab_topk`` (exact heavy hitters
+    via full groupBy): at 100 TB the exact form's shuffle carries the
+    combined vocabulary; the KPS pass carries ~1/support counters per
+    partition and no token stream at all. Returns the candidate list
+    (bounded, driver-side model state).
+    """
+    from audience_finder_pro_spark.functions.text import tokens
+
+    stream = docs.select(F.explode(tokens(text_col)).alias("token"))
+    [row] = stream.stat.freqItems(["token"], support).collect()
+    return sorted(row[0])

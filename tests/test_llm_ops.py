@@ -1186,3 +1186,33 @@ def test_gapfill_modes_and_dense_spine(spark):
         for r in gapfill_rollup(df, step_seconds=3600, fill="none").collect()
     }
     assert none[("a", 1)] is None
+
+
+def test_frequent_tokens_superset_guarantee(spark, sf_smoke):
+    """KPS heavy hitters: every token above the support threshold must be
+    in the candidate set (no false negatives — the sketch's contract)."""
+    import duckdb
+
+    from audience_finder_pro_spark.operators.profile import frequent_tokens
+    from audience_finder_pro_spark.session import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    cands = set(frequent_tokens(docs, support=0.02))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_smoke}/documents.parquet')"
+    )
+    truth = con.execute(
+        r"""
+        WITH tok AS (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    x -> length(x) > 0)) AS token
+          FROM documents
+        )
+        SELECT token FROM tok GROUP BY token
+        HAVING count(*) > 0.02 * (SELECT count(*) FROM tok)
+        """
+    ).fetchall()
+    assert truth, "fixture should have heavy tokens at 2% support"
+    missing = {t for (t,) in truth} - cands
+    assert not missing, missing

@@ -290,3 +290,50 @@ def test_hashed_shingle_stream_counts_match_string_form(spark, texts, n):
         .agg(F.count("*").alias("total"), F.count_distinct("h").alias("n_distinct"))
     )
     assert sorted(map(tuple, strings.collect())) == sorted(map(tuple, hashes.collect()))
+
+
+@settings(**SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=12), st.integers(min_value=5, max_value=40))
+def test_bpe_encode_reconstructs_any_corpus(spark, texts, n_merges):
+    """BPE property: for ANY corpus and merge budget, the distributed
+    encode equals the pure-python reference per doc and concatenated
+    subwords reconstruct the normalized word stream losslessly."""
+    from audience_finder_pro_spark.operators.bpe import (
+        END,
+        _words,
+        bpe_encode,
+        encode_word,
+        train_bpe,
+    )
+
+    docs = _df(spark, texts).selectExpr("i as doc_id", "t as text")
+    merges = train_bpe(docs, n_merges=n_merges, sample_docs=50)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    got = {r.doc_id: list(r.subwords) for r in bpe_encode(docs, merges).collect()}
+    for i, t in enumerate(texts):
+        ref = []
+        for w in _words(t or ""):
+            ref.extend(encode_word(w, ranks))
+        assert got[i] == ref
+        assert "".join(got[i]).replace(END, " ").split() == _words(t or "")
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=8, max_size=60),
+    st.integers(min_value=2, max_value=6),
+)
+def test_quantile_bins_monotone_and_complete(spark, vals, n_bins):
+    """quantile_bins property: every row binned, bins within range, and
+    bin assignment is monotone in the score (x <= y → bin(x) <= bin(y))."""
+    from audience_finder_pro_spark.operators.sampling import quantile_bins
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, s double"
+    )
+    out = sorted(
+        ((r.s, r.bin) for r in quantile_bins(df, "s", n_bins=n_bins).collect())
+    )
+    assert len(out) == len(vals)
+    assert all(0 <= b < n_bins for _, b in out)
+    assert all(b1 <= b2 for (_, b1), (_, b2) in zip(out, out[1:]))
