@@ -1590,13 +1590,41 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------ E18 time-bucket gap-fill rollup
-@_q("gapfill_rollup", None)
+_GAPFILL_ORACLE = r"""
+WITH agg AS (
+  SELECT event_type AS key,
+         date_trunc('hour', ts)::TIMESTAMP AS bucket,
+         count(*) AS n_events,
+         round(sum(value), 4) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM (SELECT key, min(bucket) AS lo, max(bucket) AS hi FROM agg GROUP BY key)
+),
+dense AS (
+  SELECT s.key, s.bucket,
+         coalesce(a.n_events, 0) AS n_events, a.sum_value
+  FROM spine s LEFT JOIN agg a ON s.key = a.key AND s.bucket = a.bucket
+)
+SELECT key, bucket, n_events, sum_value,
+       last_value(sum_value IGNORE NULLS) OVER (
+         PARTITION BY key ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_sum
+FROM dense
+"""
+
+
+@_q("gapfill_rollup", _GAPFILL_ORACLE)
 def gapfill_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style regularization over events: hourly rollup per
     event_type with a dense per-key bucket spine (empty hours present,
     n_events=0) and forward-filled running sums
-    (operators/timeseries.gapfill_rollup). DuckDB differential in
-    tests/test_llm_ops.py (no driver slot free); spine rows are
+    (operators/timeseries.gapfill_rollup). Oracle slot funded by the
+    q23 → q22 tagged merge (r7); DuckDB buckets via date_trunc — its
+    epoch()::BIGINT ROUNDS fractional seconds where Spark truncates,
+    silently shifting boundary events one bucket. Spine rows are
     data-proportional — per-key min..max span, never keys × global
     range."""
     from audience_finder_pro_spark.operators.timeseries import gapfill_rollup

@@ -711,6 +711,7 @@ def q20_date_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            doc_id AS k1,
            length(text) AS v1,
            CAST(NULL AS DOUBLE) AS v2,
+           CAST(NULL AS DOUBLE) AS v3,
            CAST(starts_with(source, 'src1') AS VARCHAR) AS b1,
            upper(substr(text, 1, 10)) AS s1,
            replace(substr(text, 1, 40), 'the', '___') AS s2,
@@ -724,6 +725,7 @@ def q20_date_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT),
            count(*),
            round(sum(c_acctbal), 4),
+           CAST(NULL AS DOUBLE),
            '',
            c_mktsegment,
            CASE WHEN c_acctbal < 0 THEN 'negative'
@@ -732,6 +734,16 @@ def q20_date_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'high' END AS bal_band,
            '', '', '', ''
     FROM customer GROUP BY c_mktsegment, bal_band
+    UNION ALL
+    SELECT 'array',
+           doc_id,
+           len(string_split(text, ' ')),
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE),
+           CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 5)) AS DOUBLE),
+           CAST(list_contains(string_split(text, ' '), 'spark') AS VARCHAR),
+           array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5), ','),
+           '', '', '', '', ''
+    FROM documents
     """,
 )
 def q22_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -747,6 +759,7 @@ def q22_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("k1"),
         F.length("text").cast("long").alias("v1"),
         F.lit(None).cast("double").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
         F.col("source").startswith("src1").cast("string").alias("b1"),
         F.upper(F.substring("text", 1, 10)).alias("s1"),
         F.replace(F.substring("text", 1, 40), F.lit("the"), F.lit("___")).alias("s2"),
@@ -770,6 +783,7 @@ def q22_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("k1"),
             F.col("_n").alias("v1"),
             F.col("_bal").alias("v2"),
+            F.lit(None).cast("double").alias("v3"),
             F.lit("").alias("b1"),
             F.col("_seg").alias("s1"),
             F.col("_band").alias("s2"),
@@ -779,24 +793,32 @@ def q22_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("").alias("s6"),
         )
     )
-    return str_leg.unionByName(case_leg)
+    toks = F.split("text", " ")
+    array_leg = docs.select(
+        F.lit("array").alias("part"),
+        F.col("doc_id").alias("k1"),
+        F.size(toks).cast("long").alias("v1"),
+        F.size(F.array_distinct(toks)).cast("double").alias("v2"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).cast("double").alias("v3"),
+        F.array_contains(toks, "spark").cast("string").alias("b1"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), ",").alias("s1"),
+        F.lit("").alias("s2"),
+        F.lit("").alias("s3"),
+        F.lit("").alias("s4"),
+        F.lit("").alias("s5"),
+        F.lit("").alias("s6"),
+    )
+    return str_leg.unionByName(case_leg).unionByName(array_leg)
 
 
 # ---------------------------------------------------------------- F15 arrays
 @_q(
     "q23_array_funcs",
-    """
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-    SELECT doc_id,
-           len(toks) AS n_tokens,
-           len(list_distinct(toks)) AS n_distinct,
-           list_contains(toks, 'spark') AS has_spark,
-           array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 5), ',') AS first5,
-           len(list_filter(toks, x -> length(x) > 5)) AS n_long
-    FROM t
-    """,
+    None,  # oracle slot handed to gapfill_rollup via the q22 tagged merge (r7)
 )
 def q23_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 array higher-order functions. Driver-verified through
+    q22_string_funcs' 'array' leg (identical expressions)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return docs.select(

@@ -1129,32 +1129,10 @@ def test_gapfill_rollup_matches_duckdb(spark, sf_smoke):
 
     from audience_finder_pro_spark.queries import QUERIES
 
-    oracle = r"""
-    WITH agg AS (
-      SELECT event_type AS key,
-             date_trunc('hour', ts)::TIMESTAMP AS bucket,
-             count(*) AS n_events,
-             round(sum(value), 4) AS sum_value
-      FROM events GROUP BY 1, 2
-    ),
-    spine AS (
-      SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
-      FROM (SELECT key, min(bucket) AS lo, max(bucket) AS hi FROM agg GROUP BY key)
-    ),
-    dense AS (
-      SELECT s.key, s.bucket,
-             coalesce(a.n_events, 0) AS n_events, a.sum_value
-      FROM spine s LEFT JOIN agg a ON s.key = a.key AND s.bucket = a.bucket
-    )
-    SELECT key, bucket, n_events, sum_value,
-           last_value(sum_value IGNORE NULLS) OVER (
-             PARTITION BY key ORDER BY bucket
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS filled_sum
-    FROM dense
-    """
+    from audience_finder_pro_spark.queries import ORACLES
+
     df = QUERIES["gapfill_rollup"](spark, sf_smoke)
-    compare(df, oracle, sf_smoke, name="gapfill_rollup")
+    compare(df, ORACLES["gapfill_rollup"], sf_smoke, name="gapfill_rollup")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
 
