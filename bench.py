@@ -141,39 +141,48 @@ def main() -> None:
         except Exception as ex:  # never let warmup kill the bench
             print(f"# warmup {name} failed: {ex}", file=sys.stderr)
 
-    # best-of-3: this box runs shared load; the min is the engine's cost,
-    # the delta is scheduler noise (measured run-to-run swings of 2-5x on
-    # individual sub-second queries — 2 samples were not enough to shed
-    # them). One failing query must not cost the whole bench record — it
-    # reports as failed and is excluded from total.
+    # best-of-3, INTERLEAVED: three full passes over the query list, min per
+    # query across passes. Consecutive per-query repeats sample one moment of
+    # machine weather three times — a load spike during "its" slot poisons
+    # all three samples; interleaving spreads each query's samples across
+    # the whole bench window (~minutes apart), so the min is taken over
+    # three independent weather draws. (The min is the engine's cost; the
+    # delta is scheduler noise — measured 2-5x run-to-run swings on
+    # sub-second queries.) One failing query must not cost the whole bench
+    # record — it reports as failed and is excluded from total.
     timings: dict[str, float] = {}
     failed: dict[str, str] = {}
-    for name, fn in runnable.items():
-        best, n = float("inf"), 0
-        handles = []
-        try:
-            for _ in range(3):
+    counts: dict[str, int] = {}
+    handles: dict[str, object] = {}
+    for _pass in range(3):
+        for name, fn in runnable.items():
+            if name in failed:
+                continue
+            try:
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-                handles.append(df)
-            n = df.count()  # row count for the report line; untimed
-        except Exception as ex:
-            failed[name] = str(ex).splitlines()[0][:200]
-            print(f"# {name}: FAILED {failed[name]}", file=sys.stderr)
-            continue
-        finally:
-            # operators materialize bounded intermediates as localCheckpoints
-            # now (freed on GC / free_checkpoint), not CacheManager persists;
-            # the getattr stays as belt-and-braces for any legacy handle
-            for h in handles:
-                for c in getattr(h, "_owned_caches", []):
-                    c.unpersist()
-                free_checkpoint(h)
-            handles.clear()
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+                elapsed = time.perf_counter() - t0
+                timings[name] = min(timings.get(name, float("inf")), elapsed)
+                handles[name] = df
+                if _pass == 2:
+                    counts[name] = df.count()  # row count for the report; untimed
+            except Exception as ex:
+                failed[name] = str(ex).splitlines()[0][:200]
+                timings.pop(name, None)
+                print(f"# {name}: FAILED {failed[name]}", file=sys.stderr)
+    # cleanup only AFTER the last pass: the prepared-plan memo hands back the
+    # SAME DataFrame each pass, so freeing its localCheckpoint blocks between
+    # passes would break the next pass's re-save (operators materialize
+    # bounded intermediates as localCheckpoints, not CacheManager persists;
+    # the getattr is belt-and-braces for any legacy handle)
+    for df in handles.values():
+        for c in getattr(df, "_owned_caches", []):
+            c.unpersist()
+        free_checkpoint(df)
+    timings = {k: round(v, 3) for k, v in timings.items()}
+    for name, v in timings.items():
+        print(f"# {name}: {v:.3f}s ({counts.get(name, 0)} rows)", file=sys.stderr)
 
     duck = duckdb_timings(sf_dir)
 
