@@ -101,3 +101,99 @@ def frequent_tokens(
     stream = docs.select(F.explode(tokens(text_col)).alias("token"))
     [row] = stream.stat.freqItems(["token"], support).collect()
     return sorted(row[0])
+
+
+def distribution_drift(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    k: int = 10,
+) -> DataFrame:
+    """Token-distribution divergence between two corpus slices — the
+    drift monitor a recurring 100 TB ingest runs between snapshot N and
+    N+1 (or source A vs source B) before retraining on the union.
+
+    Compares add-``alpha``-smoothed unigram distributions P (from ``a``)
+    and Q (from ``b``) over their UNION vocabulary and returns one tagged
+    frame:
+
+    - kind='metric' rows: token=metric name, ``delta`` = value for
+      kl_pq (KL(P||Q)), kl_qp, js_divergence (Jensen-Shannon, base e),
+      tvd (total variation = 0.5*sum|p-q|), vocab_size, and the
+      one-sided mass novel_mass_b (sum of Q over tokens unseen in A —
+      the "new vocabulary" share).
+    - kind='mover' rows: the top-``k`` tokens by |p - q| (ties broken on
+      token ascending), with p_a, p_b and ``delta`` = p_a - p_b.
+
+    Scale shape: ONE tagged-union aggregate builds (token, c_a, c_b) —
+    a single map-side-combined exchange; totals (N_a, N_b, V) are a
+    1-row aggregate entering via broadcast NLJ; the metric rows are a
+    second 1-row aggregate over the vocabulary-sized model table; the
+    mover rows are a global top-k (TakeOrderedAndProject — never a full
+    sort) over the same model table. Nothing ever shuffles the token
+    stream twice, and no step is driver-side.
+
+    Determinism: divergence sums add ~1/V-magnitude terms over V tokens
+    — relative float error ~V*eps, far inside round(4) at any realistic
+    vocabulary size (the q27 drift regime needed 5e4-magnitude addends).
+    """
+    from audience_finder_pro_spark.functions.text import tokens
+
+    a_tok = a.select(F.explode(tokens(text_col)).alias("token"), F.lit(1).alias("in_a"))
+    b_tok = b.select(F.explode(tokens(text_col)).alias("token"), F.lit(0).alias("in_a"))
+    model = (
+        a_tok.unionByName(b_tok)
+        .groupBy("token")
+        .agg(
+            F.sum("in_a").alias("c_a"),
+            F.sum(F.lit(1) - F.col("in_a")).alias("c_b"),
+        )
+    )
+    totals = model.agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b"), F.count("*").alias("v")
+    )  # 1 row → broadcast NLJ
+    al = F.lit(float(alpha))
+    probs = model.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "c_a",
+        ((F.col("c_a") + al) / (F.col("n_a") + al * F.col("v"))).alias("p"),
+        ((F.col("c_b") + al) / (F.col("n_b") + al * F.col("v"))).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / F.lit(2.0)
+    metrics_row = probs.agg(
+        F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))).alias("kl_pq"),
+        F.sum(F.col("q") * F.log(F.col("q") / F.col("p"))).alias("kl_qp"),
+        (
+            F.lit(0.5) * F.sum(F.col("p") * F.log(F.col("p") / m))
+            + F.lit(0.5) * F.sum(F.col("q") * F.log(F.col("q") / m))
+        ).alias("js_divergence"),
+        (F.lit(0.5) * F.sum(F.abs(F.col("p") - F.col("q")))).alias("tvd"),
+        F.count("*").cast("double").alias("vocab_size"),
+        F.sum(F.when(F.col("c_a") == 0, F.col("q")).otherwise(F.lit(0.0))).alias("novel_mass_b"),
+    )
+    metrics = metrics_row.select(
+        F.expr(
+            "stack(6, 'kl_pq', kl_pq, 'kl_qp', kl_qp, 'js_divergence', js_divergence,"
+            " 'tvd', tvd, 'vocab_size', vocab_size, 'novel_mass_b', novel_mass_b)"
+            " as (token, delta)"
+        )
+    ).select(
+        F.lit("metric").alias("kind"),
+        "token",
+        F.lit(None).cast("double").alias("p_a"),
+        F.lit(None).cast("double").alias("p_b"),
+        "delta",
+    )
+    movers = (
+        probs.select(
+            F.lit("mover").alias("kind"),
+            "token",
+            F.col("p").alias("p_a"),
+            F.col("q").alias("p_b"),
+            (F.col("p") - F.col("q")).alias("delta"),
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), F.asc("token"))
+        .limit(k)
+    )
+    return metrics.unionByName(movers)

@@ -164,3 +164,92 @@ def lm_score_docs(
         F.sum("n").cast("long").alias("n_bigrams"),
         (F.sum(F.col("n") * F.col("logp")) / F.sum("n")).alias("lm_logprob"),
     )
+
+
+def importance_score(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance score: per-document mean token
+    log-likelihood ratio between a TARGET corpus's and the RAW corpus's
+    add-``alpha``-smoothed unigram models (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling" — the
+    hashed-n-gram variant degenerates to this with exact token features).
+
+    score(d) = mean over tokens w of
+        ln((c_tgt(w)+a)/(N_tgt+aV)) - ln((c_raw(w)+a)/(N_raw+aV))
+
+    with V = |union vocab|. High score = "looks like the target
+    distribution"; the canonical use is target=curated corpus, raw=web
+    crawl, keep the top-score tail (or gumbel-resample on it). Returns
+    (id_col, n_tokens, dsir_logratio) for every ``raw`` document with at
+    least one token.
+
+    Scale shape (zero Python UDFs, two wide exchanges + one join):
+
+    - BOTH unigram models come out of ONE tagged-union aggregate: the
+      target stream is tagged ``is_tgt=1``, the raw stream ``0``, and a
+      single (token) groupBy with conditional sums yields (token, c_tgt,
+      c_raw) — one map-side-combined exchange instead of two, and each
+      corpus's tokenizer subtree evaluates once (the lm_score_docs
+      stacked-aggregate lesson).
+    - Totals (N_tgt, N_raw, V) are a ONE-ROW aggregate of the model
+      table, entering via broadcast nested-loop crossJoin — no driver
+      action.
+    - The scored side re-aggregates raw to per-(doc, token) counts so
+      the model join moves DISTINCT per-doc tokens (combined rows on the
+      wire), never the raw token stream; the join is a shuffle hash join
+      on ``token`` (vocabulary-sized model side — sublinear in corpus
+      bytes but not assumed broadcastable at 100 TB; AQE may still pick
+      broadcast when it measures small).
+    - The per-doc mean is weighted by the per-(doc, token) count n, so
+      it equals the positional mean while keeping combined rows on every
+      exchange.
+
+    Determinism: all model inputs are integer counts; the per-doc float
+    mean averages ~doc-length terms of ~1e0 magnitude — far below the
+    drift regime that forced q27 to DECIMAL (NOTES gotcha), so round(4)
+    is stable across partitionings.
+    """
+    tgt_tok = target.select(F.explode(tokens(text_col)).alias("token"), F.lit(1).alias("is_tgt"))
+    raw_tok = raw.select(F.explode(tokens(text_col)).alias("token"), F.lit(0).alias("is_tgt"))
+    model = (
+        tgt_tok.unionByName(raw_tok)
+        .groupBy("token")
+        .agg(
+            F.sum("is_tgt").alias("c_tgt"),
+            F.sum(F.lit(1) - F.col("is_tgt")).alias("c_raw"),
+        )
+    )
+    totals = model.agg(
+        F.sum("c_tgt").alias("n_tgt"),
+        F.sum("c_raw").alias("n_raw"),
+        F.count("*").alias("v"),
+    )  # 1 row → broadcast NLJ
+    a = F.lit(float(alpha))
+    per_doc = (
+        raw.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("n"))
+    )
+    scored = (
+        per_doc.join(model, "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            "n",
+            (
+                F.log((F.coalesce(F.col("c_tgt"), F.lit(0)) + a) / (F.col("n_tgt") + a * F.col("v")))
+                - F.log(
+                    (F.coalesce(F.col("c_raw"), F.lit(0)) + a) / (F.col("n_raw") + a * F.col("v"))
+                )
+            ).alias("logratio"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        (F.sum(F.col("n") * F.col("logratio")) / F.sum("n")).alias("dsir_logratio"),
+    )

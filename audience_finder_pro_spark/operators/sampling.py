@@ -153,3 +153,45 @@ def stratified_sample_k(
     return df.withColumn("sample_rank", F.row_number().over(w)).filter(
         F.col("sample_rank") <= k
     )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled per-source sampling weights — the Pile/GPT-3
+    mixture rule: weight_s ∝ (token_share_s)^alpha, renormalized.
+    alpha=1 reproduces natural proportions; alpha→0 flattens toward
+    uniform, up-weighting small high-quality sources. The output feeds
+    ``mixture_sample`` (rate = weight / raw_share caps each source's
+    effective epochs) or a sampler's per-source rates directly.
+
+    Returns one row per group: (group_col, n_docs, n_tokens, raw_share,
+    weight) with both share columns summing to 1.
+
+    Scale shape: ONE map-side-combined aggregate computes per-source doc
+    and token totals (token counts via ``size(tokens(text))`` — a per-row
+    projection, no explode, no token-stream shuffle); the normalizing
+    totals are a second aggregate over the sources-sized frame entering
+    via broadcast NLJ. Nothing driver-side, nothing proportional to
+    corpus bytes except the single scan.
+    """
+    from audience_finder_pro_spark.functions.text import tokens
+
+    per_src = docs.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).cast("long").alias("n_tokens"),
+    )
+    scaled = per_src.withColumn("pw", F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha))))
+    totals = scaled.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("pw").alias("tot_pw")
+    )  # 1 row → broadcast NLJ
+    return scaled.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("tot_tokens")).alias("raw_share"),
+        (F.col("pw") / F.col("tot_pw")).alias("weight"),
+    )

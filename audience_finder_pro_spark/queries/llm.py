@@ -1631,3 +1631,176 @@ def gapfill_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return gapfill_rollup(ev, step_seconds=3600).orderBy("key", "bucket")
+
+
+# ------------------------------------------------ E19 DSIR importance selection
+# No driver slot (the 50-query cap is fully funded); the oracle below is
+# pytest-verified (tests/test_llm_ops.py) with the same rows+schema+hash
+# compare the driver runs.
+_DSIR_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> length(x) > 0)) AS token
+  FROM documents
+),
+model AS (
+  SELECT token,
+         count(*) FILTER (WHERE source = 'src0') AS c_tgt,
+         count(*) AS c_raw
+  FROM toks GROUP BY token
+),
+tot AS (SELECT sum(c_tgt) AS n_tgt, sum(c_raw) AS n_raw, count(*) AS v FROM model),
+per_doc AS (SELECT doc_id, token, count(*) AS n FROM toks GROUP BY 1, 2),
+scored AS (
+  SELECT doc_id, n,
+         ln((m.c_tgt + 1.0) / (t.n_tgt + 1.0 * t.v))
+         - ln((m.c_raw + 1.0) / (t.n_raw + 1.0 * t.v)) AS logratio
+  FROM per_doc JOIN model m USING (token) CROSS JOIN tot t
+)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       round(sum(n * logratio) / sum(n), 4) AS dsir_logratio
+FROM scored GROUP BY doc_id
+"""
+
+
+@_q("dsir_select", None)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (operators/relevance.importance_score):
+    every document scored by its mean token log-likelihood ratio between
+    the target distribution (source='src0' — standing in for the curated
+    corpus) and the raw-pool distribution (all documents). Downstream,
+    the top-score tail is what survives into the training mixture. Pure
+    DataFrame — one tagged-union model aggregate, token-key shuffle hash
+    join, weighted per-doc mean; no Python, nothing driver-side.
+    Oracle as a module constant (_DSIR_ORACLE, pytest-verified): the
+    driver's 50 slots are fully funded, so this registers oracle-less."""
+    from audience_finder_pro_spark.operators.relevance import importance_score
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    target = docs.filter(F.col("source") == "src0")
+    out = importance_score(docs, target)
+    return out.select(
+        "doc_id", "n_tokens", F.round("dsir_logratio", 4).alias("dsir_logratio")
+    )
+
+
+# ------------------------------------------------ E20 corpus drift monitor
+_DRIFT_ORACLE = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> length(x) > 0)) AS token
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+model AS (
+  SELECT token,
+         count(*) FILTER (WHERE source = 'src0') AS c_a,
+         count(*) FILTER (WHERE source = 'src1') AS c_b
+  FROM toks GROUP BY token
+),
+tot AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b, count(*) AS v FROM model),
+probs AS (
+  SELECT token, c_a,
+         (c_a + 0.5) / (n_a + 0.5 * v) AS p,
+         (c_b + 0.5) / (n_b + 0.5 * v) AS q
+  FROM model CROSS JOIN tot
+),
+metrics AS (
+  SELECT sum(p * ln(p / q)) AS kl_pq,
+         sum(q * ln(q / p)) AS kl_qp,
+         0.5 * sum(p * ln(p / ((p + q) / 2)))
+           + 0.5 * sum(q * ln(q / ((p + q) / 2))) AS js_divergence,
+         0.5 * sum(abs(p - q)) AS tvd,
+         CAST(count(*) AS DOUBLE) AS vocab_size,
+         sum(CASE WHEN c_a = 0 THEN q ELSE 0 END) AS novel_mass_b
+  FROM probs
+),
+stacked AS (
+  SELECT 'kl_pq' AS token, kl_pq AS v FROM metrics
+  UNION ALL SELECT 'kl_qp', kl_qp FROM metrics
+  UNION ALL SELECT 'js_divergence', js_divergence FROM metrics
+  UNION ALL SELECT 'tvd', tvd FROM metrics
+  UNION ALL SELECT 'vocab_size', vocab_size FROM metrics
+  UNION ALL SELECT 'novel_mass_b', novel_mass_b FROM metrics
+),
+movers AS (
+  SELECT 'mover' AS kind, token, round(p, 4) AS p_a, round(q, 4) AS p_b,
+         round(p - q, 4) AS delta
+  FROM probs ORDER BY abs(p - q) DESC, token ASC LIMIT 10
+)
+SELECT 'metric' AS kind, token, CAST(NULL AS DOUBLE) AS p_a,
+       CAST(NULL AS DOUBLE) AS p_b, round(v, 4) AS delta
+FROM stacked
+UNION ALL
+SELECT * FROM movers
+"""
+
+
+@_q("corpus_drift", None)
+def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-drift monitor (operators/profile.distribution_drift):
+    token-distribution divergence between two corpus slices (src0 vs
+    src1 standing in for snapshot N vs N+1) — KL both ways,
+    Jensen-Shannon, total variation, novel-vocabulary mass, plus the
+    top-10 token movers by |p - q|. One tagged-union aggregate builds
+    both distributions; the movers are a global top-k
+    (TakeOrderedAndProject), never a full sort. Oracle as a module
+    constant (_DRIFT_ORACLE, pytest-verified); registers oracle-less
+    under the funded 50-slot cap."""
+    from audience_finder_pro_spark.operators.profile import distribution_drift
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    a = docs.filter(F.col("source") == "src0")
+    b = docs.filter(F.col("source") == "src1")
+    out = distribution_drift(a, b, k=10)
+    return out.select(
+        "kind",
+        "token",
+        F.round("p_a", 4).alias("p_a"),
+        F.round("p_b", 4).alias("p_b"),
+        F.round("delta", 4).alias("delta"),
+    )
+
+
+# ------------------------------------------------ E21 mixture temperature weights
+_MIXW_ORACLE = r"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> length(x) > 0))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT sum(n_tokens) AS tt,
+         sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS tp
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / tt, 4) AS raw_share,
+       round(pow(CAST(n_tokens AS DOUBLE), 0.7) / tp, 4) AS weight
+FROM per CROSS JOIN tot
+"""
+
+
+@_q("mixture_weights", None)
+def mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pile/GPT-3-style mixture temperature weighting
+    (operators/sampling.mixture_weights, alpha=0.7): per-source token
+    shares flattened by share^alpha and renormalized — the weights that
+    feed mixture_sample's per-source rates. One map-side-combined
+    aggregate (token counts via size(tokens(text)) — a projection, no
+    explode), totals via broadcast NLJ. Oracle as a module constant
+    (_MIXW_ORACLE, pytest-verified); registers oracle-less under the
+    funded 50-slot cap."""
+    from audience_finder_pro_spark.operators.sampling import mixture_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_weights(docs, alpha=0.7)
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("raw_share", 4).alias("raw_share"),
+        F.round("weight", 4).alias("weight"),
+    )

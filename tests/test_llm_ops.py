@@ -1194,3 +1194,100 @@ def test_frequent_tokens_superset_guarantee(spark, sf_smoke):
     assert truth, "fixture should have heavy tokens at 2% support"
     missing = {t for (t,) in truth} - cands
     assert not missing, missing
+
+
+# ------------------------------------------ E19/E20/E21 curation statistics tier
+def test_dsir_select_matches_sql_oracle(spark, sf_dir):
+    """dsir_select registers oracle-less (the driver's 50 slots are fully
+    funded) — this differential IS its hash gate, same compare as the
+    driver's, at the driver's own SF."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _DSIR_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["dsir_select"](spark, sf_dir), _DSIR_ORACLE, sf_dir, name="dsir_select")
+
+
+def test_corpus_drift_matches_sql_oracle(spark, sf_dir):
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _DRIFT_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["corpus_drift"](spark, sf_dir), _DRIFT_ORACLE, sf_dir, name="corpus_drift")
+
+
+def test_mixture_weights_matches_sql_oracle(spark, sf_dir):
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _MIXW_ORACLE
+    from tests.oracle import compare
+
+    compare(
+        QUERIES["mixture_weights"](spark, sf_dir), _MIXW_ORACLE, sf_dir, name="mixture_weights"
+    )
+
+
+def test_importance_score_ranks_target_like_docs_higher(spark):
+    """DSIR semantics: documents drawn from the target distribution must
+    score above documents from a disjoint distribution when both sit in
+    the raw pool — the separation the importance-resampling step exists
+    to create."""
+    from audience_finder_pro_spark.operators.relevance import importance_score
+
+    target_rows = [(100 + i, "alpha beta gamma delta " * 5) for i in range(8)]
+    noise_rows = [(200 + i, "zeta eta theta iota " * 5) for i in range(8)]
+    raw = spark.createDataFrame(target_rows + noise_rows, "doc_id long, text string")
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    got = {r.doc_id: r.dsir_logratio for r in importance_score(raw, target).collect()}
+    tgt_scores = [got[i] for i in range(100, 108)]
+    noise_scores = [got[i] for i in range(200, 208)]
+    assert min(tgt_scores) > max(noise_scores)
+
+
+def test_distribution_drift_identical_and_disjoint(spark):
+    """Identical slices → all divergences ~0 and no novel mass; disjoint
+    slices → positive divergences and novel_mass_b > 0."""
+    from audience_finder_pro_spark.operators.profile import distribution_drift
+
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(6)], "doc_id long, text string"
+    )
+    m = {
+        r.token: r.delta
+        for r in distribution_drift(same, same).filter("kind = 'metric'").collect()
+    }
+    assert abs(m["kl_pq"]) < 1e-9 and abs(m["kl_qp"]) < 1e-9
+    assert abs(m["js_divergence"]) < 1e-9 and abs(m["tvd"]) < 1e-9
+    assert m["novel_mass_b"] == 0.0
+
+    other = spark.createDataFrame(
+        [(i, "zeta eta theta iota kappa") for i in range(6)], "doc_id long, text string"
+    )
+    d = {
+        r.token: r.delta
+        for r in distribution_drift(same, other).filter("kind = 'metric'").collect()
+    }
+    assert d["kl_pq"] > 0.1 and d["kl_qp"] > 0.1 and d["js_divergence"] > 0.01
+    assert 0 < d["tvd"] <= 1.0
+    assert d["novel_mass_b"] > 0.1  # half the union vocab is unseen in A
+    movers = distribution_drift(same, other, k=3).filter("kind = 'mover'").collect()
+    assert len(movers) == 3
+
+
+def test_mixture_weights_temperature_flattens(spark):
+    """alpha=1 reproduces raw shares exactly; alpha<1 moves every
+    source's weight toward uniform (large sources down, small up);
+    weights always sum to 1."""
+    from audience_finder_pro_spark.operators.sampling import mixture_weights
+
+    rows = [(i, "w " * 200, "big") for i in range(20)] + [
+        (100 + i, "w " * 10, "small") for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    natural = {r.source: r for r in mixture_weights(docs, alpha=1.0).collect()}
+    for r in natural.values():
+        assert abs(r.weight - r.raw_share) < 1e-12
+    flat = {r.source: r for r in mixture_weights(docs, alpha=0.5).collect()}
+    assert flat["big"].weight < natural["big"].raw_share
+    assert flat["small"].weight > natural["small"].raw_share
+    assert abs(sum(r.weight for r in flat.values()) - 1.0) < 1e-12
+    assert abs(sum(r.raw_share for r in flat.values()) - 1.0) < 1e-12
