@@ -207,6 +207,28 @@ def minhash_signatures(
     )
 
 
+def _banded(sig: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) LSH banding of a MinHash signature frame — one
+    xxhash64 per band over its row slice, exploded from a single array
+    projection (codegen; no per-band scans)."""
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b), *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -225,23 +247,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.lit(b), *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = _banded(sig, id_col, bands, rows_per_band)
 
     # pair generation WITHOUT a self-join: a self-join would execute the whole
     # signature pipeline twice (no exchange reuse across join branches under
@@ -383,3 +389,129 @@ def simhash_candidate_pairs(
     if max_hamming is not None:
         cand = cand.filter(F.col("hamming") <= max_hamming)
     return cand.select("id_a", "id_b", "hamming")
+
+
+def incremental_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedupe an INCOMING batch against an EXISTING corpus — the
+    recurring-ingest path: snapshot N is already deduped, the daily crawl
+    must be filtered against it without ever re-pairing old×old.
+
+    Every incoming doc gets a verdict:
+
+    - ``dup_exact``  — normalized text hash already in ``existing``
+      (matched_id = the existing corpus's min-id holder of that hash);
+    - ``dup_near``   — verified Jaccard ≥ ``threshold`` against some
+      existing doc via MinHash-LSH banding (matched_id = the best match:
+      max Jaccard, ties to the smallest existing id);
+    - ``kept``       — neither.
+
+    Returns (id_col, status, matched_id, jaccard); ``kept`` rows carry
+    NULL matched_id/jaccard. Within-batch (new×new) duplicates are NOT
+    judged here by design — run exact_dedup/minhash_lsh_pairs on the
+    kept remnant, or equivalently fold the remnant into the corpus and
+    let the next increment see it.
+
+    Scale shape: the exact pass shuffles (16-byte hash, id) only — the
+    existing side is pre-aggregated to one (hash, min id) row per
+    fingerprint, so the join key is unique and skew-free. The near pass
+    bands BOTH sides' signatures and equi-joins new buckets to old
+    buckets on (band, bucket): candidates are cross-side by
+    construction (the incremental win — no old×old expansion, no
+    self-join double-execution), and exact-Jaccard verification builds
+    shingle sets ONLY for docs appearing in a candidate pair (semi-join
+    on each side, ≪ both corpora). Same banding, same S-curve, same
+    checkpoint discipline as ``minhash_lsh_pairs``; exact-dup survivors
+    are excluded BEFORE signatures so the near pass never re-scores
+    them.
+    """
+    rows_per_band = num_hashes // bands
+
+    ex_fp = (
+        existing.select(norm_text_hash(text_col).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("_ex_id"))
+    )
+    inc = incoming.withColumn("text_hash", norm_text_hash(text_col))
+    flagged = inc.join(ex_fp, "text_hash", "left")
+    exact_dups = flagged.filter(F.col("_ex_id").isNotNull()).select(
+        F.col(id_col),
+        F.lit("dup_exact").alias("status"),
+        F.col("_ex_id").alias("matched_id"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    survivors = flagged.filter(F.col("_ex_id").isNull()).drop("text_hash", "_ex_id")
+
+    sig_new = minhash_signatures(survivors, id_col, text_col, n, num_hashes)
+    sig_old = minhash_signatures(existing, id_col, text_col, n, num_hashes)
+    b_new = _banded(sig_new, id_col, bands, rows_per_band).withColumnRenamed(id_col, "id_new")
+    b_old = _banded(sig_old, id_col, bands, rows_per_band).withColumnRenamed(id_col, "id_old")
+    # cross-side candidates only; checkpoint — the two verification join
+    # branches below would otherwise re-execute both signature pipelines
+    cand = (
+        b_new.join(b_old, ["band", "bucket"])
+        .select("id_new", "id_old")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    sh_new = (
+        shingle_stream(
+            survivors.join(cand.select(F.col("id_new").alias(id_col)).distinct(), id_col, "left_semi"),
+            id_col,
+            text_col,
+            n,
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set(F.xxhash64("shingle")).alias("sh_new"))
+    )
+    sh_old = (
+        shingle_stream(
+            existing.join(cand.select(F.col("id_old").alias(id_col)).distinct(), id_col, "left_semi"),
+            id_col,
+            text_col,
+            n,
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set(F.xxhash64("shingle")).alias("sh_old"))
+    )
+    verified = (
+        cand.join(sh_new.select(F.col(id_col).alias("id_new"), "sh_new"), "id_new")
+        .join(sh_old.select(F.col(id_col).alias("id_old"), "sh_old"), "id_old")
+        .withColumn("n_common", F.size(F.array_intersect("sh_new", "sh_old")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.size("sh_new") + F.size("sh_old") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = verified.groupBy("id_new").agg(
+        F.max_by(
+            F.struct(F.col("id_old").alias("matched_id"), F.col("jaccard")),
+            F.struct(F.col("jaccard"), (-F.col("id_old")).alias("_nid")),
+        ).alias("m")
+    )
+    near_dups = best.select(
+        F.col("id_new").alias(id_col),
+        F.lit("dup_near").alias("status"),
+        F.col("m.matched_id").alias("matched_id"),
+        F.round("m.jaccard", 4).alias("jaccard"),
+    )
+    kept = (
+        survivors.join(near_dups.select(id_col), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.lit("kept").alias("status"),
+            F.lit(None).cast("long").alias("matched_id"),
+            F.lit(None).cast("double").alias("jaccard"),
+        )
+    )
+    return exact_dups.unionByName(near_dups).unionByName(kept)

@@ -32,6 +32,7 @@ ORACLES: dict[str, str] = {}
 _STATEFUL_PLANS = {
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "incremental_dedup",
     "dedup_ngram_jaccard",
     "dedup_cc_clusters",
     "quarantine_report",

@@ -1804,3 +1804,22 @@ def mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("raw_share", 4).alias("raw_share"),
         F.round("weight", 4).alias("weight"),
     )
+
+
+# ------------------------------------------------ E22 incremental ingest dedup
+@_q("incremental_dedup", None)
+def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurring-ingest dedup (operators/dedup.incremental_dedup): the
+    even-doc_id half of the corpus stands in for the already-deduped
+    snapshot, the odd half for the daily batch; every incoming doc gets
+    kept / dup_exact / dup_near (MinHash-LSH banded, cross-side
+    candidates only — old×old is never re-paired) with its best existing
+    match. xxhash64-dependent → no SQL oracle (same taxonomy as
+    dedup_minhash_lsh); verified by planted cross-side duplicates and a
+    full-corpus consistency differential in tests."""
+    from audience_finder_pro_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_dedup(existing, incoming)

@@ -1291,3 +1291,73 @@ def test_mixture_weights_temperature_flattens(spark):
     assert flat["small"].weight > natural["small"].raw_share
     assert abs(sum(r.weight for r in flat.values()) - 1.0) < 1e-12
     assert abs(sum(r.raw_share for r in flat.values()) - 1.0) < 1e-12
+
+
+# ------------------------------------------------ E22 incremental ingest dedup
+def test_incremental_dedup_planted_verdicts(spark):
+    """Exact copy of an existing doc → dup_exact with the existing
+    holder's id; perturbed copy → dup_near; unique doc → kept; a
+    within-batch duplicate (copy of another INCOMING doc, absent from
+    existing) → kept, because new×new is out of scope by contract."""
+    from audience_finder_pro_spark.operators.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    existing = spark.createDataFrame(
+        [(0, base), (2, "completely unrelated corpus text about spark engines " * 4)],
+        "doc_id long, text string",
+    )
+    perturbed = base.replace("lazy", "sleepy", 1)
+    batch_dup = "an incoming-only paragraph repeated twice in the batch " * 4
+    incoming = spark.createDataFrame(
+        [
+            (101, base),  # exact copy of existing 0
+            (103, perturbed),  # near copy of existing 0
+            (105, "a wholly novel document unlike anything stored before " * 4),
+            (107, batch_dup),
+            (109, batch_dup),  # within-batch dup — NOT judged
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in incremental_dedup(existing, incoming).collect()}
+    assert sorted(out) == [101, 103, 105, 107, 109]  # one verdict per incoming doc
+    assert out[101].status == "dup_exact" and out[101].matched_id == 0
+    assert out[103].status == "dup_near" and out[103].matched_id == 0
+    assert out[103].jaccard is not None and out[103].jaccard >= 0.5
+    assert out[105].status == "kept" and out[105].matched_id is None
+    assert out[107].status == "kept" and out[109].status == "kept"
+
+
+def test_incremental_dedup_consistent_with_full_batch_lsh(spark, sf_smoke):
+    """Differential against the full-batch path: an incoming (odd) doc is
+    flagged iff the full-corpus minhash_lsh_pairs run finds it a
+    cross-parity pair at the same threshold (exact-hash copies become
+    dup_exact instead of dup_near)."""
+    from audience_finder_pro_spark.functions.text import norm_text_hash
+    from audience_finder_pro_spark.operators.dedup import incremental_dedup, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_smoke, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    got = {r.doc_id: r.status for r in incremental_dedup(existing, incoming).collect()}
+
+    pairs = minhash_lsh_pairs(docs).collect()
+    cross_flagged = set()
+    for r in pairs:
+        if (r.id_a % 2) != (r.id_b % 2):
+            cross_flagged.add(r.id_a if r.id_a % 2 == 1 else r.id_b)
+    exact_hashes = {
+        r.text_hash
+        for r in existing.select(norm_text_hash("text").alias("text_hash")).distinct().collect()
+    }
+    inc_exact = {
+        r.doc_id
+        for r in incoming.select("doc_id", norm_text_hash("text").alias("text_hash")).collect()
+        if r.text_hash in exact_hashes
+    }
+    for doc_id, status in got.items():
+        if doc_id in inc_exact:
+            assert status == "dup_exact", doc_id
+        elif doc_id in cross_flagged:
+            assert status == "dup_near", doc_id
+        else:
+            assert status == "kept", doc_id
