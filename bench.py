@@ -126,6 +126,17 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("afp-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Local-SF shuffle profile: at sf<=0.5 every post-shuffle task carries
+    # a few hundred KB, so task-launch overhead dominates and 8 partitions
+    # beat 32 across every tier (A/B r6: floor subset 9.5->7.9s, heavy
+    # non-stateful 13.2->10.9s, stateful dedup minhash 3.3->2.7s / cc
+    # 3.5->2.8s; AQE on/off was a wash). Scan-side parallelism is
+    # unaffected (fan_out repartitions to defaultParallelism=cores, not
+    # shuffle partitions). On a real cluster shuffle.partitions is sized
+    # ~2-3x executor cores and AQE coalescing takes over — this branch is
+    # the toy-SF bench profile only, env-overridable.
+    if "SPARK_GRAFT_SHUFFLE_PARTITIONS" not in os.environ and 0 < sf <= 0.5:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     # warmup: run every bench query once at the smallest SF — the generated
     # whole-stage code is schema-dependent, not data-dependent, so this

@@ -37,6 +37,10 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("duckdb-ratio")
     spark.sparkContext.setLogLevel("ERROR")
+    # same toy-SF shuffle profile as bench.py (A/B r6: 8 beats 32 on every
+    # tier at sf<=0.1 — task-launch floor dominates tiny shuffles)
+    if "SPARK_GRAFT_SHUFFLE_PARTITIONS" not in os.environ and "sf1" not in sf_dir:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
