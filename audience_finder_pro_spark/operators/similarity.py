@@ -695,3 +695,220 @@ def ivf_probe_indexed(
         _pair_cosine(F.col(query_vec_col), F.col(vec_col), "_qn", "_cn", dim).alias("cosine_sim"),
     )
     return _exact_topk(scored, k, query_id_col, id_col)
+
+
+# --------------------------------------------------------------------------
+# E23: corpus self k-NN graph
+# --------------------------------------------------------------------------
+def _np_row_topk(s_row: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the exact top-k of one similarity row under SQL
+    ``row_number() OVER (ORDER BY sim DESC, id ASC)`` semantics: every
+    entry whose sim ties the k-th value is considered and the lowest ids
+    win. ``-inf`` entries (masked self, zero-norm rows) never qualify."""
+    n = s_row.shape[0]
+    if n <= k:
+        cand = np.arange(n)
+    else:
+        part = np.argpartition(-s_row, k - 1)[:k]
+        kth = s_row[part].min()
+        cand = np.nonzero(s_row >= kth)[0]
+    cand = cand[np.isfinite(s_row[cand])]
+    order = np.lexsort((ids[cand], -s_row[cand]))
+    return cand[order][:k]
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    n_lists: int = 32,
+    n_probe: int = 3,
+    max_exact_rows: int = 500_000,
+    chunk_rows: int = 4096,
+) -> DataFrame:
+    """k-nearest-neighbor graph over one embedding corpus: for every
+    vector, its ``k`` most-cosine-similar OTHER vectors, as
+    (id_col, nbr_id, cosine_sim, rnk) with rnk in 1..k — the input to
+    graph-based curation (SemDeDup verification, kNN-density quality
+    scoring, label propagation). Ties broken exactly like
+    ``row_number() OVER (ORDER BY sim DESC, id ASC)`` so results are
+    partitioning-independent and SQL-replayable.
+
+    Two paths:
+
+    - ``method="exact"``: the corpus (ids, vectors, norms) is collected
+      ONCE into a driver broadcast — bounded model state, gated at
+      ``max_exact_rows`` (500k × dim 64 f64 ≈ 256 MB; the same budget
+      class as ``brute_force_topk``'s broadcast query side) — then ONE
+      narrow ``mapInPandas`` pass over the corpus computes chunked
+      ``X @ C.T`` BLAS products and local exact top-k per row. Zero
+      shuffles, zero per-pair rows: the n² similarity slab only ever
+      exists ``chunk_rows`` rows at a time inside each task. Exact
+      self-kNN is inherently O(n²·dim) compute; past the gate the
+      answer is the IVF path, not a bigger cluster.
+    - ``method="ivf"``: multi-probe inverted lists. Deterministic seed
+      centroids (``_centroid_rows``, bounded n_lists × dim model
+      state) are broadcast; one Arrow pass emits each vector into its
+      ``n_probe`` nearest lists (flagging the nearest as its HOME
+      list); one shuffle regroups by list (the corpus travels n_probe
+      times — the standard IVF probe/recall trade); a per-list Arrow
+      matmul scores probe members against HOME members only (each
+      (q, nbr) pair is scored at most once because a neighbor's home
+      list is unique) and emits per-list top-k candidates; a final
+      window over ≤ n_probe × k candidate rows per vector takes the
+      global top-k. Recall vs exact is asserted in tests.
+    """
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("nbr_id", id_type),
+            StructField("cosine_sim", DoubleType()),
+            StructField("rnk", IntegerType()),
+        ]
+    )
+    spark = df.sparkSession
+
+    if method == "exact":
+        n_corpus = df.count()
+        if n_corpus > max_exact_rows:
+            raise ValueError(
+                f"knn_graph exact path: corpus has {n_corpus} rows > "
+                f"max_exact_rows={max_exact_rows}; use method='ivf'"
+            )
+        rows = sorted(df.select(id_col, vec_col).collect(), key=lambda r: r[0])
+        ids_all = np.array([r[0] for r in rows])
+        C = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        cn = np.linalg.norm(C, axis=1)
+        cn[cn == 0.0] = np.inf
+        bc = spark.sparkContext.broadcast((ids_all, C, cn))
+
+        def exact_batches(it):
+            ids_a, Cm, cnorm = bc.value
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                qids = pdf[id_col].to_numpy()
+                X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()])
+                xn = np.linalg.norm(X, axis=1)
+                xn[xn == 0.0] = np.inf
+                o_q, o_n, o_s, o_r = [], [], [], []
+                for s in range(0, len(qids), chunk_rows):
+                    e = min(s + chunk_rows, len(qids))
+                    sims = (X[s:e] @ Cm.T) / np.outer(xn[s:e], cnorm)
+                    # mask self (ids_a is sorted — one searchsorted per chunk)
+                    pos = np.searchsorted(ids_a, qids[s:e])
+                    ok = (pos < len(ids_a)) & (ids_a[np.clip(pos, 0, len(ids_a) - 1)] == qids[s:e])
+                    sims[np.arange(e - s)[ok], pos[ok]] = -np.inf
+                    for i in range(e - s):
+                        idx = _np_row_topk(sims[i], ids_a, k)
+                        o_q.append(np.full(len(idx), qids[s + i]))
+                        o_n.append(ids_a[idx])
+                        o_s.append(sims[i][idx])
+                        o_r.append(np.arange(1, len(idx) + 1))
+                if o_q:
+                    yield pd.DataFrame(
+                        {
+                            id_col: np.concatenate(o_q),
+                            "nbr_id": np.concatenate(o_n),
+                            "cosine_sim": np.concatenate(o_s),
+                            "rnk": np.concatenate(o_r).astype("int32"),
+                        }
+                    )
+
+        out = df.select(id_col, vec_col).mapInPandas(exact_batches, out_schema)
+        return out.select(id_col, "nbr_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rnk")
+
+    if method != "ivf":
+        raise ValueError(f"unknown knn_graph method {method!r}")
+
+    cent_rows = sorted(
+        _centroid_rows(df, id_col, vec_col, n_lists).collect(), key=lambda r: r["cent_seed"]
+    )
+    CT = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in cent_rows])
+    ctn = np.linalg.norm(CT, axis=1)
+    ctn[ctn == 0.0] = np.inf
+    bc_c = spark.sparkContext.broadcast((CT, ctn))
+    from pyspark.sql.types import BooleanType
+
+    memb_schema = StructType(
+        [
+            StructField("list_id", IntegerType()),
+            StructField("is_home", BooleanType()),
+            StructField(id_col, id_type),
+            StructField(vec_col, df.schema[vec_col].dataType),
+        ]
+    )
+
+    def memberships(it):
+        CTm, ctnorm = bc_c.value
+        p = min(n_probe, CTm.shape[0])
+        for pdf in it:
+            if pdf.empty:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()])
+            xn = np.linalg.norm(X, axis=1)
+            xn[xn == 0.0] = np.inf
+            sims = (X @ CTm.T) / np.outer(xn, ctnorm)
+            # argsort by (-sim, list index) — lexsort is exact on ties
+            order = np.lexsort((np.broadcast_to(np.arange(CTm.shape[0]), sims.shape), -sims), axis=1)
+            probes = order[:, :p]
+            # row-major ravel: row i's p probe lists are consecutive, so
+            # np.repeat(..., p) lines ids/vectors up with probes.ravel()
+            yield pd.DataFrame(
+                {
+                    "list_id": probes.ravel().astype("int32"),
+                    "is_home": (probes == probes[:, :1]).ravel(),
+                    id_col: np.repeat(pdf[id_col].to_numpy(), p),
+                    vec_col: np.repeat(pdf[vec_col].to_numpy(), p),
+                }
+            )
+
+    memb = df.select(id_col, vec_col).mapInPandas(memberships, memb_schema)
+
+    def list_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        home = pdf[pdf["is_home"]]
+        if home.empty:
+            return pd.DataFrame({id_col: [], "nbr_id": [], "cosine_sim": [], "rnk": []})
+        h_ids = home[id_col].to_numpy()
+        h_order = np.argsort(h_ids, kind="stable")
+        h_ids = h_ids[h_order]
+        H = np.stack([np.asarray(v, dtype=np.float64) for v in home[vec_col].to_numpy()])[h_order]
+        hn = np.linalg.norm(H, axis=1)
+        hn[hn == 0.0] = np.inf
+        q_ids = pdf[id_col].to_numpy()
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()])
+        qn = np.linalg.norm(Q, axis=1)
+        qn[qn == 0.0] = np.inf
+        sims = (Q @ H.T) / np.outer(qn, hn)
+        pos = np.searchsorted(h_ids, q_ids)
+        ok = (pos < len(h_ids)) & (h_ids[np.clip(pos, 0, len(h_ids) - 1)] == q_ids)
+        sims[np.arange(len(q_ids))[ok], pos[ok]] = -np.inf
+        o_q, o_n, o_s = [], [], []
+        for i in range(len(q_ids)):
+            idx = _np_row_topk(sims[i], h_ids, k)
+            o_q.append(np.full(len(idx), q_ids[i]))
+            o_n.append(h_ids[idx])
+            o_s.append(sims[i][idx])
+        if not o_q:
+            return pd.DataFrame({id_col: [], "nbr_id": [], "cosine_sim": [], "rnk": []})
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate(o_q),
+                "nbr_id": np.concatenate(o_n),
+                "cosine_sim": np.concatenate(o_s),
+                "rnk": np.zeros(sum(len(x) for x in o_q), dtype="int32"),
+            }
+        )
+
+    cand = memb.groupBy("list_id").applyInPandas(list_knn, out_schema)
+    w = Window.partitionBy(id_col).orderBy(F.col("cosine_sim").desc(), F.col("nbr_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "nbr_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rnk")
+    )

@@ -1823,3 +1823,34 @@ def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = docs.filter(F.col("doc_id") % 2 == 0)
     incoming = docs.filter(F.col("doc_id") % 2 == 1)
     return incremental_dedup(existing, incoming)
+
+
+# ------------------------------------------------ E23 corpus k-NN graph
+# Exact self-kNN is SQL-replayable (cross join + row_number) — this oracle
+# is the pytest hash gate (tests/test_llm_ops.py); the query registers
+# oracle-less because the driver's 50 slots are fully funded.
+_KNN_ORACLE = f"""
+WITH scored AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id, {_cos_sql("a.embedding", "b.embedding")} AS sim
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT vec_id, nbr_id, round(sim, 4) AS cosine_sim, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+"""
+
+
+@_q("knn_graph", None)
+def knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus self k-NN graph (operators/similarity.knn_graph, exact
+    path): every vector's 5 nearest neighbors by cosine, zero shuffles —
+    one broadcast of the (gated, bounded) corpus + a narrow chunked-BLAS
+    mapInPandas pass. ``_KNN_ORACLE`` is the standalone DuckDB oracle,
+    hash-checked in tests at the driver's own SF; the IVF multi-probe
+    path is recall-checked against this exact output."""
+    from audience_finder_pro_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    return knn_graph(emb, k=5)

@@ -1361,3 +1361,99 @@ def test_incremental_dedup_consistent_with_full_batch_lsh(spark, sf_smoke):
             assert status == "dup_near", doc_id
         else:
             assert status == "kept", doc_id
+
+
+# ------------------------------------------------ E23 corpus k-NN graph
+def test_knn_graph_exact_matches_sql_oracle(spark, sf_dir):
+    """The exact path registers oracle-less (driver slots fully funded) —
+    this differential IS its hash gate, same compare as the driver's."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _KNN_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["knn_graph"](spark, sf_dir), _KNN_ORACLE, sf_dir, name="knn_graph")
+
+
+def test_knn_graph_exact_invariants(spark, sf_dir):
+    from audience_finder_pro_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_graph(emb, k=5).collect()
+    n = emb.count()
+    assert len(out) == 5 * n  # k rows per vector (n > k+1 at every SF)
+    by_vec = {}
+    for r in out:
+        assert r.vec_id != r.nbr_id  # self excluded
+        by_vec.setdefault(r.vec_id, []).append(r)
+    for rows in by_vec.values():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == [1, 2, 3, 4, 5]
+        sims = [r.cosine_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)  # rnk follows sim desc
+
+
+def test_knn_graph_exact_gate_raises(spark, sf_dir):
+    from audience_finder_pro_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="max_exact_rows"):
+        knn_graph(emb, k=5, max_exact_rows=10)
+
+
+def test_knn_graph_ivf_planted_clusters_recall(spark):
+    """On genuinely clustered data (8 tight Gaussian clusters) the
+    multi-probe IVF path recovers ≥0.9 of exact top-5 edges while
+    scanning ~n_probe/n_lists of the corpus per list. (The fixture
+    embeddings are near-random — same-label mean cosine 0.0016 vs
+    cross-label 0.0003 — so high recall there is information-
+    theoretically unavailable at low scan fractions; clustered data is
+    the design point.)"""
+    import numpy as np
+
+    from audience_finder_pro_spark.operators.similarity import knn_graph
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 32) * 5.0
+    rows = []
+    for i in range(240):
+        c = i % 8
+        rows.append((i, (centers[c] + rng.randn(32) * 0.3).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r.vec_id, r.nbr_id) for r in knn_graph(df, k=5).collect()}
+    ivf = {
+        (r.vec_id, r.nbr_id)
+        for r in knn_graph(df, k=5, method="ivf", n_lists=8, n_probe=2).collect()
+    }
+    assert len(exact & ivf) / len(exact) >= 0.9
+
+
+def test_knn_graph_ivf_fixture_beats_random(spark, sf_dir):
+    """Even on the near-random fixture, multi-probe recall must clearly
+    beat the random-scan floor (n_probe/n_lists of the corpus)."""
+    from audience_finder_pro_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.vec_id, r.nbr_id) for r in knn_graph(emb, k=5).collect()}
+    ivf = {
+        (r.vec_id, r.nbr_id)
+        for r in knn_graph(emb, k=5, method="ivf", n_lists=16, n_probe=4).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    # measured 0.48-0.63 across param sweeps vs the 0.25 floor — assert
+    # 1.5x the floor so genuine signal is required but the margin survives
+    # fixture regeneration
+    assert recall >= 1.5 * (4 / 16), recall
+
+
+def test_knn_graph_ivf_deterministic_under_repartition(spark, sf_dir):
+    from audience_finder_pro_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {tuple(r) for r in knn_graph(emb, k=3, method="ivf", n_lists=8, n_probe=2).collect()}
+    b = {
+        tuple(r)
+        for r in knn_graph(
+            emb.repartition(13), k=3, method="ivf", n_lists=8, n_probe=2
+        ).collect()
+    }
+    assert a == b
