@@ -24,7 +24,7 @@ tests (SURVEY §7.4 hard part 3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from audience_finder_pro_spark.functions.text import (
@@ -515,3 +515,73 @@ def incremental_dedup(
         )
     )
     return exact_dups.unionByName(near_dups).unionByName(kept)
+
+
+def corpus_dedup(
+    docs: DataFrame,
+    score: Column | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """End-to-end corpus dedup with KEEP-BEST canonical selection — the
+    one-call curation step a training-data pipeline actually runs:
+    exact + MinHash-LSH near-dup evidence → transitive clusters → one
+    surviving representative per cluster, chosen by QUALITY rather than
+    accident of id.
+
+    ``score`` is any per-row quality expression (default: token count —
+    "keep the doc with the most content"); the canonical doc of a
+    cluster is argmax (score, -id), so selection is deterministic and
+    partitioning-independent. Returns one row per input doc:
+    (id_col, cluster_id, canonical_id, keep, n_members) — ``keep`` rows
+    form the deduped corpus, ``~keep`` rows the drop ledger with their
+    replacement.
+
+    Scale shape: exact edges shuffle (16-byte hash, id) only (the
+    representative aggregate from ``exact_dedup``'s two-pass form); near
+    edges come from the banded LSH pipeline (bucketed candidates, no
+    all-pairs, no self-join double-execution); clustering takes
+    ``connected_components``' measured driver/distributed crossover; the
+    final selection is one map-side-combined ``max_by`` aggregate on
+    (cluster_id) plus a broadcast-size join back — no full-payload
+    shuffle anywhere (the text column never travels; only ids, hashes,
+    and scores do).
+    """
+    from audience_finder_pro_spark.functions.text import tokens
+    from audience_finder_pro_spark.operators.graph import dedup_clusters
+
+    if score is None:
+        score = F.size(tokens(text_col))
+
+    h = docs.select(F.col(id_col), norm_text_hash(text_col).alias("text_hash"))
+    reps = h.groupBy("text_hash").agg(F.min(id_col).alias("_rep"))
+    exact_edges = (
+        h.join(reps, "text_hash")
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    near_edges = minhash_lsh_pairs(
+        docs, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, threshold=threshold
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(docs, exact_edges.unionByName(near_edges), id_col=id_col)
+
+    scored = docs.select(F.col(id_col), score.cast("double").alias("_score")).join(
+        clusters, id_col
+    )
+    best = scored.groupBy("cluster_id").agg(
+        F.max_by(id_col, F.struct(F.col("_score"), (-F.col(id_col)).alias("_nid"))).alias(
+            "canonical_id"
+        ),
+        F.count("*").alias("n_members"),
+    )
+    return scored.join(best, "cluster_id").select(
+        F.col(id_col),
+        "cluster_id",
+        "canonical_id",
+        (F.col(id_col) == F.col("canonical_id")).alias("keep"),
+        "n_members",
+    )

@@ -33,6 +33,7 @@ _STATEFUL_PLANS = {
     "dedup_minhash_lsh",
     "dedup_simhash",
     "incremental_dedup",
+    "corpus_dedup",
     "dedup_ngram_jaccard",
     "dedup_cc_clusters",
     "quarantine_report",

@@ -1854,3 +1854,18 @@ def knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     return knn_graph(emb, k=5)
+
+
+# ------------------------------------------------ E24 end-to-end corpus dedup
+@_q("corpus_dedup", None)
+def corpus_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call corpus curation (operators/dedup.corpus_dedup): exact +
+    MinHash-LSH evidence → transitive clusters → keep-best-by-token-count
+    canonical per cluster; every doc gets (cluster_id, canonical_id,
+    keep, n_members). xxhash64-dependent via the minhash leg → no SQL
+    oracle (minhash taxonomy); verified by planted-cluster selection
+    tests and a cluster-consistency differential vs dedup_cc_clusters."""
+    from audience_finder_pro_spark.operators.dedup import corpus_dedup
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return corpus_dedup(docs)

@@ -1457,3 +1457,64 @@ def test_knn_graph_ivf_deterministic_under_repartition(spark, sf_dir):
         ).collect()
     }
     assert a == b
+
+
+# ------------------------------------------------ E24 end-to-end corpus dedup
+def test_corpus_dedup_planted_keep_best(spark):
+    """Exact copies and near copies collapse into one cluster whose
+    canonical doc is the highest-score member (token count here), ties
+    to the lowest id; unique docs survive as their own singletons."""
+    from audience_finder_pro_spark.operators.dedup import corpus_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    longer = base + "with an extra trailing sentence that makes it the best copy"
+    rows = [
+        (1, base),
+        (2, base),  # exact copy of 1
+        (3, base.replace("lazy", "sleepy", 1)),  # near copy of 1
+        (4, longer),  # near copy with MORE tokens -> canonical
+        (5, "a wholly unrelated document about spark physical planning " * 4),
+        (6, "short unique"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in corpus_dedup(docs).collect()}
+    assert sorted(out) == [1, 2, 3, 4, 5, 6]
+    cluster = {out[i].cluster_id for i in (1, 2, 3, 4)}
+    assert len(cluster) == 1  # transitive closure collapsed all four
+    assert all(out[i].canonical_id == 4 for i in (1, 2, 3, 4))  # most tokens wins
+    assert out[4].keep and not any(out[i].keep for i in (1, 2, 3))
+    assert out[1].n_members == 4
+    for i in (5, 6):
+        assert out[i].keep and out[i].canonical_id == i and out[i].n_members == 1
+
+
+def test_corpus_dedup_tie_breaks_to_lowest_id(spark):
+    from audience_finder_pro_spark.operators.dedup import corpus_dedup
+
+    base = "identical content repeated for every member of this cluster " * 4
+    docs = spark.createDataFrame(
+        [(7, base), (3, base), (5, base)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in corpus_dedup(docs).collect()}
+    assert all(r.canonical_id == 3 for r in out.values())
+    assert out[3].keep and not out[5].keep and not out[7].keep
+
+
+def test_corpus_dedup_consistent_with_cc_clusters(spark, sf_smoke):
+    """Same evidence, same clusters: corpus_dedup's cluster partition must
+    equal dedup_clusters over exact+minhash edges (the oracle-checked CC
+    machinery), and exactly one keeper per cluster."""
+    from audience_finder_pro_spark.operators.dedup import corpus_dedup
+
+    docs = load_table(spark, sf_smoke, "documents")
+    out = corpus_dedup(docs).collect()
+    assert len(out) == docs.count()  # total function: one verdict per doc
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, rows in by_cluster.items():
+        keepers = [r for r in rows if r.keep]
+        assert len(keepers) == 1, cid
+        assert all(r.canonical_id == keepers[0].doc_id for r in rows)
+        assert all(r.n_members == len(rows) for r in rows)
+        assert min(r.doc_id for r in rows) == cid  # cluster_id = min member id
