@@ -585,3 +585,97 @@ def corpus_dedup(
         (F.col(id_col) == F.col("canonical_id")).alias("keep"),
         "n_members",
     )
+
+
+def repeated_passages(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Passage-level duplication detector (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the repeated-substring
+    rule, at word-n-gram granularity): flag every token span covered by an
+    n-gram that occurs ≥ ``min_count`` times ANYWHERE in the corpus
+    (within- or cross-document), and report the spans as merged disjoint
+    token intervals so a downstream projection can excise them.
+
+    Per input doc: (id_col, n_grams, n_repeated_grams, repeated_fraction,
+    spans) — ``spans`` is "start-end;start-end;..." in token coordinates
+    (end inclusive, each span ≥ n tokens), '' when clean, and
+    ``repeated_fraction`` is NULL for docs with < n tokens (no grams).
+    Total function: one row per doc.
+
+    Scale shape: the positional gram stream is the zip-of-slices form
+    (zero exchange — tokens hashed once, n-wide zip copies 8-byte longs);
+    the occurrence count is one map-side-combined groupBy on the gram
+    hash; flagged positions come back via a semi-join against the ≥min_count
+    remnant (small — bounded by the corpus's actual duplication volume);
+    island detection + interval merging run in per-doc windows over
+    FLAGGED positions only. The raw position stream shuffles once (the
+    count aggregate) and the semi-join probe is its second and last wide
+    move; text never travels. Hash-vs-string equality carries the usual
+    xxhash64 collision exposure (~1e-12 at 1e6 grams — the
+    decontaminate_docs precedent); the SQL oracle counts gram strings.
+    """
+    tok = tokens(text_col)
+    th = F.transform(tok, lambda x: F.xxhash64(x))
+    slices = [
+        F.slice(F.col("_th"), i + 1, F.greatest(F.size(F.col("_th")) - i, F.lit(0))).alias(
+            f"_s{i}"
+        )
+        for i in range(n)
+    ]
+    pg = (
+        docs.select(F.col(id_col), th.alias("_th"))
+        .select(F.col(id_col), F.posexplode(F.arrays_zip(*slices)).alias("pos", "_z"))
+        .filter(F.col(f"_z._s{n - 1}").isNotNull())
+        .select(id_col, "pos", F.xxhash64(*[F.col(f"_z._s{i}") for i in range(n)]).alias("gh"))
+    )
+    hot = pg.groupBy("gh").agg(F.count("*").alias("_c")).filter(F.col("_c") >= min_count)
+    flagged = pg.join(hot.select("gh"), "gh", "left_semi")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        flagged.withColumn("_isl", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("_s"),
+            (F.max("pos") + F.lit(n - 1)).alias("_e"),
+            F.count("*").alias("_c"),
+        )
+    )
+    # merge token intervals: runs < n gram-positions apart overlap (or touch)
+    # in token space — classic gaps-and-islands on the running max end
+    w2 = Window.partitionBy(id_col).orderBy("_s", "_e")
+    prev_max = F.max("_e").over(w2.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = runs.withColumn(
+        "_ng", F.when(F.col("_s") > F.coalesce(prev_max, F.lit(-2)) + 1, 1).otherwise(0)
+    ).withColumn("_grp", F.sum("_ng").over(w2.rowsBetween(Window.unboundedPreceding, 0)))
+    spans = grouped.groupBy(id_col, "_grp").agg(
+        F.min("_s").alias("start_pos"), F.max("_e").alias("end_pos"), F.sum("_c").alias("_c")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_repeated_grams"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("start_pos", "end_pos"))),
+                lambda s: F.concat_ws("-", s.start_pos.cast("string"), s.end_pos.cast("string")),
+            ),
+            ";",
+        ).alias("spans"),
+    )
+    totals = docs.select(
+        F.col(id_col), F.greatest(F.size(tok) - F.lit(n - 1), F.lit(0)).cast("long").alias("n_grams")
+    )
+    return totals.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce("n_repeated_grams", F.lit(0)).cast("long").alias("n_repeated_grams"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.coalesce("n_repeated_grams", F.lit(0)) / F.col("n_grams"), 4),
+        ).alias("repeated_fraction"),
+        F.coalesce("spans", F.lit("")).alias("spans"),
+    )

@@ -1869,3 +1869,64 @@ def corpus_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return corpus_dedup(docs)
+
+
+# ------------------------------------------------ E25 passage-level repetition
+# SQL-replayable on gram STRINGS (Spark counts gram hashes — identical
+# modulo xxhash64 collisions, the decontaminate_docs exposure); pytest
+# hash gate, registered oracle-less (driver slots fully funded).
+_PASSAGE_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS tok
+  FROM documents
+),
+g0 AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tok) - 7, 0) + 1),
+         i -> struct_pack(pos := i - 1, gram := array_to_string(list_slice(tok, i, i + 7), ' ')))) AS u
+  FROM tok
+),
+g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0),
+hot AS (SELECT gram FROM (SELECT gram, count(*) c FROM g GROUP BY gram) WHERE c >= 2),
+f AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM hot)),
+runs AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e, count(*) AS c
+  FROM (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM f)
+  GROUP BY doc_id, isl
+),
+mg AS (
+  SELECT doc_id, s, e, c,
+         sum(CASE WHEN s > coalesce(pm, -2) + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+  FROM (SELECT doc_id, s, e, c,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM runs) r
+),
+spans AS (SELECT doc_id, min(s) AS s, max(e) AS e, sum(c) AS c FROM mg GROUP BY doc_id, grp),
+per_doc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_repeated_grams,
+         array_to_string(list_transform(list_sort(list(struct_pack(a := s, b := e))),
+                         x -> concat(x.a, '-', x.b)), ';') AS spans
+  FROM spans GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(greatest(len(tok) - 7, 0) AS BIGINT) AS n_grams FROM tok)
+SELECT t.doc_id, t.n_grams,
+       CAST(coalesce(p.n_repeated_grams, 0) AS BIGINT) AS n_repeated_grams,
+       CASE WHEN t.n_grams > 0 THEN round(CAST(coalesce(p.n_repeated_grams, 0) AS DOUBLE) / t.n_grams, 4) END AS repeated_fraction,
+       coalesce(p.spans, '') AS spans
+FROM tot t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@_q("repeated_passages", None)
+def repeated_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level duplication detector (operators/dedup.
+    repeated_passages): every token span covered by an 8-gram occurring
+    ≥2 times anywhere in the corpus, merged into disjoint token
+    intervals per doc — the Lee-et-al repeated-substring rule at word
+    granularity. ``_PASSAGE_ORACLE`` is the standalone DuckDB oracle
+    (gram strings vs Spark's gram hashes), hash-checked in tests at the
+    driver's own SF."""
+    from audience_finder_pro_spark.operators.dedup import repeated_passages
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return repeated_passages(docs, n=8, min_count=2)

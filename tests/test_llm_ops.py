@@ -1518,3 +1518,70 @@ def test_corpus_dedup_consistent_with_cc_clusters(spark, sf_smoke):
         assert all(r.canonical_id == keepers[0].doc_id for r in rows)
         assert all(r.n_members == len(rows) for r in rows)
         assert min(r.doc_id for r in rows) == cid  # cluster_id = min member id
+
+
+# ------------------------------------------------ E25 passage-level repetition
+def test_repeated_passages_matches_sql_oracle(spark, sf_dir):
+    """Registered oracle-less (driver slots fully funded) — this
+    differential IS its hash gate, same compare as the driver's."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _PASSAGE_ORACLE
+    from tests.oracle import compare
+
+    compare(
+        QUERIES["repeated_passages"](spark, sf_dir),
+        _PASSAGE_ORACLE,
+        sf_dir,
+        name="repeated_passages",
+    )
+
+
+def test_repeated_passages_planted_spans(spark):
+    """A passage shared verbatim by two docs is flagged in BOTH, with the
+    span covering exactly the shared tokens; within-doc repetition flags
+    too (min_count counts occurrences, not documents); unique text is
+    clean; a doc with < n tokens has no grams and a NULL fraction."""
+    from audience_finder_pro_spark.operators.dedup import repeated_passages
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # exactly 8 tokens
+    rows = [
+        (1, shared + " unique tail one two three four five six seven eight nine ten"),
+        (2, "different head words entirely " + shared),
+        (3, "totally unrelated content with no overlap whatsoever at all here now"),
+        (4, "loop loop loop loop loop loop loop loop loop loop loop loop"),  # self-repeat
+        (5, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repeated_passages(docs, n=8, min_count=2).collect()}
+    assert sorted(out) == [1, 2, 3, 4, 5]
+    # doc 1: shared 8-gram at pos 0 -> span 0-7
+    assert out[1].n_repeated_grams == 1 and out[1].spans == "0-7"
+    # doc 2: shared passage starts at token 4 -> span 4-11
+    assert out[2].n_repeated_grams == 1 and out[2].spans == "4-11"
+    assert out[3].n_repeated_grams == 0 and out[3].spans == ""
+    # doc 4: twelve identical tokens -> every 8-gram identical, all 5
+    # positions repeat, one merged span covering the whole doc
+    assert out[4].n_repeated_grams == 5 and out[4].spans == "0-11"
+    assert out[4].repeated_fraction == 1.0
+    assert out[5].n_grams == 0 and out[5].repeated_fraction is None and out[5].spans == ""
+
+
+def test_repeated_passages_span_merging(spark):
+    """Two repeated runs separated by fewer than n fresh gram positions
+    merge into one token interval; separated by more, they stay apart."""
+    from audience_finder_pro_spark.operators.dedup import repeated_passages
+
+    p1 = "one two three four five six seven eight"
+    p2 = "nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    filler = " ".join(f"f{i}" for i in range(20))
+    rows = [
+        (1, p1 + " " + p2),              # adjacent repeats -> one merged span
+        (2, p1 + " " + filler + " " + p2),  # far apart -> two spans
+        (3, p1),                          # second occurrence of p1
+        (4, p2),                          # second occurrence of p2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repeated_passages(docs, n=8, min_count=2).collect()}
+    assert out[1].spans == "0-15"
+    assert out[2].spans == "0-7;28-35"
+    assert out[3].spans == "0-7" and out[4].spans == "0-7"
