@@ -1,0 +1,108 @@
+"""Bucketed-warehouse co-location tests (sources/warehouse.py).
+
+The claim under test is physical, not semantic: two tables bucketed the
+same way on the join key must join with ZERO shuffle Exchange, and the
+result must still equal the plain (shuffled) join.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from audience_finder_pro_spark.session import load_table
+from audience_finder_pro_spark.sources.warehouse import (
+    bucketed_table,
+    is_exchange_free_join,
+    write_bucketed,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def bucketed_pair(spark):
+    """orders + customer bucketed on custkey; dropped after the test."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    write_bucketed(orders, "t_orders_b", "o_custkey", n_buckets=8, sort_cols="o_custkey")
+    write_bucketed(customer, "t_customer_b", "c_custkey", n_buckets=8, sort_cols="c_custkey")
+    yield "t_orders_b", "t_customer_b"
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def _smj_join(spark, a, b):
+    """Equi-join with broadcast disabled so the planner must pick SMJ —
+    the strategy whose exchanges bucketing elides. Returns (joined,
+    exchange_free): the plan is inspected INSIDE the conf scope because
+    executedPlan() derives lazily from the session conf at access time —
+    restore the broadcast threshold first and the join silently replans
+    as BroadcastHashJoin, vacuously passing any no-exchange assertion
+    (measured; this bit the first version of these tests)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, a["o_custkey"] == b["c_custkey"]).select(
+            "o_orderkey", "o_custkey", "c_name"
+        )
+        return joined, is_exchange_free_join(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_pair):
+    t_orders, t_customer = bucketed_pair
+    _, free = _smj_join(spark, bucketed_table(spark, t_orders), bucketed_table(spark, t_customer))
+    assert free
+
+
+def test_unbucketed_join_pays_the_exchange(spark):
+    """Control: the same join off the raw parquet scans DOES shuffle —
+    proving the assertion helper measures the bucketing, not an accident
+    of data size."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    _, free = _smj_join(spark, orders, customer)
+    assert not free
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed_pair):
+    t_orders, t_customer = bucketed_pair
+    joined, _ = _smj_join(spark, bucketed_table(spark, t_orders), bucketed_table(spark, t_customer))
+    b = joined.orderBy("o_orderkey").collect()
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    p = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .select("o_orderkey", "o_custkey", "c_name")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    assert b == p
+
+
+def test_bucketed_write_one_file_per_bucket(spark, bucketed_pair):
+    """The repartition-before-write discipline: each bucket is one file
+    (plus Spark's _SUCCESS marker), not tasks x buckets small files."""
+    import os
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    files = [
+        f
+        for f in os.listdir(os.path.join(warehouse, "t_orders_b"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 8, files
+
+
+def test_bucket_scan_groupby_skips_exchange(spark, bucketed_pair):
+    """Aggregation on the bucket key also rides the clustering: the
+    groupBy plans with no shuffle Exchange."""
+    t_orders, _ = bucketed_pair
+    agg = (
+        bucketed_table(spark, t_orders)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    agg.count()
+    assert is_exchange_free_join(agg)
