@@ -364,6 +364,99 @@ def main() -> None:
             f" | fold/arrow {t_fold / t_arrow:.2f}x"
         )
 
+    # ---------------------------------------------------------------- r6 ops
+    # Incremental ingest vs full-batch re-dedup: the selling point is that a
+    # 10% daily batch costs a fraction of re-pairing the whole corpus. The
+    # replicated corpus plays the deduped snapshot; a perturbed 10% slice
+    # plays the crawl.
+    from audience_finder_pro_spark.operators.dedup import (
+        corpus_dedup,
+        incremental_dedup,
+        repeated_passages,
+    )
+
+    existing = big
+    incoming = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(max(factor // 10, 1) - 1))).alias("rep"),
+            "doc_id",
+            "text",
+        )
+        .select(
+            (F.lit(10_000_000) + F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
+            F.concat("text", F.lit(" tail"), F.col("rep").cast("string")).alias("text"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    n_inc = incoming.count()
+    t0 = time.time()
+    inc = incremental_dedup(existing, incoming, threshold=0.9)
+    verdicts = {r["status"]: r["cnt"] for r in inc.groupBy("status").agg(F.count("*").alias("cnt")).collect()}
+    t_inc = time.time() - t0
+    free_checkpoint(inc)
+    del inc
+    print(
+        f"incremental_dedup: {n_inc} incoming vs {n} existing in {t_inc:.1f}s "
+        f"(verdicts {verdicts}; full-batch minhash above took {t_mh:.1f}s on the snapshot alone)"
+    )
+
+    # repeated_passages at factor: the occurrence count rides the replicated
+    # boilerplate (every doc repeated `factor` times with distinct tails), so
+    # flagged volume is large by construction — worst-case-ish span merging.
+    t0 = time.time()
+    rp = repeated_passages(big, n=8, min_count=2)
+    n_rp = rp.filter(F.col("n_repeated_grams") > 0).count()
+    t_rp = time.time() - t0
+    print(f"repeated_passages: {n_rp}/{n} docs flagged in {t_rp:.1f}s")
+
+    # corpus_dedup end-to-end at the jaccard factor (pair volume bound)
+    big_j2 = (
+        docs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(factor_j - 1))).alias("rep"), "doc_id", "text"
+        )
+        .select(
+            (F.col("doc_id") * factor_j + F.col("rep")).alias("doc_id"),
+            F.concat("text", F.lit(" tail"), F.col("rep").cast("string")).alias("text"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    n_j = big_j2.count()
+    t0 = time.time()
+    cd = corpus_dedup(big_j2, threshold=0.9)
+    n_keep = cd.filter("keep").count()
+    t_cd = time.time() - t0
+    free_checkpoint(cd)
+    del cd
+    print(f"corpus_dedup: {n_j} docs -> {n_keep} keepers in {t_cd:.1f}s")
+
+    # knn_graph IVF throughput + planted-copy sanity: every vector gets one
+    # exact duplicate; the duplicate must surface as its rank-1 neighbor
+    # through the multi-probe path (no exact run needed at this size).
+    from audience_finder_pro_spark.operators.similarity import knn_graph
+
+    n_knn = 100_000 * factor // 50
+    base_v = spark.range(n_knn // 2).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(64)), lambda _: F.rand(11).cast("double")).alias(
+            "embedding"
+        ),
+    )
+    dup_v = base_v.select((F.col("vec_id") + n_knn).alias("vec_id"), "embedding")
+    vecs = base_v.unionByName(dup_v).repartition(spark.sparkContext.defaultParallelism)
+    vecs = vecs.localCheckpoint(eager=True)
+    t0 = time.time()
+    g = knn_graph(vecs, k=5, method="ivf", n_lists=64, n_probe=4)
+    found = g.filter(
+        (F.col("rnk") == 1)
+        & ((F.col("nbr_id") - F.col("vec_id") == n_knn) | (F.col("vec_id") - F.col("nbr_id") == n_knn))
+    ).count()
+    t_knn = time.time() - t0
+    print(
+        f"knn_graph ivf: {n_knn} vectors (dim 64, 64 lists, probe 4) in {t_knn:.1f}s; "
+        f"planted duplicate is rank-1 for {found}/{n_knn} vectors"
+    )
+
 
 if __name__ == "__main__":
     main()
