@@ -160,3 +160,37 @@ def norm_text_hash(col: Column | str) -> Column:
     (SURVEY §2.4 A9 exact-dedup oracle).
     """
     return F.md5(F.lower(norm_ws(col)))
+
+
+def strip_markup(col: Column | str) -> Column:
+    """HTML/XML → plain text for corpus ingestion: drop script/style
+    blocks and comments wholesale, strip remaining tags, decode the
+    common named entities, erase numeric character references, collapse
+    whitespace.
+
+    RE2-compatible patterns only (no backreferences — script and style
+    get their own literal patterns) so a DuckDB oracle can replay every
+    step; pure codegen expressions, no UDF. Entity decoding order
+    matters: ``&amp;`` is decoded LAST so double-escaped text
+    (``&amp;lt;``) yields the literal ``&lt;`` rather than a phantom
+    tag, matching html.unescape's single-pass semantics for these
+    entities. Numeric references (``&#8217;`` etc.) are replaced with a
+    space — decoding them to code points needs per-row logic that isn't
+    worth leaving codegen for at ingest time.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    c = F.regexp_replace(c, r"&#[0-9]+;|&#x[0-9a-fA-F]+;", " ")
+    for ent, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return norm_ws(c)

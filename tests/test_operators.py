@@ -854,3 +854,63 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------- strip_markup
+def test_strip_markup_semantics(spark):
+    from audience_finder_pro_spark.functions.text import strip_markup
+
+    rows = [
+        (1, "<html><head><style>p{color:red}</style><script>var x=1;</script></head>"
+            "<body><p>Hello &amp; <b>world</b>!</p><!-- gone --></body></html>"),
+        (2, "plain text, no markup at all"),
+        (3, "a &lt;tag&gt; that was escaped, &quot;quoted&quot;, caf&#233;"),
+        (4, "double-escaped: &amp;lt;b&amp;gt; stays literal"),
+        (5, "<SCRIPT TYPE='x'>alert(1)</SCRIPT>upper case tags<BR/>too"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r.t for r in df.select("id", strip_markup("text").alias("t")).collect()}
+    assert out[1] == "Hello & world !"
+    assert out[2] == "plain text, no markup at all"
+    assert out[3] == 'a <tag> that was escaped, "quoted", caf'
+    assert out[4] == "double-escaped: &lt;b&gt; stays literal"
+    assert out[5] == "upper case tags too"
+
+
+def test_strip_markup_duckdb_parity(spark):
+    """Every step is RE2-compatible by construction — DuckDB replays the
+    exact pipeline and must produce identical strings."""
+    import duckdb
+
+    from audience_finder_pro_spark.functions.text import strip_markup
+
+    rows = [
+        ("<div class='x'>nested <span>tags</span> here</div>",),
+        ("<style>s</style>keep<script a=b>drop()</script>",),
+        ("&amp;amp; &#x27;hex&#39;dec &nbsp;spaced",),
+        ("no markup",),
+        ("<p>multi\nline<br>text</p>",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r.t for r in df.select(strip_markup("text").alias("t")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    sql = """
+    SELECT trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                 '<[^>]+>', ' ', 'g'),
+               '&#[0-9]+;|&#x[0-9a-fA-F]+;', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS t
+    FROM t
+    """
+    want = [r[0] for r in con.execute(sql).fetchall()]
+    assert got == want
