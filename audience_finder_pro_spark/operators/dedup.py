@@ -679,3 +679,72 @@ def repeated_passages(
         ).alias("repeated_fraction"),
         F.coalesce("spans", F.lit("")).alias("spans"),
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    df_cap_frac: float = 0.05,
+) -> DataFrame:
+    """Cross-source near-duplicate contamination matrix: for every
+    unordered source pair (including the diagonal), how many verified
+    near-dup pairs straddle it, normalized to pairs-per-million possible
+    doc pairs — the number a curation team reads to decide which crawls
+    double-count each other (and how redundant each source is with
+    itself) before mixing.
+
+    ``pairs`` defaults to the exact-Jaccard inverted-index pipeline
+    (SQL-replayable → this operator keeps a DuckDB oracle); pass
+    ``minhash_lsh_pairs`` output instead at scales where exact Jaccard
+    is not run corpus-wide. Output is a total function over source
+    pairs: (source_a ≤ source_b, n_docs_a, n_docs_b, n_pairs,
+    pairs_per_million) with a NULL rate when the denominator is empty
+    (single-doc source diagonal).
+
+    Scale shape: the doc→source tag rides two id-keyed joins against
+    the (small) verified-pair remnant — the corpus itself is never
+    re-shuffled; the matrix skeleton is a self-join of the per-source
+    count aggregate (n_sources² rows, trivially broadcast).
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(
+            docs, id_col, text_col, threshold=threshold, df_cap_frac=df_cap_frac
+        )
+    src = docs.select(F.col(id_col), F.col(source_col))
+    tagged = (
+        pairs.join(
+            src.select(F.col(id_col).alias("id_a"), F.col(source_col).alias("_sa")), "id_a"
+        )
+        .join(src.select(F.col(id_col).alias("id_b"), F.col(source_col).alias("_sb")), "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+    )
+    counts = tagged.groupBy("source_a", "source_b").agg(F.count("*").alias("n_pairs"))
+    srcs = docs.groupBy(source_col).agg(F.count("*").alias("n_docs"))
+    a = srcs.select(F.col(source_col).alias("source_a"), F.col("n_docs").alias("n_docs_a"))
+    b = srcs.select(F.col(source_col).alias("source_b"), F.col("n_docs").alias("n_docs_b"))
+    mat = a.join(b, F.col("source_a") <= F.col("source_b"))
+    denom = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.col("n_docs_a") * (F.col("n_docs_a") - 1) / 2.0,
+    ).otherwise(F.col("n_docs_a") * F.col("n_docs_b"))
+    return (
+        mat.join(counts, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_docs_a").cast("long").alias("n_docs_a"),
+            F.col("n_docs_b").cast("long").alias("n_docs_b"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.when(
+                denom > 0,
+                F.round(F.coalesce("n_pairs", F.lit(0)) * F.lit(1e6) / denom, 4),
+            ).alias("pairs_per_million"),
+        )
+    )

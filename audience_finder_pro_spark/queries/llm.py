@@ -1930,3 +1930,48 @@ def repeated_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return repeated_passages(docs, n=8, min_count=2)
+
+
+# ------------------------------------------------ E26 cross-source overlap matrix
+_OVERLAP_ORACLE = f"""
+WITH {_JACCARD_CTES},
+tagged AS (
+  SELECT least(da.source, db.source) AS source_a, greatest(da.source, db.source) AS source_b
+  FROM jpairs j
+  JOIN documents da ON da.doc_id = j.id_a
+  JOIN documents db ON db.doc_id = j.id_b
+),
+cnt AS (SELECT source_a, source_b, count(*) AS n_pairs FROM tagged GROUP BY 1, 2),
+srcs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+mat AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+  FROM srcs a JOIN srcs b ON a.source <= b.source
+)
+SELECT m.source_a, m.source_b,
+       CAST(m.n_docs_a AS BIGINT) AS n_docs_a,
+       CAST(m.n_docs_b AS BIGINT) AS n_docs_b,
+       CAST(coalesce(c.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CASE WHEN (CASE WHEN m.source_a = m.source_b
+                       THEN m.n_docs_a * (m.n_docs_a - 1) / 2.0
+                       ELSE m.n_docs_a * m.n_docs_b END) > 0
+            THEN round(coalesce(c.n_pairs, 0) * 1e6 /
+                       (CASE WHEN m.source_a = m.source_b
+                             THEN m.n_docs_a * (m.n_docs_a - 1) / 2.0
+                             ELSE m.n_docs_a * m.n_docs_b END), 4)
+       END AS pairs_per_million
+FROM mat m LEFT JOIN cnt c ON c.source_a = m.source_a AND c.source_b = m.source_b
+"""
+
+
+@_q("source_overlap", None)
+def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (operators/dedup.source_overlap)
+    over the oracle-checked exact-Jaccard pair pipeline: pairs-per-
+    million possible doc pairs for every unordered source pair including
+    the diagonal. ``_OVERLAP_ORACLE`` extends the shared _JACCARD_CTES
+    chain; pytest hash-checked at the driver's own SF."""
+    from audience_finder_pro_spark.operators.dedup import source_overlap
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return source_overlap(docs)

@@ -1585,3 +1585,57 @@ def test_repeated_passages_span_merging(spark):
     assert out[1].spans == "0-15"
     assert out[2].spans == "0-7;28-35"
     assert out[3].spans == "0-7" and out[4].spans == "0-7"
+
+
+# ------------------------------------------------ E26 cross-source overlap matrix
+def test_source_overlap_matches_sql_oracle(spark, sf_dir):
+    """Registered oracle-less (driver slots fully funded) — this
+    differential IS its hash gate, same compare as the driver's."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _OVERLAP_ORACLE
+    from tests.oracle import compare
+
+    compare(
+        QUERIES["source_overlap"](spark, sf_dir), _OVERLAP_ORACLE, sf_dir, name="source_overlap"
+    )
+
+
+def test_source_overlap_planted_matrix(spark):
+    """Two sources sharing a near-identical doc show up in their cross
+    cell; a self-redundant source fills its diagonal; disjoint sources
+    read zero. The matrix is total over unordered source pairs."""
+    from audience_finder_pro_spark.operators.dedup import source_overlap
+
+    shared = "this exact paragraph was crawled by two different pipelines " * 5
+    rows = [
+        (1, "web", shared),
+        (2, "books", shared + "trailing difference"),
+        (3, "web", "unique web document about distributed joins " * 5),
+        (4, "books", "unique book passage about medieval history " * 5),
+        (5, "wiki", "an encyclopedia article with its own content " * 5),
+        (6, "wiki", "an encyclopedia article with its own content " * 5 + "v2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r.source_a, r.source_b): r for r in source_overlap(docs, threshold=0.6).collect()}
+    assert len(out) == 6  # 3 sources -> 3 diagonal + 3 cross cells
+    assert out[("books", "web")].n_pairs == 1  # the shared crawl
+    assert out[("wiki", "wiki")].n_pairs == 1  # self-redundant source
+    assert out[("books", "wiki")].n_pairs == 0
+    assert out[("web", "wiki")].n_pairs == 0
+    assert out[("web", "web")].n_pairs == 0
+    r = out[("books", "web")]
+    assert r.n_docs_a == 2 and r.n_docs_b == 2
+    assert r.pairs_per_million == 250000.0  # 1 pair / 4 possible
+
+
+def test_source_overlap_single_doc_diagonal_null_rate(spark):
+    from audience_finder_pro_spark.operators.dedup import source_overlap
+
+    docs = spark.createDataFrame(
+        [(1, "solo", "just one document in this source " * 4)],
+        "doc_id long, source string, text string",
+    )
+    out = source_overlap(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_pairs == 0 and r.pairs_per_million is None  # 0 possible pairs
