@@ -1975,3 +1975,54 @@ def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return source_overlap(docs)
+
+
+# ------------------------------------------------ E27 Gopher quality gate
+_GOPHER_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS BIGINT) AS n_words,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS n_chars,
+         len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS n_alpha,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) / 3.0
+           + (length(text) - length(replace(text, '…', ''))) AS n_symbols,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(regexp_extract_all(text, '(?m)^[ \\t]*[•\\-\\*]')) AS n_bullet,
+         len(regexp_extract_all(text, '(?m)(?:\\.\\.\\.|…)[ \\t]*$')) AS n_ellipsis,
+         CAST(len(list_intersect(
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0),
+           ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_words
+  FROM documents
+)
+SELECT doc_id, n_words,
+       CASE WHEN n_words > 0 THEN round(CAST(n_chars AS DOUBLE) / n_words, 4) END AS mean_word_len,
+       CASE WHEN n_words > 0 THEN round(CAST(n_symbols AS DOUBLE) / n_words, 4) END AS symbol_ratio,
+       CASE WHEN n_lines > 0 THEN round(CAST(n_bullet AS DOUBLE) / n_lines, 4) END AS bullet_frac,
+       CASE WHEN n_lines > 0 THEN round(CAST(n_ellipsis AS DOUBLE) / n_lines, 4) END AS ellipsis_frac,
+       CASE WHEN n_words > 0 THEN round(CAST(n_alpha AS DOUBLE) / n_words, 4) END AS alpha_frac,
+       n_stop_words,
+       coalesce(
+         n_words BETWEEN 50 AND 100000
+         AND round(CAST(n_chars AS DOUBLE) / n_words, 4) BETWEEN 3.0 AND 10.0
+         AND round(CAST(n_symbols AS DOUBLE) / n_words, 4) <= 0.1
+         AND round(CAST(n_bullet AS DOUBLE) / n_lines, 4) <= 0.9
+         AND round(CAST(n_ellipsis AS DOUBLE) / n_lines, 4) <= 0.3
+         AND round(CAST(n_alpha AS DOUBLE) / n_words, 4) >= 0.8
+         AND n_stop_words >= 2, false) AS keep
+FROM m
+"""
+
+
+@_q("gopher_quality", None)
+def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher heuristic quality gate (operators/filtering.gopher_filters,
+    Rae et al. 2021 A1.1): word-count window, mean word length, symbol
+    ratio, bullet/ellipsis line fractions, alphabetic-word fraction,
+    stop-word presence — every rule a codegen expression, zero
+    exchanges. ``_GOPHER_ORACLE`` replays each metric in DuckDB; pytest
+    hash-checked at the driver's own SF."""
+    from audience_finder_pro_spark.operators.filtering import gopher_filters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_filters(docs)

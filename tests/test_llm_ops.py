@@ -1639,3 +1639,59 @@ def test_source_overlap_single_doc_diagonal_null_rate(spark):
     assert len(out) == 1
     r = out[0]
     assert r.n_pairs == 0 and r.pairs_per_million is None  # 0 possible pairs
+
+
+# ------------------------------------------------ E27 Gopher quality gate
+def test_gopher_quality_matches_sql_oracle(spark, sf_dir):
+    """Registered oracle-less (driver slots fully funded) — this
+    differential IS its hash gate, same compare as the driver's."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _GOPHER_ORACLE
+    from tests.oracle import compare
+
+    compare(
+        QUERIES["gopher_quality"](spark, sf_dir), _GOPHER_ORACLE, sf_dir, name="gopher_quality"
+    )
+
+
+def test_gopher_filters_planted_rules(spark):
+    """One doc per rule violation; a clean doc passes."""
+    from audience_finder_pro_spark.operators.filtering import gopher_filters
+
+    good = (
+        "The distributed engine reads parquet files and joins the tables "
+        "with a broadcast strategy that we have measured to be efficient. "
+    ) * 5  # ~90 words, normal shape, has the/and/to/with/have/that/be/of
+    rows = [
+        (1, good),
+        (2, "too few words to pass the gate"),  # word count < 50
+        (3, ("a " * 120).strip()),  # mean word length 1 < 3
+        (4, ("## " * 60) + good),  # symbol ratio > 0.1
+        (5, "\n".join("• bullet item with some words here" for _ in range(20))),  # bullets
+        (6, "\n".join("this line trails off into dots..." for _ in range(20)) + "\n" + good),
+        (7, ("1234 5678 " * 30) + "the of and that be"),  # alpha frac < 0.8
+        (8, ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 8)),  # no stop words
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_filters(docs).collect()}
+    assert out[1].keep, out[1]
+    assert not out[2].keep and out[2].n_words < 50
+    assert not out[3].keep and out[3].mean_word_len < 3
+    assert not out[4].keep and out[4].symbol_ratio > 0.1
+    assert not out[5].keep and out[5].bullet_frac > 0.9
+    assert not out[6].keep and out[6].ellipsis_frac > 0.3
+    assert not out[7].keep and out[7].alpha_frac < 0.8
+    assert not out[8].keep and out[8].n_stop_words < 2
+
+
+def test_gopher_filters_degenerate_docs(spark):
+    from audience_finder_pro_spark.operators.filtering import gopher_filters
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   \n  \t "), (3, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in gopher_filters(docs).collect()}
+    for i in (1, 2):
+        assert out[i].n_words == 0 and out[i].keep is False
+        assert out[i].mean_word_len is None and out[i].alpha_frac is None
+    assert out[3].keep is False  # NULL text never passes
