@@ -34,6 +34,7 @@ _STATEFUL_PLANS = {
     "dedup_simhash",
     "incremental_dedup",
     "corpus_dedup",
+    "source_overlap",  # ngram_jaccard_pairs checkpoints the shingle index at build
     "dedup_ngram_jaccard",
     "dedup_cc_clusters",
     "quarantine_report",

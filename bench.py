@@ -71,7 +71,29 @@ BENCH_QUERIES = [
     "stream_session_window",
     "stream_static_join",
     "quarantine_report",
+    "knn_graph",
+    "repeated_passages",
+    "gopher_quality",
+    "incremental_dedup",
+    "corpus_dedup",
 ]
+
+# Declared-but-past-the-driver-cap queries whose standalone oracles live as
+# module constants (the pytest hash gates); the bench's DuckDB comparator
+# uses them so these stages enter the comparable-ratio set on the same
+# compare basis as the registry oracles.
+def _extra_oracles() -> dict[str, str]:
+    from audience_finder_pro_spark.queries.llm import (
+        _GOPHER_ORACLE,
+        _KNN_ORACLE,
+        _PASSAGE_ORACLE,
+    )
+
+    return {
+        "knn_graph": _KNN_ORACLE,
+        "repeated_passages": _PASSAGE_ORACLE,
+        "gopher_quality": _GOPHER_ORACLE,
+    }
 
 
 def _ann_cosine_768(spark, sf_dir: str):
@@ -216,6 +238,19 @@ def main() -> None:
             result["spark_vs_duckdb_total_ratio"] = round(
                 sum(timings[n] for n in common) / max(sum(duck[n] for n in common), 1e-9), 2
             )
+            # sum-ratios are outlier-dominated in BOTH directions (q06's
+            # scheduling floor reads 80x against Spark at 0.1s absolute;
+            # knn_graph's BLAS path reads 40x against DuckDB's per-element
+            # fold) — the trimmed variant drops rows where either engine is
+            # >10x the other, so it tracks the contested middle of the set
+            trimmed = [
+                n for n in common if 0.1 <= timings[n] / max(duck[n], 1e-9) <= 10.0
+            ]
+            if trimmed:
+                result["spark_vs_duckdb_trimmed_ratio"] = round(
+                    sum(timings[n] for n in trimmed) / max(sum(duck[n] for n in trimmed), 1e-9),
+                    2,
+                )
     if failed:
         result["failed"] = failed
     print(json.dumps(result))
@@ -231,8 +266,9 @@ def duckdb_timings(sf_dir: str) -> dict[str, float]:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     times: dict[str, float] = {}
+    extra = _extra_oracles()
     for name in BENCH_QUERIES:
-        sql = ORACLES.get(name)
+        sql = ORACLES.get(name) or extra.get(name)
         if sql is None:
             continue
         try:
