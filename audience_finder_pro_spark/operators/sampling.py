@@ -195,3 +195,42 @@ def mixture_weights(
         (F.col("n_tokens") / F.col("tot_tokens")).alias("raw_share"),
         (F.col("pw") / F.col("tot_pw")).alias("weight"),
     )
+
+
+def gumbel_topk(
+    df: DataFrame,
+    k: int,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    temperature: float = 1.0,
+    salt: str = "gumbel",
+) -> DataFrame:
+    """Gumbel-top-k importance resampling — the selection step DSIR
+    publishes (Xie et al. 2023 §2.3): drawing k rows WITHOUT replacement
+    with probability ∝ exp(score / temperature) is exactly taking the
+    top k of ``score/T + Gumbel(0,1)`` noise. The noise is derandomized
+    through the module's salted-md5 uniform (u = (h + 0.5) / 16^15,
+    g = -ln(-ln(u))), so the draw is deterministic, partitioning-
+    independent, and bit-reproducible in SQL — an auditable sample, not
+    a `rand()` one.
+
+    Returns the k selected rows with their ``gumbel_key`` (4 dp). Higher
+    temperature flattens toward uniform sampling; T→0 degenerates to
+    plain top-k by score. Scale shape: one projection plus a global
+    top-k, which Catalyst executes as TakeOrderedAndProject (map-side
+    partial top-k per partition, k rows per partition on the wire — no
+    global sort, no single-partition window).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(16**15))
+    key = F.col(score_col) / F.lit(float(temperature)) - F.log(-F.log(u))
+    return (
+        df.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), id_col)
+        .limit(k)
+        .withColumn("gumbel_key", F.round("gumbel_key", 4))
+    )

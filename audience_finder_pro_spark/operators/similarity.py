@@ -781,6 +781,8 @@ def knn_graph(
                 f"max_exact_rows={max_exact_rows}; use method='ivf'"
             )
         rows = sorted(df.select(id_col, vec_col).collect(), key=lambda r: r[0])
+        if not rows:  # empty corpus: no neighbors to emit, np.stack would throw
+            return spark.createDataFrame([], out_schema)
         ids_all = np.array([r[0] for r in rows])
         C = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
         cn = np.linalg.norm(C, axis=1)
@@ -829,6 +831,8 @@ def knn_graph(
     cent_rows = sorted(
         _centroid_rows(df, id_col, vec_col, n_lists).collect(), key=lambda r: r["cent_seed"]
     )
+    if not cent_rows:  # empty corpus
+        return spark.createDataFrame([], out_schema)
     CT = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in cent_rows])
     ctn = np.linalg.norm(CT, axis=1)
     ctn[ctn == 0.0] = np.inf

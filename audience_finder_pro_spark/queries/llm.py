@@ -2026,3 +2026,58 @@ def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return gopher_filters(docs)
+
+
+# ------------------------------------------------ E28 DSIR Gumbel resampling
+# _DSIR_ORACLE's scored CTE chain + the derandomized Gumbel key; LIMIT'd
+# top-k with (key DESC, doc_id) ordering on both sides.
+_RESAMPLE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> length(x) > 0)) AS token
+  FROM documents
+),
+model AS (
+  SELECT token,
+         count(*) FILTER (WHERE source = 'src0') AS c_tgt,
+         count(*) AS c_raw
+  FROM toks GROUP BY token
+),
+tot AS (SELECT sum(c_tgt) AS n_tgt, sum(c_raw) AS n_raw, count(*) AS v FROM model),
+per_doc AS (SELECT doc_id, token, count(*) AS n FROM toks GROUP BY 1, 2),
+scored AS (
+  SELECT doc_id, n,
+         ln((m.c_tgt + 1.0) / (t.n_tgt + 1.0 * t.v))
+         - ln((m.c_raw + 1.0) / (t.n_raw + 1.0 * t.v)) AS logratio
+  FROM per_doc JOIN model m USING (token) CROSS JOIN tot t
+),
+doc_scores AS (
+  SELECT doc_id, sum(n * logratio) / sum(n) AS s FROM scored GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id,
+         s - ln(-ln((CAST(concat('0x', substr(md5('gumbel:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) + 0.5) / 1152921504606846976.0)) AS gumbel_key
+  FROM doc_scores
+)
+SELECT doc_id, round(gumbel_key, 4) AS gumbel_key
+FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 50
+"""
+
+
+@_q("dsir_resample", None)
+def dsir_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection completed: importance scores (E19) fed through the
+    derandomized Gumbel-top-k draw (operators/sampling.gumbel_topk) —
+    k=50 docs sampled without replacement ∝ exp(score), deterministic
+    and SQL-replayable. ``_RESAMPLE_ORACLE`` is the pytest hash gate."""
+    from audience_finder_pro_spark.operators.relevance import importance_score
+    from audience_finder_pro_spark.operators.sampling import gumbel_topk
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    target = docs.filter(F.col("source") == "src0")
+    scored = importance_score(docs, target).select(
+        "doc_id", F.col("dsir_logratio").alias("score")
+    )
+    return gumbel_topk(scored, k=50).select("doc_id", "gumbel_key")

@@ -1695,3 +1695,46 @@ def test_gopher_filters_degenerate_docs(spark):
         assert out[i].n_words == 0 and out[i].keep is False
         assert out[i].mean_word_len is None and out[i].alpha_frac is None
     assert out[3].keep is False  # NULL text never passes
+
+
+# ------------------------------------------------ E28 DSIR Gumbel resampling
+def test_dsir_resample_matches_sql_oracle(spark, sf_dir):
+    """Registered oracle-less (driver slots fully funded) — this
+    differential IS its hash gate, same compare as the driver's."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _RESAMPLE_ORACLE
+    from tests.oracle import compare
+
+    compare(
+        QUERIES["dsir_resample"](spark, sf_dir), _RESAMPLE_ORACLE, sf_dir, name="dsir_resample"
+    )
+
+
+def test_gumbel_topk_semantics(spark):
+    """Deterministic across invocations and partitionings; exactly k
+    rows; a score lead of +20 (odds ratio e^20) is effectively never
+    overturned by Gumbel noise; temperature -> 0 degenerates to plain
+    top-k by score."""
+    from audience_finder_pro_spark.operators.sampling import gumbel_topk
+
+    rows = [(i, 20.0 if i < 5 else 0.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    picked = {r.doc_id for r in gumbel_topk(df, k=10).collect()}
+    assert len(picked) == 10
+    assert {0, 1, 2, 3, 4} <= picked  # e^20 odds: the high scorers are in
+    again = {r.doc_id for r in gumbel_topk(df.repartition(7), k=10).collect()}
+    assert picked == again  # derandomized draw is partitioning-independent
+    cold = {r.doc_id for r in gumbel_topk(df, k=5, temperature=1e-9).collect()}
+    assert cold == {0, 1, 2, 3, 4}  # T->0: plain argmax by score
+
+
+def test_gumbel_topk_flattens_with_temperature(spark):
+    """High temperature pushes the draw toward uniform: the top-scorer
+    share of selections drops as T grows (same salt, varying T)."""
+    from audience_finder_pro_spark.operators.sampling import gumbel_topk
+
+    rows = [(i, 3.0 if i < 20 else 0.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    sharp = sum(r.doc_id < 20 for r in gumbel_topk(df, k=40, temperature=0.5).collect())
+    flat = sum(r.doc_id < 20 for r in gumbel_topk(df, k=40, temperature=10.0).collect())
+    assert sharp > flat
