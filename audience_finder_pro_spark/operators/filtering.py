@@ -103,3 +103,93 @@ def gopher_filters(
         n_stop.cast("long").alias("n_stop_words"),
         F.coalesce(keep, F.lit(False)).alias("keep"),
     )
+
+
+def c4_filters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    require_terminal_punct: bool = True,
+    drop_javascript_lines: bool = True,
+    min_sentences: int = 3,
+    blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2) — the
+    other canonical pre-training gate besides Gopher: it REWRITES the
+    document (keeps only clean lines) instead of just scoring it.
+
+    Line rules (a line survives only if it passes all enabled rules):
+
+    - at least ``min_words_per_line`` whitespace-separated words (C4: 3)
+    - ends in a terminal punctuation mark ``. ! ? " ”`` (toggleable —
+      corpora without sentence punctuation set this off)
+    - does not mention "javascript" (case-insensitive)
+
+    Document rules on the cleaned remnant:
+
+    - at least ``min_sentences`` sentences survive (C4: 3)
+    - no "lorem ipsum", no curly brace ``{`` anywhere in the raw text
+    - no token from the caller's policy ``blocklist`` (C4 uses the
+      "Dirty, Naughty…" list; the default is empty — supply your own)
+
+    C4's final rule — exact three-sentence-span dedup across documents —
+    is cross-row, not per-doc: compose with
+    ``operators/dedup.repeated_passages`` for it.
+
+    Scale shape: pure per-doc projection, zero exchanges, no UDFs. The
+    one higher-order lambda (the per-line filter) runs interpreted, but
+    over the *lines* array (tens of elements), not a per-token hot path
+    — and it is computed once in its own select so its interpreted
+    subtree cannot poison sibling-expression CSE (NOTES gotcha).
+
+    Returns (id, n_lines, n_lines_kept, n_sentences, clean_text,
+    has_lorem_ipsum, has_brace, keep). NULL text → NULL counts, empty
+    clean_text, keep=false.
+    """
+    t = F.col(text_col)
+
+    def _line_ok(x):  # per-line predicate inside the single HOF filter
+        cond = F.size(F.array_remove(F.split(F.trim(x), r"\s+"), "")) >= F.lit(
+            min_words_per_line
+        )
+        if require_terminal_punct:
+            cond = cond & F.trim(x).rlike('[.!?"”]$')
+        if drop_javascript_lines:
+            cond = cond & ~F.contains(F.lower(x), F.lit("javascript"))
+        return cond
+
+    lines = F.split(t, r"\n")
+    staged = docs.select(
+        F.col(id_col),
+        t.alias("_raw"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.filter(lines, _line_ok).alias("_kept"),
+    )
+
+    clean = F.concat_ws("\n", F.col("_kept"))
+    n_sentences = F.size(F.regexp_extract_all(clean, F.lit(r"[^.!?]+[.!?]"), 0))
+    has_lorem = F.contains(F.lower(F.col("_raw")), F.lit("lorem ipsum"))
+    has_brace = F.contains(F.col("_raw"), F.lit("{"))
+    n_block = (
+        F.size(F.array_intersect(tokens(F.col("_raw")), F.array(*[F.lit(w) for w in blocklist])))
+        if blocklist
+        else F.lit(0)
+    )
+    keep = (
+        (F.size(F.col("_kept")) > 0)
+        & (n_sentences >= F.lit(min_sentences))
+        & ~has_lorem
+        & ~has_brace
+        & (n_block == 0)
+    )
+    return staged.select(
+        id_col,
+        "n_lines",
+        F.size(F.col("_kept")).cast("long").alias("n_lines_kept"),
+        n_sentences.cast("long").alias("n_sentences"),
+        clean.alias("clean_text"),
+        F.coalesce(has_lorem, F.lit(False)).alias("has_lorem_ipsum"),
+        F.coalesce(has_brace, F.lit(False)).alias("has_brace"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )

@@ -253,3 +253,128 @@ def importance_score(
         F.sum("n").cast("long").alias("n_tokens"),
         (F.sum(F.col("n") * F.col("logratio")) / F.sum("n")).alias("dsir_logratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# E29: trainable quality classifier (source-discriminator, closed form)
+# --------------------------------------------------------------------------
+
+CLASSIFIER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def classifier_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label=None,
+) -> DataFrame:
+    """Cheap per-doc feature projection for the quality classifier:
+    (id, n_tok, f_len, f_wordlen, f_stop, f_ttr [, y]).
+
+    - ``f_len``      log(1 + token count) — length prior
+    - ``f_wordlen``  mean token length (chars of all tokens / n_tok)
+    - ``f_stop``     distinct Gopher stop words present / 8 — function-
+                     word presence, the classic fasttext-era signal
+    - ``f_ttr``      type-token ratio (distinct / total) — repetition
+
+    All pure codegen (token chars via ``length(concat_ws('', tok))`` —
+    a builtin, not a per-element fold), zero exchanges, SQL-replayable
+    in DuckDB. Zero-token docs get NULL ratio features; callers filter
+    ``n_tok > 0`` before fitting. ``label`` (optional Column over the
+    input) is passed through as ``y`` for supervised fitting.
+    """
+    tok = tokens(F.col(text_col))
+    staged = docs.select(
+        F.col(id_col),
+        *([] if label is None else [label.alias("y")]),
+        tok.alias("_tok"),
+    )
+    n_tok = F.size(F.col("_tok"))
+    out = staged.select(
+        id_col,
+        *([] if label is None else ["y"]),
+        n_tok.cast("long").alias("n_tok"),
+        F.log(F.lit(1.0) + n_tok).alias("f_len"),
+        F.when(n_tok > 0, F.length(F.concat_ws("", F.col("_tok"))) / n_tok).alias("f_wordlen"),
+        (
+            F.size(
+                F.array_intersect(
+                    F.col("_tok"), F.array(*[F.lit(w) for w in CLASSIFIER_STOP_WORDS])
+                )
+            )
+            / F.lit(float(len(CLASSIFIER_STOP_WORDS)))
+        ).alias("f_stop"),
+        F.when(n_tok > 0, F.size(F.array_distinct(F.col("_tok"))) / n_tok).alias("f_ttr"),
+    )
+    return out
+
+
+FEATURE_COLS = ("f_len", "f_wordlen", "f_stop", "f_ttr")
+
+
+def fit_quality_classifier(
+    feats: DataFrame,
+    label_col: str = "y",
+    feature_cols: tuple[str, ...] = FEATURE_COLS,
+    reg: float = 1.0,
+) -> dict[str, float]:
+    """Closed-form ridge fit of a linear source-discriminator — the
+    GPT-3/PaLM "quality classifier" pattern (Brown et al. 2020 App. A:
+    score web docs by a classifier trained to tell a curated corpus from
+    the crawl) without any iterative training: ridge regression on 0/1
+    labels, whose direction equals Fisher's LDA for two classes.
+
+    Distributed shape is the textbook sufficient-statistics pattern —
+    ONE map-side-combined global aggregate computes every Gramian entry
+    (sum x_i x_j), moment (sum x_i y), and the count; that single row is
+    bounded model state (d=5 incl. bias → 21 sums), solved on the driver
+    with numpy (d×d), exactly the IVF-centroid precedent. The corpus is
+    scanned once; nothing wide moves.
+
+    Determinism: Gramian entries are float sums (partition-order
+    dependent at ~1e-10 relative) — they are rounded to 6 dp before the
+    solve, so the solve input (and therefore the weights, rounded to
+    6 dp) is bit-stable across partitionings (NOTES float-sum gotcha,
+    applied at the model layer instead of DECIMAL).
+
+    Returns ``{"bias": w0, <feature>: w_i, ...}``.
+    """
+    import numpy as np
+
+    aug = [F.lit(1.0).alias("_bias")] + [F.col(c) for c in feature_cols]
+    names = ["_bias", *feature_cols]
+    exprs = []
+    for i in range(len(names)):
+        for j in range(i, len(names)):
+            exprs.append(F.sum(aug[i] * aug[j]).alias(f"g_{i}_{j}"))
+        exprs.append(F.sum(aug[i] * F.col(label_col)).alias(f"b_{i}"))
+    row = feats.agg(*exprs).first()
+    if row["g_0_0"] is None:  # empty input: sums are NULL; no model to fit
+        return {"bias": 0.0, **{c: 0.0 for c in feature_cols}}
+
+    d = len(names)
+    G = np.zeros((d, d))
+    b = np.zeros(d)
+    for i in range(d):
+        for j in range(i, d):
+            G[i, j] = G[j, i] = round(row[f"g_{i}_{j}"], 6)
+        b[i] = round(row[f"b_{i}"], 6)
+    A = G + float(reg) * np.diag([0.0] + [1.0] * (d - 1))  # bias unregularized
+    w = np.linalg.solve(A, b)
+    w = [round(float(x), 6) for x in w]
+    return {"bias": w[0], **dict(zip(feature_cols, w[1:]))}
+
+
+def score_quality_classifier(
+    feats: DataFrame, weights: dict[str, float], score_col: str = "clf_score"
+) -> DataFrame:
+    """Apply fitted weights as a literal-coefficient projection: the
+    linear prediction (≈ P(label=1) for the ridge-on-0/1 fit), rounded
+    to 4 dp. Pure codegen — the model ships inside the plan, so at
+    100 TB this is a scan-speed map with zero extra stages.
+    """
+    expr = F.lit(weights["bias"])
+    for c, w in weights.items():
+        if c != "bias":
+            expr = expr + F.lit(w) * F.col(c)
+    return feats.withColumn(score_col, F.round(expr, 4))

@@ -2081,3 +2081,100 @@ def dsir_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("dsir_logratio").alias("score")
     )
     return gumbel_topk(scored, k=50).select("doc_id", "gumbel_key")
+
+
+# ------------------------------------------------ E29 C4 line-level cleaning
+# Profile matched to the fixture corpus (no sentence punctuation):
+# terminal-punct rule off, min_sentences 0, min_words_per_line 40 — the
+# word-count rule alone splits the 10..99-word fixture docs ~60/40.
+_C4_ORACLE = """
+WITH m AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)),
+           x -> len(list_filter(string_split_regex(trim(x), '\\s+'),
+                                w -> length(w) > 0)) >= 40
+                AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       CAST(len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''),
+                                   '[^.!?]+[.!?]')) AS BIGINT) AS n_sentences,
+       coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+       coalesce(contains(lower(text), 'lorem ipsum'), false) AS has_lorem_ipsum,
+       coalesce(contains(text, '{'), false) AS has_brace,
+       coalesce(len(kept) > 0
+                AND len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''),
+                                           '[^.!?]+[.!?]')) >= 0
+                AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{'), false) AS keep
+FROM m
+"""
+
+
+@_q("c4_clean", None)
+def c4_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (operators/filtering.c4_filters,
+    Raffel et al. 2020 §2.2): per-line word-count/javascript rules
+    rewrite each document to its clean remnant; lorem-ipsum/brace page
+    rules gate the verdict. Fixture profile: terminal-punct rule off
+    (corpus has no sentence punctuation), min 40 words/line.
+    ``_C4_ORACLE`` replays the whole rewrite in DuckDB; pytest
+    hash-checked at the driver's own SF."""
+    from audience_finder_pro_spark.operators.filtering import c4_filters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return c4_filters(
+        docs, min_words_per_line=40, require_terminal_punct=False, min_sentences=0
+    )
+
+
+# ------------------------------------------------ E30 trainable quality classifier
+# Feature projection is SQL-replayable; the ridge solve is numpy on one
+# aggregated row (engine-specific float solve → no SQL oracle for the
+# scores; the pytest gate recomputes them end-to-end from DuckDB
+# features + an independent numpy reference).
+_CLF_FEATURES_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(source = 'src0' AS INT) AS y,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS tok
+  FROM documents
+)
+SELECT doc_id, y,
+       CAST(len(tok) AS BIGINT) AS n_tok,
+       ln(1.0 + len(tok)) AS f_len,
+       CASE WHEN len(tok) > 0
+            THEN length(array_to_string(tok, '')) / CAST(len(tok) AS DOUBLE) END AS f_wordlen,
+       len(list_intersect(tok, ['the','be','to','of','and','that','have','with'])) / 8.0 AS f_stop,
+       CASE WHEN len(tok) > 0
+            THEN len(list_distinct(tok)) / CAST(len(tok) AS DOUBLE) END AS f_ttr
+FROM t
+"""
+
+
+@_q("quality_classifier", None)
+def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality classifier (operators/relevance): the GPT-3
+    source-discriminator pattern — label docs by "is the curated source
+    (src0)", fit the closed-form ridge/LDA direction on cheap codegen
+    features via ONE sufficient-statistics aggregate, score every doc
+    with the fitted weights as a literal projection. Returns
+    (doc_id, y, clf_score). Verified by the pytest end-to-end numpy
+    differential (features independently hash-checked vs
+    ``_CLF_FEATURES_ORACLE``)."""
+    from audience_finder_pro_spark.operators.relevance import (
+        classifier_features,
+        fit_quality_classifier,
+        score_quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    feats = classifier_features(
+        docs, label=(F.col("source") == "src0").cast("int")
+    ).filter(F.col("n_tok") > 0)
+    w = fit_quality_classifier(feats)
+    return score_quality_classifier(feats, w).select("doc_id", "y", "clf_score")

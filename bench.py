@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "gopher_quality",
     "incremental_dedup",
     "corpus_dedup",
+    "c4_clean",
+    "quality_classifier",
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as
@@ -84,6 +86,7 @@ BENCH_QUERIES = [
 # compare basis as the registry oracles.
 def _extra_oracles() -> dict[str, str]:
     from audience_finder_pro_spark.queries.llm import (
+        _C4_ORACLE,
         _GOPHER_ORACLE,
         _KNN_ORACLE,
         _PASSAGE_ORACLE,
@@ -93,6 +96,7 @@ def _extra_oracles() -> dict[str, str]:
         "knn_graph": _KNN_ORACLE,
         "repeated_passages": _PASSAGE_ORACLE,
         "gopher_quality": _GOPHER_ORACLE,
+        "c4_clean": _C4_ORACLE,
     }
 
 

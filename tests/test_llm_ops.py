@@ -1738,3 +1738,127 @@ def test_gumbel_topk_flattens_with_temperature(spark):
     sharp = sum(r.doc_id < 20 for r in gumbel_topk(df, k=40, temperature=0.5).collect())
     flat = sum(r.doc_id < 20 for r in gumbel_topk(df, k=40, temperature=10.0).collect())
     assert sharp > flat
+
+
+# ------------------------------------------------ E29 C4 line-level cleaning
+def test_c4_clean_matches_sql_oracle(spark, sf_dir):
+    """Registered oracle-less (driver slots fully funded) — this
+    differential IS its hash gate, same compare as the driver's."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _C4_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["c4_clean"](spark, sf_dir), _C4_ORACLE, sf_dir, name="c4_clean")
+
+
+def test_c4_filters_planted_line_rules(spark):
+    """Default C4 profile on crafted docs: short lines, javascript
+    lines, and unterminated lines are dropped; lorem-ipsum / brace /
+    blocklist pages fail the verdict even when their lines survive."""
+    from audience_finder_pro_spark.operators.filtering import c4_filters
+
+    good = "this is a perfectly reasonable sentence of prose. " * 3  # no \n, 1 line, 3 sents
+    rows = [
+        (0, good.strip()),
+        (1, "too short.\nenable javascript to view this page now.\nno terminal punct here at all"),
+        (2, good.strip() + "\nlorem ipsum dolor sit amet and then some."),
+        (3, good.strip().replace("prose", "prose {")),
+        (4, good.strip().replace("reasonable", "forbiddenword")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_filters(df, blocklist=("forbiddenword",)).collect()}
+    assert out[0].keep and out[0].n_lines_kept == 1 and out[0].n_sentences == 3
+    assert out[0].clean_text == good.strip()
+    # doc 1: line A < 5 words, line B mentions javascript, line C no terminal punct
+    assert out[1].n_lines == 3 and out[1].n_lines_kept == 0 and not out[1].keep
+    assert out[1].clean_text == ""
+    assert out[2].has_lorem_ipsum and not out[2].keep and out[2].n_lines_kept == 2
+    assert out[3].has_brace and not out[3].keep
+    assert not out[4].keep  # blocklist verdict
+    assert out[4].n_lines_kept == 1  # ...but its lines are clean
+
+
+def test_c4_filters_min_sentences_and_degenerates(spark):
+    from audience_finder_pro_spark.operators.filtering import c4_filters
+
+    rows = [(0, "one single good sentence right here."), (1, ""), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_filters(df, min_sentences=3).collect()}
+    assert out[0].n_lines_kept == 1 and out[0].n_sentences == 1 and not out[0].keep
+    out2 = {r.doc_id: r for r in c4_filters(df, min_sentences=1).collect()}
+    assert out2[0].keep
+    for d in (1, 2):
+        assert not out[d].keep and out[d].n_lines_kept in (0, None)
+        assert (out[d].clean_text or "") == ""
+
+
+# ------------------------------------------------ E30 trainable quality classifier
+def test_classifier_features_match_sql_oracle(spark, sf_dir):
+    from audience_finder_pro_spark.operators.relevance import classifier_features
+    from audience_finder_pro_spark.queries.llm import _CLF_FEATURES_ORACLE
+    from audience_finder_pro_spark.session import load_table
+    from tests.oracle import compare
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = classifier_features(docs, label=(F.col("source") == "src0").cast("int"))
+    compare(feats, _CLF_FEATURES_ORACLE, sf_dir, name="classifier_features")
+
+
+def test_quality_classifier_matches_numpy_reference(spark, sf_dir):
+    """End-to-end engine-independent oracle: DuckDB computes the
+    features, numpy replicates the exact fit (same 6-dp Gramian/weight
+    rounding) and the literal scoring — rows must hash-match the Spark
+    query at 4 dp."""
+    import numpy as np
+
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _CLF_FEATURES_ORACLE
+    from tests.oracle import canonicalize, run_oracle
+
+    cols, rows = run_oracle(_CLF_FEATURES_ORACLE, sf_dir)
+    idx = {c: i for i, c in enumerate(cols)}
+    rows = [r for r in rows if r[idx["n_tok"]] > 0]
+    X = np.array(
+        [[1.0] + [r[idx[c]] for c in ("f_len", "f_wordlen", "f_stop", "f_ttr")] for r in rows]
+    )
+    y = np.array([r[idx["y"]] for r in rows], dtype=float)
+    G = np.round(X.T @ X, 6)
+    b = np.round(X.T @ y, 6)
+    A = G + np.diag([0.0, 1.0, 1.0, 1.0, 1.0])
+    w = [round(float(v), 6) for v in np.linalg.solve(A, b)]
+    ref = [
+        (int(r[idx["doc_id"]]), int(r[idx["y"]]),
+         round(w[0] + sum(wi * r[idx[c]] for wi, c in
+                          zip(w[1:], ("f_len", "f_wordlen", "f_stop", "f_ttr"))), 4))
+        for r in rows
+    ]
+    got = QUERIES["quality_classifier"](spark, sf_dir)
+    g_cols, g_rows = got.columns, [tuple(r) for r in got.collect()]
+    assert canonicalize(g_cols, g_rows) == canonicalize(["doc_id", "y", "clf_score"], ref)
+
+
+def test_quality_classifier_separation_and_determinism(spark):
+    """Planted two-class corpus (class 1 = longer docs, more stop
+    words): the fitted direction must rank class 1 higher; weights and
+    scores are identical under repartitioning (rounded-Gramian rule)."""
+    from audience_finder_pro_spark.operators.relevance import (
+        classifier_features,
+        fit_quality_classifier,
+        score_quality_classifier,
+    )
+
+    rows = [
+        (i, 1, "the quick brown fox jumps over the lazy dog and that have with be to of " * 6)
+        for i in range(40)
+    ] + [(100 + i, 0, "buy pills cheap now " * 3) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, y int, text string")
+    feats = classifier_features(df, label=F.col("y")).filter(F.col("n_tok") > 0)
+    w = fit_quality_classifier(feats)
+    scored = score_quality_classifier(feats, w).select("doc_id", "y", "clf_score").collect()
+    hi = [r.clf_score for r in scored if r.y == 1]
+    lo = [r.clf_score for r in scored if r.y == 0]
+    assert min(hi) > max(lo)  # clean separation on separable classes
+    w2 = fit_quality_classifier(
+        classifier_features(df.repartition(7), label=F.col("y")).filter(F.col("n_tok") > 0)
+    )
+    assert w == w2  # partitioning-independent fit
