@@ -35,9 +35,7 @@ from audience_finder_pro_spark.functions.text import tokens
 GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_filters(
-    docs: DataFrame,
-    id_col: str = "doc_id",
+def gopher_cols(
     text_col: str = "text",
     min_words: int = 50,
     max_words: int = 100_000,
@@ -48,15 +46,11 @@ def gopher_filters(
     max_ellipsis_frac: float = 0.3,
     min_alpha_frac: float = 0.8,
     min_stop_words: int = 2,
-) -> DataFrame:
-    """(id, metrics..., keep) for every doc — the Gopher quality gate.
-
-    Empty/whitespace-only docs have 0 words: ratio metrics are NULL and
-    ``keep`` is false (the word-count rule already rejects them; NULLs
-    never pass a threshold comparison and the conjunction coalesces to
-    false). All divisions are guarded, all floats rounded to 4 dp for
-    cross-engine hash parity.
-    """
+) -> list:
+    """The eight Gopher metric/verdict expressions as aliased Columns —
+    the projection body of :func:`gopher_filters`, exported so the
+    merged ``text_profile`` driver frame can ride the identical
+    expressions (wide-merge family, NOTES)."""
     t = F.col(text_col)
     words = F.array_remove(F.split(t, r"\s+"), "")
     n_words = F.size(words)
@@ -92,8 +86,7 @@ def gopher_filters(
         & (alpha_frac >= min_alpha_frac)
         & (n_stop >= min_stop_words)
     )
-    return docs.select(
-        F.col(id_col),
+    return [
         n_words.cast("long").alias("n_words"),
         mean_word_len.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"),
@@ -102,7 +95,25 @@ def gopher_filters(
         alpha_frac.alias("alpha_frac"),
         n_stop.cast("long").alias("n_stop_words"),
         F.coalesce(keep, F.lit(False)).alias("keep"),
-    )
+    ]
+
+
+def gopher_filters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **thresholds,
+) -> DataFrame:
+    """(id, metrics..., keep) for every doc — the Gopher quality gate.
+
+    Empty/whitespace-only docs have 0 words: ratio metrics are NULL and
+    ``keep`` is false (the word-count rule already rejects them; NULLs
+    never pass a threshold comparison and the conjunction coalesces to
+    false). All divisions are guarded, all floats rounded to 4 dp for
+    cross-engine hash parity. Threshold kwargs are those of
+    :func:`gopher_cols`.
+    """
+    return docs.select(F.col(id_col), *gopher_cols(text_col, **thresholds))
 
 
 def c4_filters(

@@ -598,14 +598,18 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS tok
       FROM documents
     ),
-    {_LANG_CTES_SQL}
+    {_LANG_CTES_SQL},
+    gq AS ({{GOPHER_CTE}})
     SELECT d.doc_id,
            {_STATS_SELECT_SQL},
            {{QUALITY}},
-           {_LANG_SELECT_SQL.replace("lang AS labeled_lang", "h.lang AS labeled_lang")}
+           {_LANG_SELECT_SQL.replace("lang AS labeled_lang", "h.lang AS labeled_lang")},
+           gq.n_words, gq.mean_word_len, gq.symbol_ratio, gq.bullet_frac,
+           gq.ellipsis_frac, gq.alpha_frac, gq.n_stop_words, gq.keep
     FROM documents d
     JOIN toks t ON d.doc_id = t.doc_id
     JOIN h ON d.doc_id = h.doc_id
+    JOIN gq ON d.doc_id = gq.doc_id
     """,
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,7 +624,15 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_stats, quality_score and lang_id stay individually declared
     (bench stages, degenerate-fixture tests) but hand their driver rows
     to this merged frame, which verifies the identical expressions — the
-    oracle SQL is the literal concatenation of their oracle bodies."""
+    oracle SQL is the literal concatenation of their oracle bodies.
+
+    r8: the eight Gopher metric/verdict expressions (E27,
+    ``operators/filtering.gopher_cols``) ride the same frame — still one
+    scan, zero exchanges — which promotes gopher_quality's expressions
+    to driver-hash coverage without costing a slot (the standalone
+    ``gopher_quality`` query stays declared for direct use)."""
+    from audience_finder_pro_spark.operators.filtering import gopher_cols
+
     _check_lang_profiles()
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     base = docs.select(
@@ -640,7 +652,11 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return h.select(
-        "doc_id", *_stats_cols("text"), *_quality_cols("text"), *_lang_cols()
+        "doc_id",
+        *_stats_cols("text"),
+        *_quality_cols("text"),
+        *_lang_cols(),
+        *gopher_cols("text"),
     )
 
 
@@ -2012,6 +2028,14 @@ SELECT doc_id, n_words,
          AND n_stop_words >= 2, false) AS keep
 FROM m
 """
+
+
+# text_profile's decorator ran before this constant existed (definition
+# order) — fill its {GOPHER_CTE} placeholder with the full gopher oracle
+# as a nested-WITH subquery, same pattern as the {QUALITY} patch above.
+ORACLES["text_profile"] = ORACLES["text_profile"].replace(
+    "{GOPHER_CTE}", _GOPHER_ORACLE
+)
 
 
 @_q("gopher_quality", None)
