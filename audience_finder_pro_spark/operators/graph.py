@@ -219,3 +219,97 @@ def dedup_clusters(
             F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    handle_dangling: bool = True,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list — link-style centrality
+    for curation graphs (the canonical inputs here are ``knn_graph``
+    edges, where rank = "how central is this doc in the similarity
+    structure": high-rank docs are cluster cores / good canonical
+    representatives, low-rank docs are outliers).
+
+    Semantics (mean-1 normalization, the Brin-Page form):
+
+        r_0(v)   = 1
+        r_{t+1}(v) = (1-d) + d * ( Σ_{u→v} r_t(u)/outdeg(u) [+ dangling/n] )
+
+    run for exactly ``n_iter`` iterations — fixed iteration count, not a
+    convergence test, so the result is deterministic, engine-replayable
+    (the DuckDB oracle unrolls the same recurrence), and free of the
+    per-iteration driver round-trip a convergence check costs.
+    ``handle_dangling`` redistributes sink-node mass uniformly (True for
+    generic graphs; knn graphs have out-degree k everywhere, so the
+    declared query disables it and saves an aggregate per iteration).
+
+    Scale shape: the degree-annotated edge table is built ONCE and
+    localCheckpoint'ed (it is static across iterations); each iteration
+    is one shuffle hash join (ranks onto edges by src) + one map-side-
+    combined groupBy(dst) — the standard 2-exchange Pregel step — plus,
+    when dangling is on, a 1-row broadcast aggregate. Rank lineage is
+    truncated every ``checkpoint_every`` iterations (the CC lesson:
+    without it, iteration N replays 1..N-1). Node count enters as a
+    bounded driver scalar (one count()), same class as the CC loop
+    control.
+
+    Determinism: ranks are O(1) floats summed over in-degree terms per
+    node per iteration — far below the q27 drift regime; round(4) on the
+    final iterate is partition-order stable.
+
+    Returns (node, pagerank) with pagerank rounded to 4 dp.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("pagerank"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)  # static: build once
+
+    d = float(damping)
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    prev_ckpt = None
+    for it in range(n_iter):
+        contribs = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        new = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select("node", F.coalesce(F.col("c"), F.lit(0.0)).alias("c"))
+        )
+        if handle_dangling:
+            dang = (
+                ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+            )  # 1 row → broadcast NLJ
+            new = new.crossJoin(F.broadcast(dang)).select(
+                "node",
+                (F.lit(1.0 - d) + F.lit(d) * (F.col("c") + F.col("dang") / F.lit(float(n)))).alias(
+                    "rank"
+                ),
+            )
+        else:
+            new = new.select(
+                "node", (F.lit(1.0 - d) + F.lit(d) * F.col("c")).alias("rank")
+            )
+        if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
+            new = new.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                _free_checkpoint(prev_ckpt)
+            prev_ckpt = new
+        ranks = new
+    return ranks.select("node", F.round("rank", 4).alias("pagerank"))

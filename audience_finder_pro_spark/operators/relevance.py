@@ -378,3 +378,66 @@ def score_quality_classifier(
         if c != "bias":
             expr = expr + F.lit(w) * F.col(c)
     return feats.withColumn(score_col, F.round(expr, 4))
+
+
+def cluster_topics(
+    docs: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cluster_col: str = "cluster",
+    k: int = 5,
+) -> DataFrame:
+    """c-TF-IDF topic labeling (Grootendorst 2022, BERTopic §2.3): treat
+    each CLUSTER as one meta-document and rank the terms that
+    characterize it — the standard "what is this embedding cluster
+    about?" step after any clustering (IVF assignment, semantic_dedup
+    clusters, or a ground-truth label column; ``assignments`` is any
+    (id, cluster) frame, so all three compose).
+
+        score(t, c) = tf_{t,c} * (ln((C + 1) / (cf_t + 1)) + 1)
+
+    with C = number of clusters and cf_t = number of clusters containing
+    t (the same smoothed-IDF form as ``tfidf_top_terms``, lifted from
+    doc granularity to cluster granularity). Ties break token-ascending.
+
+    Scale shape: the token stream aggregates STRAIGHT to (cluster,
+    token) counts — one map-side-combined exchange keyed by cluster
+    (tiny key space), after riding the id-keyed join between the doc
+    scan and the assignment frame. Both model tables (cluster-frequency,
+    C) are cluster-count-sized; the final per-cluster top-k window
+    partitions on ``cluster`` and prunes through WindowGroupLimit.
+    n_clusters is bounded (a clustering output), so the window skew the
+    per-query ANN top-k needed pre-pruning for does not arise: each
+    partition holds the cluster's distinct vocab, not the corpus.
+
+    Returns (cluster, token, score, rnk) with rnk in 1..k.
+    """
+    # join at DOC level, then explode: the id-keyed join moves one row
+    # per document instead of one per token (~mean-doc-length× less on
+    # the wire than tagging the exploded stream)
+    tagged = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .join(assignments.select(F.col(id_col), F.col(cluster_col).alias("cluster")), id_col)
+        .select("cluster", F.explode(tokens(text_col)).alias("token"))
+    )
+    tf = tagged.groupBy("cluster", "token").agg(F.count("*").alias("tf"))
+    cfreq = tf.groupBy("token").agg(F.count("*").alias("cf"))
+    c = assignments.select(F.col(cluster_col).alias("cluster")).distinct().agg(
+        F.count("*").alias("n_clusters")
+    )  # 1 row → broadcast NLJ
+    idf = cfreq.crossJoin(F.broadcast(c)).select(
+        "token",
+        (
+            F.log((F.col("n_clusters") + F.lit(1.0)) / (F.col("cf") + F.lit(1.0))) + F.lit(1.0)
+        ).alias("idf"),
+    )
+    scored = tf.join(idf, "token").select(
+        "cluster", "token", F.round(F.col("tf") * F.col("idf"), 4).alias("score")
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("cluster", "token", "score", "rnk")
+    )

@@ -35,6 +35,7 @@ _STATEFUL_PLANS = {
     "incremental_dedup",
     "corpus_dedup",
     "source_overlap",  # ngram_jaccard_pairs checkpoints the shingle index at build
+    "similarity_pagerank",  # rank iterates localCheckpoint at build
     "dedup_ngram_jaccard",
     "dedup_cc_clusters",
     "quarantine_report",

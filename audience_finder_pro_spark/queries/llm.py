@@ -2202,3 +2202,100 @@ def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_tok") > 0)
     w = fit_quality_classifier(feats)
     return score_quality_classifier(feats, w).select("doc_id", "y", "clf_score")
+
+
+# ------------------------------------------------ E31 similarity PageRank
+def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank in pure SQL over the exact-knn
+    edge list: it0..itN chained CTEs, each one groupBy-join step of
+
+        r_{t+1}(v) = (1-d) + d * sum_{u->v} r_t(u) / outdeg(u)
+
+    (no dangling term: knn guarantees out-degree k everywhere). The
+    float literals are Python ``repr``s so both engines fold the exact
+    same doubles — an engine-independent replay of the iterative
+    recurrence, not a reimplementation."""
+    one_minus_d, d = repr(1.0 - damping), repr(float(damping))
+    its = []
+    for t in range(1, n_iter + 1):
+        its.append(f"""it{t} AS (
+  SELECT n.node, {one_minus_d} + {d} * coalesce(s.c, 0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / dg.deg) AS c
+    FROM e JOIN it{t - 1} r ON e.src = r.node JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst) s ON n.node = s.node)""")
+    return f"""
+WITH e AS (
+  SELECT vec_id AS src, nbr_id AS dst FROM ({_KNN_ORACLE})
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+it0 AS (SELECT node, 1.0 AS rank FROM nodes),
+{",".join(its)}
+SELECT node AS vec_id, round(rank, 4) AS pagerank FROM it{n_iter}
+"""
+
+
+_PAGERANK_ORACLE = _pagerank_oracle()
+
+
+@_q("similarity_pagerank", None)
+def similarity_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-graph centrality (operators/graph.pagerank over the
+    exact ``knn_graph`` edges): 10 fixed PageRank iterations, damping
+    0.85 — high-rank vectors are cluster cores (good canonical picks /
+    eval seeds), low-rank ones are outliers. Dangling handling off: knn
+    out-degree is k everywhere. ``_PAGERANK_ORACLE`` unrolls the same
+    recurrence in DuckDB; pytest hash-checked at the driver's own SF."""
+    from audience_finder_pro_spark.operators.graph import pagerank
+    from audience_finder_pro_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    edges = knn_graph(emb, k=5).select(
+        F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst")
+    )
+    return pagerank(edges, handle_dangling=False).select(
+        F.col("node").alias("vec_id"), "pagerank"
+    )
+
+
+# ------------------------------------------------ E32 c-TF-IDF cluster topics
+# Ranking happens on the ROUNDED score in BOTH engines, so cross-engine
+# float ulps cannot flip rank cutoffs (ties at 4 dp break token-asc).
+_CLUSTER_TOPICS_ORACLE = """
+WITH toks AS (
+  SELECT d.doc_id, e.label AS cluster,
+         unnest(list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'),
+                            x -> length(x) > 0)) AS token
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+tf AS (SELECT cluster, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+cf AS (SELECT token, count(*) AS cf FROM tf GROUP BY 1),
+c AS (SELECT count(DISTINCT label) AS n_clusters FROM embeddings),
+scored AS (
+  SELECT cluster, token,
+         round(tf * (ln((n_clusters + 1.0) / (cf + 1.0)) + 1.0), 4) AS score
+  FROM tf JOIN cf USING (token) CROSS JOIN c
+)
+SELECT cluster, token, score, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY score DESC, token) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+"""
+
+
+@_q("cluster_topics", None)
+def cluster_topics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF topic labels per embedding cluster
+    (operators/relevance.cluster_topics, BERTopic §2.3): which terms
+    characterize each cluster of the corpus — the exploration step after
+    any clustering. Cluster source here is the embeddings' label column
+    (ground truth); the operator composes identically with IVF
+    assignments. ``_CLUSTER_TOPICS_ORACLE`` is the pytest hash gate."""
+    from audience_finder_pro_spark.operators.relevance import cluster_topics
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    assign = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("label").alias("cluster")
+    )
+    return cluster_topics(docs, assign, k=5)

@@ -253,3 +253,53 @@ def compact_parquet(
     out = df.repartition(n_files) if shuffle else df.coalesce(n_files)
     out.write.mode(mode).parquet(dst)
     return n_files
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_tokens: int = 1_000_000,
+    token_col: str = "n_tokens",
+    order_by="doc_id",
+    partition_by: str | None = None,
+    compression: str | None = "gzip",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Token-budgeted sharded JSONL export — the training-corpus hand-off
+    format: ``path/shard=N/*.json[.gz]`` directories of ~``shard_tokens``
+    tokens each, so downstream tokenizer/trainer jobs get uniform,
+    independently-loadable work units regardless of document-length skew
+    (what a plain ``maxRecordsPerFile`` cannot give: records are not
+    tokens).
+
+    Deterministic: shard assignment is ``pack_sequences``' running-sum
+    binning over the unique ``order_by`` key (the distributed two-pass
+    prefix sum — no single-partition window), so the same corpus always
+    exports byte-identical shard membership. ``partition_by`` scopes
+    shards within a key (e.g. per source) — shard numbering then restarts
+    per key and the layout gains that partition level.
+
+    Returns the shard manifest (shard [, partition cols], n_docs,
+    total_tokens) — small; persist it next to the export for audit.
+    """
+    from audience_finder_pro_spark.operators.packing import pack_sequences
+
+    packed = pack_sequences(
+        df, token_col=token_col, budget=shard_tokens, order_by=order_by,
+        partition_by=partition_by,
+    ).withColumnRenamed("bin_id", "shard").drop("bin_pos")
+    part_cols = ([partition_by] if partition_by else []) + ["shard"]
+    w = packed.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.partitionBy(*part_cols).json(path)
+    from pyspark.sql import functions as F
+
+    return (
+        packed.groupBy(*part_cols)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col(token_col).cast("long")).alias("total_tokens"),
+        )
+        .orderBy(*part_cols)
+    )

@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "corpus_dedup",
     "c4_clean",
     "quality_classifier",
+    "similarity_pagerank",
+    "cluster_topics",
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as
@@ -87,6 +89,7 @@ BENCH_QUERIES = [
 def _extra_oracles() -> dict[str, str]:
     from audience_finder_pro_spark.queries.llm import (
         _C4_ORACLE,
+        _CLUSTER_TOPICS_ORACLE,
         _GOPHER_ORACLE,
         _KNN_ORACLE,
         _PASSAGE_ORACLE,
@@ -97,6 +100,7 @@ def _extra_oracles() -> dict[str, str]:
         "repeated_passages": _PASSAGE_ORACLE,
         "gopher_quality": _GOPHER_ORACLE,
         "c4_clean": _C4_ORACLE,
+        "cluster_topics": _CLUSTER_TOPICS_ORACLE,
     }
 
 

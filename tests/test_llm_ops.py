@@ -1862,3 +1862,37 @@ def test_quality_classifier_separation_and_determinism(spark):
         classifier_features(df.repartition(7), label=F.col("y")).filter(F.col("n_tok") > 0)
     )
     assert w == w2  # partitioning-independent fit
+
+
+# ------------------------------------------------ E32 c-TF-IDF cluster topics
+def test_cluster_topics_matches_sql_oracle(spark, sf_dir):
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _CLUSTER_TOPICS_ORACLE
+    from tests.oracle import compare
+
+    compare(
+        QUERIES["cluster_topics"](spark, sf_dir), _CLUSTER_TOPICS_ORACLE, sf_dir,
+        name="cluster_topics",
+    )
+
+
+def test_cluster_topics_surfaces_planted_signatures(spark):
+    """Two clusters sharing filler vocabulary but each with a signature
+    token: c-TF-IDF must rank the signature first in its own cluster
+    (shared filler gets IDF-crushed)."""
+    from audience_finder_pro_spark.operators.relevance import cluster_topics
+
+    filler = "common words shared by every cluster here "
+    rows = [(i, filler + "quantum " * 3) for i in range(10)] + [
+        (100 + i, filler + "recipes " * 3) for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assign = spark.createDataFrame(
+        [(i, 0) for i in range(10)] + [(100 + i, 1) for i in range(10)],
+        "doc_id long, cluster int",
+    )
+    out = cluster_topics(docs, assign, k=1).collect()
+    top = {r.cluster: r.token for r in out}
+    assert top == {0: "quantum", 1: "recipes"}
+    # exactly k rows per cluster, rnk always 1..k
+    assert all(r.rnk == 1 for r in out) and len(out) == 2

@@ -914,3 +914,75 @@ def test_strip_markup_duckdb_parity(spark):
     """
     want = [r[0] for r in con.execute(sql).fetchall()]
     assert got == want
+
+
+# ---------------------------------------------------------------- E31 pagerank
+def _pagerank_ref(edges, n_iter=10, d=0.85, dangling=True):
+    """Pure-python reference of the exact operator recurrence."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    r = {v: 1.0 for v in nodes}
+    n = len(nodes)
+    for _ in range(n_iter):
+        c = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            c[v] += r[u] / deg[u]
+        dang = sum(r[v] for v in nodes if v not in deg) if dangling else 0.0
+        r = {v: (1 - d) + d * (c[v] + dang / n) for v in nodes}
+    return {v: round(x, 4) for v, x in r.items()}
+
+
+def test_pagerank_matches_reference_star_and_chain(spark):
+    from audience_finder_pro_spark.operators.graph import pagerank
+
+    # star (hub 0 pointed at by 1..6, hub points back at 1) + a chain with a sink
+    edges = [(i, 0) for i in range(1, 7)] + [(0, 1), (10, 11), (11, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.pagerank for r in pagerank(df).collect()}
+    assert got == _pagerank_ref(edges)
+    # the hub and its sole out-neighbor (which receives ALL the hub's
+    # mass) are the two most central nodes
+    top2 = sorted(got, key=got.get, reverse=True)[:2]
+    assert set(top2) == {0, 1}
+    assert min(got.values()) >= 0.15 - 1e-9
+
+
+def test_pagerank_dangling_mass_and_determinism(spark):
+    from audience_finder_pro_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]  # node 4 is a sink
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.pagerank for r in pagerank(df).collect()}
+    assert got == _pagerank_ref(edges)
+    # mean-1 form with dangling redistribution conserves total mass = n
+    assert abs(sum(got.values()) - 5.0) < 1e-3
+    again = {r.node: r.pagerank for r in pagerank(df.repartition(7)).collect()}
+    assert got == again
+    # without dangling handling the sink's mass leaks — totals differ
+    leaky = {r.node: r.pagerank for r in pagerank(df, handle_dangling=False).collect()}
+    assert sum(leaky.values()) < sum(got.values())
+    assert leaky == _pagerank_ref(edges, dangling=False)
+
+
+def test_pagerank_empty_edges(spark):
+    from audience_finder_pro_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df).count() == 0
+
+
+def test_similarity_pagerank_matches_sql_oracle(spark, sf_dir):
+    """Registered oracle-less (driver slots fully funded) — this
+    differential IS its hash gate, same compare as the driver's."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _PAGERANK_ORACLE
+    from tests.oracle import compare
+
+    compare(
+        QUERIES["similarity_pagerank"](spark, sf_dir),
+        _PAGERANK_ORACLE,
+        sf_dir,
+        name="similarity_pagerank",
+    )

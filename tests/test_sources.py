@@ -106,3 +106,64 @@ def test_bucket_scan_groupby_skips_exchange(spark, bucketed_pair):
     )
     agg.count()
     assert is_exchange_free_join(agg)
+
+
+# ---------------------------------------------------- S11 training-shard export
+def test_write_training_shards_budget_and_roundtrip(spark, tmp_path):
+    """Every shard but the last stays within budget+1-doc overflow, the
+    JSONL round-trips losslessly, and shard membership is deterministic
+    across partitionings."""
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.sources.sinks import write_training_shards
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+        (F.col("id") % 37 + 5).alias("n_tokens"),
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, out, shard_tokens=500, compression=None)
+    rows = manifest.collect()
+    budgets = {r.shard: r.total_tokens for r in rows}
+    # running-sum binning: a shard exceeds the budget by at most one doc
+    max_doc = 41
+    assert all(t <= 500 + max_doc for t in budgets.values())
+    assert sum(r.n_docs for r in rows) == 200
+    back = spark.read.json(out)
+    assert back.count() == 200
+    assert {r.doc_id for r in back.select("doc_id").collect()} == set(range(200))
+    # determinism under repartitioning: same shard membership
+    m2 = write_training_shards(
+        docs.repartition(7), str(tmp_path / "shards2"), shard_tokens=500, compression=None
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, m2.collect()))
+    # shard= directories actually materialize the hive layout
+    import os
+
+    assert any(d.startswith("shard=") for d in os.listdir(out))
+
+
+def test_write_training_shards_per_source(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.sources.sinks import write_training_shards
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("source"),
+        F.lit("x").alias("text"),
+        F.lit(100).alias("n_tokens"),
+    )
+    out = str(tmp_path / "by_src")
+    manifest = write_training_shards(
+        docs, out, shard_tokens=500, partition_by="source", compression=None
+    ).collect()
+    # 20 docs x 100 tokens per source → 4 shards of 5 docs each per source
+    assert len(manifest) == 12
+    assert all(r.n_docs == 5 and r.total_tokens == 500 for r in manifest)
+    import os
+
+    assert sorted(d for d in os.listdir(out) if d.startswith("source=")) == [
+        "source=0", "source=1", "source=2",
+    ]
