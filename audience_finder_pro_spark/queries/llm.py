@@ -1933,7 +1933,7 @@ FROM tot t LEFT JOIN per_doc p USING (doc_id)
 """
 
 
-@_q("repeated_passages", None)
+@_q("repeated_passages", _PASSAGE_ORACLE)
 def repeated_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level duplication detector (operators/dedup.
     repeated_passages): every token span covered by an 8-gram occurring
@@ -2239,7 +2239,7 @@ SELECT node AS vec_id, round(rank, 4) AS pagerank FROM it{n_iter}
 _PAGERANK_ORACLE = _pagerank_oracle()
 
 
-@_q("similarity_pagerank", None)
+@_q("similarity_pagerank", _PAGERANK_ORACLE)
 def similarity_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity-graph centrality (operators/graph.pagerank over the
     exact ``knn_graph`` edges): 10 fixed PageRank iterations, damping

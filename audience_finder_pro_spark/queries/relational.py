@@ -510,12 +510,24 @@ def q13_rollup_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
       EXCEPT
       SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
     )
+    UNION ALL
+    SELECT 'union_' || role AS op, nation_name FROM (
+      SELECT DISTINCT nation_name, role FROM (
+        SELECT n_name AS nation_name, 'customer' AS role
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        UNION ALL
+        SELECT n_name, 'supplier' FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      )
+    )
     """,
 )
 def q16_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both U3 set operators in one tagged result: nations with both
-    customers and suppliers ('intersect') and customer-only nations
-    ('except', distinct EXCEPT semantics via subtract)."""
+    """The whole set-op family (U1-U3) in one tagged result: nations with
+    both customers and suppliers ('intersect'), customer-only nations
+    ('except', distinct EXCEPT semantics via subtract), and the former
+    q18 UNION-then-DISTINCT legs riding as 'union_<role>' rows (merged
+    r8 to free a driver slot — the distinct runs over (nation, role)
+    exactly as before, the role folds into the tag)."""
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -527,21 +539,27 @@ def q16_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = cn.intersect(sn).select(F.lit("intersect").alias("op"), "nation_name")
     exc = cn.subtract(sn).select(F.lit("except").alias("op"), "nation_name")
-    return inter.unionByName(exc)
+    uni = (
+        q18_union_distinct(spark, sf_dir)
+        .select(F.concat(F.lit("union_"), F.col("role")).alias("op"), "nation_name")
+    )
+    return inter.unionByName(exc).unionByName(uni)
 
 
 # ---------------------------------------------------------------- U1/U2 union+dedup
-@_q(
-    "q18_union_distinct",
-    """
+# Standalone oracle for the former q18 driver row (moved to the q16
+# merged frame r8); stays the bench comparator / pytest gate.
+_UNION_DISTINCT_ORACLE = """
     SELECT DISTINCT nation_name, role FROM (
       SELECT n_name AS nation_name, 'customer' AS role
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       UNION ALL
       SELECT n_name, 'supplier' FROM supplier JOIN nation ON s_nationkey = n_nationkey
     )
-    """,
-)
+"""
+
+
+@_q("q18_union_distinct", None)  # oracle slot moved to the q16 merged frame (r8)
 def q18_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")

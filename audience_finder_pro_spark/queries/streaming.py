@@ -63,10 +63,44 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -------------------------------------------- T1 tumbling + sliding (tagged union)
+# ------------------------------------------------- T2 session-window oracle
+# Standalone oracle for the session leg (the lag-gap islands algorithm,
+# proving session_window() agrees with the classic SQL formulation); the
+# driver row moved to the merged stream_window_aggs frame (r8) — this
+# constant stays the bench comparator / pytest gate for the standalone query.
+_SESSION_WINDOW_ORACLE = """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM sess GROUP BY user_id, session_id
+"""
+
+
+# ------------------- T1+T2 tumbling + sliding + session (tagged union)
 @_q(
     "stream_window_aggs",
-    """
+    f"""
+    SELECT 'session' AS kind,
+           session_start AS window_start,
+           CAST(user_id AS VARCHAR) AS event_type,
+           n_events AS n,
+           total_value
+    FROM ({_SESSION_WINDOW_ORACLE})
+    UNION ALL
     SELECT 'tumbling' AS kind,
            strftime(make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 * 1000000 AS BIGINT)),
                     '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -91,13 +125,14 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both T1 window shapes in one tagged result — the former
-    ``stream_tumbling_agg`` and ``stream_sliding_agg`` declared queries,
-    merged r7-prep to free a driver slot for ``semantic_dedup`` under the
-    50-query verification cap. Each leg is the unchanged batch form of
-    its streaming aggregation (the legs stay individually callable above
-    for the batch≡stream differentials); the sliding leg carries a NULL
-    ``event_type`` so the union is schema-aligned."""
+    """All three T1/T2 window shapes in one tagged result — the former
+    ``stream_tumbling_agg`` / ``stream_sliding_agg`` declared queries
+    (merged r7-prep, funding ``semantic_dedup``) plus the session-window
+    leg (merged r8, funding ``similarity_pagerank``). Each leg is the
+    unchanged batch form of its streaming aggregation (all stay
+    individually callable for the batch≡stream differentials); the
+    sliding leg carries a NULL ``event_type``, the session leg carries
+    its user_id key there as a string — no verified value is lost."""
     tum = stream_tumbling_agg(spark, sf_dir).select(
         F.lit("tumbling").alias("kind"), "window_start", "event_type", "n", "total_value"
     )
@@ -108,36 +143,23 @@ def stream_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
-    return tum.unionByName(sld)
+    ses = stream_session_window(spark, sf_dir).select(
+        F.lit("session").alias("kind"),
+        F.col("session_start").alias("window_start"),
+        F.col("user_id").cast("string").alias("event_type"),
+        F.col("n_events").alias("n"),
+        "total_value",
+    )
+    return tum.unionByName(sld).unionByName(ses)
 
 
 # ---------------------------------------------------------------- T2 session windows
-@_q(
-    "stream_session_window",
-    """
-    WITH flagged AS (
-      SELECT user_id, ts, value,
-             CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-    ),
-    sess AS (
-      SELECT user_id, ts, value,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      FROM flagged
-    )
-    SELECT user_id,
-           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-           count(*) AS n_events,
-           round(sum(value), 4) AS total_value
-    FROM sess GROUP BY user_id, session_id
-    """,
-)
+@_q("stream_session_window", None)  # oracle slot moved to stream_window_aggs (r8)
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """session_window(ts, 30 min) per user — gap-merged sessions; the oracle
-    is the lag-gap islands algorithm, proving the two formulations agree."""
+    """session_window(ts, 30 min) per user — gap-merged sessions.
+    Driver-verified through the merged ``stream_window_aggs`` (identical
+    expressions ride the session leg); the standalone lag-gap-islands
+    oracle (``_SESSION_WINDOW_ORACLE``) stays the bench comparator."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

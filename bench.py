@@ -90,6 +90,10 @@ def _extra_oracles() -> dict[str, str]:
     from audience_finder_pro_spark.queries.llm import (
         _C4_ORACLE,
         _CLUSTER_TOPICS_ORACLE,
+    )
+    from audience_finder_pro_spark.queries.relational import _UNION_DISTINCT_ORACLE
+    from audience_finder_pro_spark.queries.streaming import _SESSION_WINDOW_ORACLE
+    from audience_finder_pro_spark.queries.llm import (
         _GOPHER_ORACLE,
         _KNN_ORACLE,
         _PASSAGE_ORACLE,
@@ -101,6 +105,8 @@ def _extra_oracles() -> dict[str, str]:
         "gopher_quality": _GOPHER_ORACLE,
         "c4_clean": _C4_ORACLE,
         "cluster_topics": _CLUSTER_TOPICS_ORACLE,
+        "stream_session_window": _SESSION_WINDOW_ORACLE,
+        "q18_union_distinct": _UNION_DISTINCT_ORACLE,
     }
 
 
