@@ -254,13 +254,25 @@ WHERE rnk <= 10
 """
 
 
-@_q("ann_cosine_topk", _ANN_ORACLE)
+@_q("ann_cosine_topk", "{ANN_MERGED}")
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both oracle-checked ANN serving paths in one method-tagged frame
+    (merged r8 — funds cluster_topics' oracle slot): the 'exact'
+    brute-force leg and the 'ivf' prebuilt-index probe leg, identical
+    (query_id, vec_id, cosine_sim, rnk) schemas. Each leg's standalone
+    query stays declared/callable; the merged oracle is the literal
+    UNION ALL of their oracle bodies."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return brute_force_topk(emb, queries, k=10)
+    exact = brute_force_topk(emb, queries, k=10).select(
+        F.lit("exact").alias("method"), "query_id", "vec_id", "cosine_sim", "rnk"
+    )
+    ivf = ann_ivf_probe(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "vec_id", "cosine_sim", "rnk"
+    )
+    return exact.unionByName(ivf)
 
 
 # ---------------------------------------------------------------- A10 LSH ANN (no oracle)
@@ -335,7 +347,17 @@ WHERE rnk <= 10
 _IVF_BUILT: dict = {}
 
 
-@_q("ann_ivf_probe", _IVF_PROBE_ORACLE)
+# ann_cosine_topk's decorator ran before _IVF_PROBE_ORACLE existed —
+# fill its placeholder with the method-tagged UNION ALL of both oracle
+# bodies (the text_profile {QUALITY}/{GOPHER_CTE} pattern).
+ORACLES["ann_cosine_topk"] = f"""
+SELECT 'exact' AS method, query_id, vec_id, cosine_sim, rnk FROM ({_ANN_ORACLE})
+UNION ALL
+SELECT 'ivf' AS method, query_id, vec_id, cosine_sim, rnk FROM ({_IVF_PROBE_ORACLE})
+"""
+
+
+@_q("ann_ivf_probe", None)  # oracle slot moved to the merged ann_cosine_topk (r8)
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The prebuilt-index IVF serving path (ivf_build_index +
     ivf_probe_indexed) as an oracle-checked query: the index is written as
@@ -2138,7 +2160,7 @@ FROM m
 """
 
 
-@_q("c4_clean", None)
+@_q("c4_clean", _C4_ORACLE)
 def c4_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level cleaning (operators/filtering.c4_filters,
     Raffel et al. 2020 §2.2): per-line word-count/javascript rules
@@ -2284,7 +2306,7 @@ WHERE rnk <= 5
 """
 
 
-@_q("cluster_topics", None)
+@_q("cluster_topics", _CLUSTER_TOPICS_ORACLE)
 def cluster_topics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """c-TF-IDF topic labels per embedding cluster
     (operators/relevance.cluster_topics, BERTopic §2.3): which terms

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "quality_signals",
     "curation_pipeline",
     "ann_cosine_topk",
+    "ann_ivf_probe",
     "ann_lsh_topk",
     "semantic_dedup",
     "chunk_docs",
@@ -91,7 +92,11 @@ def _extra_oracles() -> dict[str, str]:
         _C4_ORACLE,
         _CLUSTER_TOPICS_ORACLE,
     )
-    from audience_finder_pro_spark.queries.relational import _UNION_DISTINCT_ORACLE
+    from audience_finder_pro_spark.queries.llm import _IVF_PROBE_ORACLE
+    from audience_finder_pro_spark.queries.relational import (
+        _UNION_DISTINCT_ORACLE,
+        _WINDOW_TOPK_ORACLE,
+    )
     from audience_finder_pro_spark.queries.streaming import _SESSION_WINDOW_ORACLE
     from audience_finder_pro_spark.queries.llm import (
         _GOPHER_ORACLE,
@@ -107,6 +112,8 @@ def _extra_oracles() -> dict[str, str]:
         "cluster_topics": _CLUSTER_TOPICS_ORACLE,
         "stream_session_window": _SESSION_WINDOW_ORACLE,
         "q18_union_distinct": _UNION_DISTINCT_ORACLE,
+        "q09_window_topk": _WINDOW_TOPK_ORACLE,
+        "ann_ivf_probe": _IVF_PROBE_ORACLE,
     }
 
 
