@@ -1050,7 +1050,19 @@ def _mixture_oracle() -> str:
     """
 
 
-@_q("mixture_split", _mixture_oracle())
+def _sampling_suite_oracle() -> str:
+    return f"""
+    SELECT 'mixture' AS op, doc_id, source,
+           split AS v1, CAST(sampled AS VARCHAR) AS v2
+    FROM ({_mixture_oracle()})
+    UNION ALL
+    SELECT 'eval' AS op, doc_id, source,
+           CAST(sample_rank AS VARCHAR) AS v1, NULL AS v2
+    FROM ({_EVAL_SAMPLE_ORACLE})
+    """
+
+
+@_q("mixture_split", "{SAMPLING_SUITE}")
 def mixture_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible train/val/test assignment (90/5/5) + per-source mixture
     subsampling (operators/sampling.py) — the 'data mixing' step of a
@@ -1061,7 +1073,11 @@ def mixture_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the same buckets), and subsampling a source cannot
     bias its split proportions. The demo mixture config weights
     even-numbered sources 1.0 and odd 0.3; real use passes any per-row
-    weight Column (e.g. joined from a mixture table)."""
+    weight Column (e.g. joined from a mixture table).
+
+    r8: the former eval_sample driver row rides this frame as 'eval'
+    rows (booleans/ints stringified to dodge the nullable-boolean hash
+    gotcha) — funds dsir_resample's oracle slot."""
     from audience_finder_pro_spark.operators.sampling import hash_split, mixture_sample
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1070,7 +1086,21 @@ def mixture_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = hash_split(docs, "doc_id")
     out = mixture_sample(out, weight, "doc_id")
-    return out.select("doc_id", "source", "split", "sampled")
+    mix = out.select(
+        F.lit("mixture").alias("op"),
+        "doc_id",
+        "source",
+        F.col("split").alias("v1"),
+        F.col("sampled").cast("string").alias("v2"),
+    )
+    ev = eval_sample(spark, sf_dir).select(
+        F.lit("eval").alias("op"),
+        "doc_id",
+        "source",
+        F.col("sample_rank").cast("string").alias("v1"),
+        F.lit(None).cast("string").alias("v2"),
+    )
+    return mix.unionByName(ev)
 
 
 # ---------------------------------------------------------------- F17 token counting
@@ -1548,7 +1578,12 @@ SELECT doc_id, source, sample_rank FROM ranked WHERE sample_rank <= 3
 """
 
 
-@_q("eval_sample", _EVAL_SAMPLE_ORACLE)
+# mixture_split's decorator ran before _EVAL_SAMPLE_ORACLE existed — fill
+# its placeholder now (the text_profile/ann pattern).
+ORACLES["mixture_split"] = _sampling_suite_oracle()
+
+
+@_q("eval_sample", None)  # oracle slot moved to the merged mixture_split frame (r8)
 def eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-3-docs-per-source reproducible sample
     (operators/sampling.stratified_sample_k): md5-ordered WindowGroupLimit
@@ -2112,7 +2147,7 @@ FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 50
 """
 
 
-@_q("dsir_resample", None)
+@_q("dsir_resample", _RESAMPLE_ORACLE)
 def dsir_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR selection completed: importance scores (E19) fed through the
     derandomized Gumbel-top-k draw (operators/sampling.gumbel_topk) —

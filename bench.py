@@ -92,7 +92,10 @@ def _extra_oracles() -> dict[str, str]:
         _C4_ORACLE,
         _CLUSTER_TOPICS_ORACLE,
     )
-    from audience_finder_pro_spark.queries.llm import _IVF_PROBE_ORACLE
+    from audience_finder_pro_spark.queries.llm import (
+        _EVAL_SAMPLE_ORACLE,
+        _IVF_PROBE_ORACLE,
+    )
     from audience_finder_pro_spark.queries.relational import (
         _UNION_DISTINCT_ORACLE,
         _WINDOW_TOPK_ORACLE,
@@ -114,6 +117,7 @@ def _extra_oracles() -> dict[str, str]:
         "q18_union_distinct": _UNION_DISTINCT_ORACLE,
         "q09_window_topk": _WINDOW_TOPK_ORACLE,
         "ann_ivf_probe": _IVF_PROBE_ORACLE,
+        "eval_sample": _EVAL_SAMPLE_ORACLE,
     }
 
 

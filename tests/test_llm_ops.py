@@ -971,11 +971,10 @@ def test_eval_sample_matches_sql_oracle(spark, sf_smoke):
     from tests.oracle import compare
 
     from audience_finder_pro_spark.queries import QUERIES
-
-    from audience_finder_pro_spark.queries import ORACLES
+    from audience_finder_pro_spark.queries.llm import _EVAL_SAMPLE_ORACLE
 
     df = QUERIES["eval_sample"](spark, sf_smoke)
-    compare(df, ORACLES["eval_sample"], sf_smoke, name="eval_sample")
+    compare(df, _EVAL_SAMPLE_ORACLE, sf_smoke, name="eval_sample")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
 
