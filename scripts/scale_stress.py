@@ -457,6 +457,88 @@ def main() -> None:
         f"planted duplicate is rank-1 for {found}/{n_knn} vectors"
     )
 
+    # pagerank over a synthetic power-law-ish graph: hubs + random edges.
+    # The per-iteration shape (ranks join + groupBy dst) is what scales;
+    # rank mass must stay conserved (mean-1 form invariant).
+    from audience_finder_pro_spark.operators.graph import pagerank
+
+    n_nodes = 200_000 * factor // 50
+    edges = (
+        spark.range(n_nodes * 10)
+        .select(
+            (F.xxhash64(F.col("id"), F.lit(1)) % n_nodes).alias("src"),
+            F.when(
+                F.col("id") % 10 < 3,  # 30% of edges point at the 100 hub nodes
+                F.abs(F.xxhash64(F.col("id"), F.lit(2))) % 100,
+            )
+            .otherwise(F.abs(F.xxhash64(F.col("id"), F.lit(3))) % n_nodes)
+            .alias("dst"),
+        )
+        .select(F.abs(F.col("src")).alias("src"), "dst")
+    )
+    t0 = time.time()
+    pr = pagerank(edges, n_iter=10)
+    total_mass = pr.agg(F.sum("pagerank")).first()[0]
+    n_ranked = pr.count()
+    t_pr = time.time() - t0
+    print(
+        f"pagerank: {n_nodes} nodes / {n_nodes * 10} edges, 10 iterations in {t_pr:.1f}s; "
+        f"{n_ranked} ranked, mass {total_mass:.0f} (conserved ≈ n)"
+    )
+
+    # quality classifier: fit+score throughput — one sufficient-stats
+    # aggregate over the big frame, driver solve, literal scoring pass
+    n_docs = 2_000_000 * factor // 50
+    from audience_finder_pro_spark.operators.relevance import (
+        classifier_features,
+        fit_quality_classifier,
+        score_quality_classifier,
+    )
+
+    big_docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("sample text with the and that have with words repeated "),
+            (F.col("id") % 97).cast("string"),
+        ).alias("text"),
+        (F.col("id") % 7 == 0).cast("int").alias("y"),
+    )
+    t0 = time.time()
+    feats = classifier_features(big_docs, label=F.col("y")).filter(F.col("n_tok") > 0)
+    w = fit_quality_classifier(feats)
+    score_quality_classifier(feats, w).write.format("noop").mode("overwrite").save()
+    t_clf = time.time() - t0
+    print(f"quality_classifier: fit+score {n_docs} docs in {t_clf:.1f}s; weights {w}")
+
+    # c4 line cleaning: per-doc rewrite throughput (multi-line docs)
+    from audience_finder_pro_spark.operators.filtering import c4_filters
+
+    lines_docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.lit("a good long sentence with enough words to survive the filter."),
+            F.lit("short line."),
+            F.lit("another perfectly fine sentence that keeps plenty of words around."),
+            (F.col("id") % 13).cast("string"),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    c4_filters(lines_docs).write.format("noop").mode("overwrite").save()
+    t_c4 = time.time() - t0
+    print(f"c4_filters: {n_docs} multi-line docs rewritten in {t_c4:.1f}s")
+
+    # gumbel top-k: global TakeOrderedAndProject over the scored frame
+    from audience_finder_pro_spark.operators.sampling import gumbel_topk
+
+    scored_docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 1000 / 100.0).alias("score")
+    )
+    t0 = time.time()
+    picked = gumbel_topk(scored_docs, k=1000).count()
+    t_g = time.time() - t0
+    print(f"gumbel_topk: {picked} of {n_docs} docs selected in {t_g:.1f}s")
+
 
 if __name__ == "__main__":
     main()
