@@ -2206,7 +2206,10 @@ def c4_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked at the driver's own SF."""
     from audience_finder_pro_spark.operators.filtering import c4_filters
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the per-line filter evaluates interpreted (HOF lambda), so a
+    # single-row-group fixture scan would serialize all of it on one core
+    # (NOTES single-split lesson; measured 3.4s -> sub-second at sf0.1)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return c4_filters(
         docs, min_words_per_line=40, require_terminal_punct=False, min_sentences=0
     )
