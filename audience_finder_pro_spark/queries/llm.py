@@ -2359,3 +2359,66 @@ def cluster_topics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), F.col("label").alias("cluster")
     )
     return cluster_topics(docs, assign, k=5)
+
+
+# ------------------------------------------------ E33 data-validation suite
+_VALIDATE_ORACLE = """
+WITH n AS (SELECT count(*) AS n_rows FROM orders)
+SELECT r.rule, r.kind, r.column, n.n_rows, r.n_violations,
+       r.n_violations = 0 AS passed
+FROM (
+  SELECT 'orderkey_not_null' AS rule, 'not_null' AS kind, 'o_orderkey' AS column,
+         count(*) FILTER (WHERE o_orderkey IS NULL) AS n_violations FROM orders
+  UNION ALL
+  SELECT 'orderkey_unique', 'unique', 'o_orderkey',
+         count(*) - count(DISTINCT o_orderkey) FROM orders
+  UNION ALL
+  SELECT 'price_in_range', 'in_range', 'o_totalprice',
+         count(*) FILTER (WHERE o_totalprice IS NULL
+                          OR o_totalprice < 0 OR o_totalprice > 1000000) FROM orders
+  UNION ALL
+  SELECT 'priority_values', 'accepted_values', 'o_orderpriority',
+         count(*) FILTER (WHERE o_orderpriority IS NULL OR o_orderpriority NOT IN
+           ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')) FROM orders
+  UNION ALL
+  SELECT 'status_shape', 'matches_regex', 'o_orderstatus',
+         count(*) FILTER (WHERE o_orderstatus IS NULL
+                          OR NOT regexp_matches(o_orderstatus, '^[A-Z]$')) FROM orders
+  UNION ALL
+  SELECT 'fk_custkey', 'ref_integrity', 'o_custkey',
+         (SELECT count(*) FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+) r CROSS JOIN n
+"""
+
+
+@_q("validate_corpus", None)
+def validate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative validation gate
+    (operators/validate.validate_table): six constraint rules over the
+    orders table — null/unique/range/enum/regex in ONE aggregate pass,
+    FK integrity vs customer as one anti-join — reported as
+    (rule, kind, column, n_rows, n_violations, passed).
+    ``_VALIDATE_ORACLE`` recomputes every count in DuckDB; pytest
+    hash-checked at the driver's own SF."""
+    from audience_finder_pro_spark.operators.validate import validate_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rules = [
+        ("orderkey_not_null", "not_null", {"col": "o_orderkey"}),
+        ("orderkey_unique", "unique", {"cols": ["o_orderkey"]}),
+        ("price_in_range", "in_range", {"col": "o_totalprice", "lo": 0, "hi": 1_000_000}),
+        (
+            "priority_values",
+            "accepted_values",
+            {
+                "col": "o_orderpriority",
+                "values": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+            },
+        ),
+        ("status_shape", "matches_regex", {"col": "o_orderstatus", "pattern": "^[A-Z]$"}),
+        ("fk_custkey", "ref_integrity", {"col": "o_custkey", "ref": customer, "ref_col": "c_custkey"}),
+    ]
+    return validate_table(orders, rules)

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "quality_classifier",
     "similarity_pagerank",
     "cluster_topics",
+    "validate_corpus",
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as
@@ -95,6 +96,7 @@ def _extra_oracles() -> dict[str, str]:
     from audience_finder_pro_spark.queries.llm import (
         _EVAL_SAMPLE_ORACLE,
         _IVF_PROBE_ORACLE,
+        _VALIDATE_ORACLE,
     )
     from audience_finder_pro_spark.queries.relational import (
         _UNION_DISTINCT_ORACLE,
@@ -118,6 +120,7 @@ def _extra_oracles() -> dict[str, str]:
         "q09_window_topk": _WINDOW_TOPK_ORACLE,
         "ann_ivf_probe": _IVF_PROBE_ORACLE,
         "eval_sample": _EVAL_SAMPLE_ORACLE,
+        "validate_corpus": _VALIDATE_ORACLE,
     }
 
 

@@ -986,3 +986,51 @@ def test_similarity_pagerank_matches_sql_oracle(spark, sf_dir):
         sf_dir,
         name="similarity_pagerank",
     )
+
+
+# ---------------------------------------------------------------- E33 validation
+def test_validate_corpus_matches_sql_oracle(spark, sf_dir):
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _VALIDATE_ORACLE
+    from tests.oracle import compare
+
+    compare(
+        QUERIES["validate_corpus"](spark, sf_dir), _VALIDATE_ORACLE, sf_dir,
+        name="validate_corpus",
+    )
+
+
+def test_validate_table_counts_planted_violations(spark):
+    """One planted violation per rule kind on a crafted table; the report
+    must count each exactly and pass clean rules."""
+    from audience_finder_pro_spark.operators.validate import validate_table
+
+    rows = [
+        (1, 10, "A", 5.0, "ok"),
+        (2, 10, "B", -1.0, "ok"),       # range violation
+        (2, 11, "Z", 5.0, "ok"),        # duplicate id
+        (None, 12, "A", 5.0, "ok"),     # null id
+        (5, 99, "A", 5.0, "bad value"), # fk violation (99) + regex violation
+    ]
+    df = spark.createDataFrame(rows, "id long, fk long, cat string, x double, s string")
+    ref = spark.createDataFrame([(10,), (11,), (12,)], "k long")
+    rules = [
+        ("id_not_null", "not_null", {"col": "id"}),
+        ("id_unique", "unique", {"cols": ["id"]}),
+        ("x_range", "in_range", {"col": "x", "lo": 0, "hi": 100}),
+        ("cat_vals", "accepted_values", {"col": "cat", "values": ["A", "B"]}),
+        ("s_shape", "matches_regex", {"col": "s", "pattern": "^ok$"}),
+        ("fk_ok", "ref_integrity", {"col": "fk", "ref": ref, "ref_col": "k"}),
+    ]
+    out = {r.rule: r for r in validate_table(df, rules).collect()}
+    assert len(out) == 6 and all(r.n_rows == 5 for r in out.values())
+    assert out["id_not_null"].n_violations == 1 and not out["id_not_null"].passed
+    # ids (1,2,2,None,5): distinct ignores NULL in both engines, so the
+    # NULL key counts as a violation too (can't be proven unique) → 5-3
+    assert out["id_unique"].n_violations == 2
+    assert out["x_range"].n_violations == 1
+    assert out["cat_vals"].n_violations == 1       # 'Z'
+    assert out["s_shape"].n_violations == 1        # 'bad value'
+    assert out["fk_ok"].n_violations == 1          # fk=99
+    clean = validate_table(df.filter("id = 1"), rules).collect()
+    assert all(r.passed for r in clean)
