@@ -197,3 +197,36 @@ def distribution_drift(
         .limit(k)
     )
     return metrics.unionByName(movers)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff — the audit step of every incremental crawl
+    refresh: which documents were added, removed, or changed between two
+    corpus versions, keyed by id with content compared by normalized
+    hash (so whitespace-only churn doesn't read as change).
+
+    Returns (id, status ∈ {added, removed, changed, unchanged}) for the
+    union of ids. Scale shape: both sides reduce to (id, hash)
+    projections before the single full-outer id-keyed shuffle join —
+    content never moves, only ids and 32-byte hashes; at 100 TB this is
+    the minimal possible wire for an exact diff. Compose with
+    ``incremental_dedup`` (which verdicts the *added* remnant against
+    the existing corpus) for the full ingest path.
+    """
+    from audience_finder_pro_spark.functions.text import norm_text_hash
+
+    o = old.select(F.col(id_col).alias("id"), norm_text_hash(text_col).alias("h_old"))
+    n = new.select(F.col(id_col).alias("id"), norm_text_hash(text_col).alias("h_new"))
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col("id").alias(id_col), status.alias("status"))

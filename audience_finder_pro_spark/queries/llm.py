@@ -2422,3 +2422,63 @@ def validate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("fk_custkey", "ref_integrity", {"col": "o_custkey", "ref": customer, "ref_col": "c_custkey"}),
     ]
     return validate_table(orders, rules)
+
+
+# ------------------------------------------------ E34 corpus snapshot diff
+# The "next crawl" is simulated deterministically from the fixture inside
+# BOTH engines: every doc_id % 7 == 0 dropped (removed), % 5 == 0 gets a
+# token appended (changed), and 50 fresh ids appear (added) — so the diff
+# exercises all four statuses with a full SQL replay.
+_SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h_old
+  FROM documents
+),
+new AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(
+           CASE WHEN doc_id % 5 = 0 THEN text || ' refreshed' ELSE text END,
+           '\\s+', ' ', 'g')))) AS h_new
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, md5('new doc ' || CAST(doc_id AS VARCHAR))
+  FROM documents WHERE doc_id < 50
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.h_old IS NULL THEN 'added'
+            WHEN n.h_new IS NULL THEN 'removed'
+            WHEN o.h_old = n.h_new THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
+
+@_q("snapshot_diff", None)
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl audit (operators/profile.snapshot_diff): exact
+    added/removed/changed/unchanged classification between two corpus
+    snapshots via one (id, hash)-projected full-outer join — content
+    never shuffles. The new snapshot is a deterministic simulation of
+    the fixture (drop %7, modify %5, add 50) so ``_SNAPSHOT_DIFF_ORACLE``
+    replays the whole diff; pytest hash-checked at the driver's SF."""
+    from audience_finder_pro_spark.operators.profile import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" refreshed"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias("text"),
+            )
+        )
+    )
+    return snapshot_diff(docs, new)

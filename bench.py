@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "similarity_pagerank",
     "cluster_topics",
     "validate_corpus",
+    "snapshot_diff",
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as
@@ -96,6 +97,7 @@ def _extra_oracles() -> dict[str, str]:
     from audience_finder_pro_spark.queries.llm import (
         _EVAL_SAMPLE_ORACLE,
         _IVF_PROBE_ORACLE,
+        _SNAPSHOT_DIFF_ORACLE,
         _VALIDATE_ORACLE,
     )
     from audience_finder_pro_spark.queries.relational import (
@@ -121,6 +123,7 @@ def _extra_oracles() -> dict[str, str]:
         "ann_ivf_probe": _IVF_PROBE_ORACLE,
         "eval_sample": _EVAL_SAMPLE_ORACLE,
         "validate_corpus": _VALIDATE_ORACLE,
+        "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
     }
 
 

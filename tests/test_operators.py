@@ -1034,3 +1034,31 @@ def test_validate_table_counts_planted_violations(spark):
     assert out["fk_ok"].n_violations == 1          # fk=99
     clean = validate_table(df.filter("id = 1"), rules).collect()
     assert all(r.passed for r in clean)
+
+
+# ---------------------------------------------------------------- E34 snapshot diff
+def test_snapshot_diff_matches_sql_oracle(spark, sf_dir):
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _SNAPSHOT_DIFF_ORACLE
+    from tests.oracle import compare
+
+    compare(
+        QUERIES["snapshot_diff"](spark, sf_dir), _SNAPSHOT_DIFF_ORACLE, sf_dir,
+        name="snapshot_diff",
+    )
+
+
+def test_snapshot_diff_statuses(spark):
+    from audience_finder_pro_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "keep me"), (2, "will change"), (3, "will vanish"), (4, "ws   only")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "keep me"), (2, "changed now"), (4, "ws only"), (9, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    # whitespace-only churn (doc 4) must read as unchanged (normalized hash)
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "unchanged", 9: "added"}
