@@ -1050,3 +1050,40 @@ def q30_parse_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lines.groupBy("source").agg(
         F.count("*").alias("n_lines"), F.min("line").alias("first_line")
     )
+
+
+# ------------------------------------- F16+ semi-structured VARIANT (Spark 4)
+# Standalone oracle (declared-only; driver slots fully funded): DuckDB's
+# JSON operators replay the VARIANT path extraction.
+_VARIANT_ORACLE = """
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(CAST(props ->> 'k' AS INT)), 4) AS avg_k,
+           min(CAST(props ->> 'k' AS INT)) AS min_k,
+           max(CAST(props ->> 'k' AS INT)) AS max_k
+    FROM events GROUP BY event_type
+"""
+
+
+@_q("q31_variant_funcs", None)
+def q31_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics on Spark 4's VARIANT type: ``parse_json``
+    once into a variant column, then typed path extraction
+    (``try_variant_get``) feeding a plain aggregate — the open-format
+    answer to schemaless event properties (vs. per-query ``from_json``
+    with a declared schema, which q24 covers). At 100 TB the VARIANT
+    binary encoding decodes paths without re-parsing JSON text per
+    access. ``_VARIANT_ORACLE`` replays the extraction with DuckDB's
+    JSON operators; pytest hash-checked."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "cluster_topics",
     "validate_corpus",
     "snapshot_diff",
+    "q31_variant_funcs",
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as
@@ -102,6 +103,7 @@ def _extra_oracles() -> dict[str, str]:
     )
     from audience_finder_pro_spark.queries.relational import (
         _UNION_DISTINCT_ORACLE,
+        _VARIANT_ORACLE,
         _WINDOW_TOPK_ORACLE,
     )
     from audience_finder_pro_spark.queries.streaming import _SESSION_WINDOW_ORACLE
@@ -124,6 +126,7 @@ def _extra_oracles() -> dict[str, str]:
         "eval_sample": _EVAL_SAMPLE_ORACLE,
         "validate_corpus": _VALIDATE_ORACLE,
         "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
+        "q31_variant_funcs": _VARIANT_ORACLE,
     }
 
 

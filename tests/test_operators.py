@@ -1062,3 +1062,27 @@ def test_snapshot_diff_statuses(spark):
     got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
     # whitespace-only churn (doc 4) must read as unchanged (normalized hash)
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "unchanged", 9: "added"}
+
+
+# ------------------------------------------------------- F16+ VARIANT (Spark 4)
+def test_q31_variant_matches_sql_oracle(spark, sf_dir):
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.relational import _VARIANT_ORACLE
+    from tests.oracle import compare
+
+    compare(
+        QUERIES["q31_variant_funcs"](spark, sf_dir), _VARIANT_ORACLE, sf_dir,
+        name="q31_variant_funcs",
+    )
+
+
+def test_variant_malformed_and_missing_paths(spark):
+    """try_variant_get must yield NULL (not an error) on missing paths
+    and try_parse_json NULL on malformed payloads."""
+    df = spark.createDataFrame(
+        [('{"k": 1}',), ("not json at all",), ('{"other": 2}',)], "props string"
+    )
+    out = df.select(
+        F.try_variant_get(F.try_parse_json("props"), "$.k", "int").alias("k")
+    ).collect()
+    assert [r.k for r in out] == [1, None, None]
