@@ -1,0 +1,112 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+The two staple product-analytics operators every event warehouse ships
+(Amplitude/Mixpanel/GA semantics), expressed as pure DataFrame
+aggregates:
+
+- ``funnel``: strictly-ordered first-completion funnel — a user counts
+  for step i only with an event of type i at a timestamp STRICTLY after
+  their step-(i−1) completion time. Each step is one user-keyed
+  conditional-min aggregate joined to the previous step's completion
+  frame, so the plan is k−1 small joins over user-sized frames (the raw
+  event stream is scanned once per step with the step's type filter
+  pushed to the scan — at 100 TB the event_type partition/predicate
+  prunes most of it).
+- ``cohort_retention``: users cohorted by the week of their first
+  ``cohort_event`` (e.g. signup); retention(cohort, offset) = distinct
+  users with ANY event ``offset`` weeks after their cohort week /
+  cohort size. One first-touch aggregate + one distinct (user, week)
+  projection + one join — all user- or week-keyed, nothing wide.
+
+Both are deterministic (integer week buckets, min timestamps) and
+SQL-replayable for the DuckDB differentials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WEEK_SECONDS = 7 * 24 * 3600
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-step funnel summary: (step, step_idx, n_users, conversion)
+    where conversion = n_users(step) / n_users(first step), 4 dp.
+    """
+    prev = None  # (user, t_i) completion frame for the previous step
+    counts = []
+    for i, step in enumerate(steps):
+        ev = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("user"), F.col(ts_col).alias("t")
+        )
+        if prev is None:
+            cur = ev.groupBy("user").agg(F.min("t").alias("t"))
+        else:
+            cur = (
+                ev.join(prev.select("user", F.col("t").alias("t_prev")), "user")
+                .filter(F.col("t") > F.col("t_prev"))
+                .groupBy("user")
+                .agg(F.min("t").alias("t"))
+            )
+        counts.append(
+            cur.agg(F.count("*").alias("n_users")).select(
+                F.lit(step).alias("step"),
+                F.lit(i + 1).alias("step_idx"),
+                "n_users",
+            )
+        )
+        prev = cur
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    base = counts[0].select(F.col("n_users").alias("n_base"))  # 1 row → broadcast
+    return out.crossJoin(F.broadcast(base)).select(
+        "step",
+        "step_idx",
+        "n_users",
+        F.round(F.col("n_users") / F.col("n_base"), 4).alias("conversion"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    cohort_event: str = "signup",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_week, week_offset, n_active, n_cohort, retention) — the
+    classic retention triangle. Weeks are epoch-second // 604800 integer
+    buckets (identical arithmetic in the SQL oracle); offset 0 is the
+    cohort week itself (retention 1.0 for signup-activity overlap).
+    """
+    week = (F.unix_timestamp(F.col(ts_col)) / F.lit(WEEK_SECONDS)).cast("long")
+    first = (
+        events.filter(F.col(type_col) == cohort_event)
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(F.min(week).alias("cohort_week"))
+    )
+    sizes = first.groupBy("cohort_week").agg(F.count("*").alias("n_cohort"))
+    activity = events.select(
+        F.col(user_col).alias("user"), week.alias("week")
+    ).distinct()
+    ret = (
+        activity.join(first, "user")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user").alias("n_active"))
+    )
+    return ret.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort"), 4).alias("retention"),
+    )

@@ -1087,3 +1087,72 @@ def q31_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# --------------------------------------- W+ event funnel / cohort retention
+_FUNNEL_ORACLE = """
+    WITH s1 AS (
+      SELECT user_id AS u, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.u
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+    ),
+    c AS (
+      SELECT 'view' AS step, 1 AS step_idx, (SELECT count(*) FROM s1) AS n_users
+      UNION ALL SELECT 'click', 2, (SELECT count(*) FROM s2)
+      UNION ALL SELECT 'purchase', 3, (SELECT count(*) FROM s3)
+    )
+    SELECT step, step_idx, n_users,
+           round(CAST(n_users AS DOUBLE) / (SELECT count(*) FROM s1), 4) AS conversion
+    FROM c
+"""
+
+_COHORT_ORACLE = """
+    WITH first AS (
+      SELECT user_id AS u, CAST(floor(min(epoch(ts)) / 604800) AS BIGINT) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    sizes AS (SELECT cohort_week, count(*) AS n_cohort FROM first GROUP BY 1),
+    activity AS (
+      SELECT DISTINCT user_id AS u, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+      FROM events
+    ),
+    ret AS (
+      SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+             count(DISTINCT a.u) AS n_active
+      FROM activity a JOIN first f ON a.u = f.u
+      WHERE a.week >= f.cohort_week
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort_week, r.week_offset, r.n_active, s.n_cohort,
+           round(CAST(r.n_active AS DOUBLE) / s.n_cohort, 4) AS retention
+    FROM ret r JOIN sizes s ON r.cohort_week = s.cohort_week
+"""
+
+
+@_q("funnel_steps", None)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view→click→purchase funnel
+    (operators/funnel.funnel): per-step completions + conversion from
+    the first step. ``_FUNNEL_ORACLE`` replays the chained
+    conditional-min semantics; pytest hash-checked."""
+    from audience_finder_pro_spark.operators.funnel import funnel
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel(events)
+
+
+@_q("cohort_retention", None)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly signup-cohort retention triangle
+    (operators/funnel.cohort_retention). ``_COHORT_ORACLE`` replays the
+    integer week-bucket arithmetic; pytest hash-checked."""
+    from audience_finder_pro_spark.operators.funnel import cohort_retention
+
+    events = load_table(spark, sf_dir, "events")
+    return cohort_retention(events)

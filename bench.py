@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "validate_corpus",
     "snapshot_diff",
     "q31_variant_funcs",
+    "funnel_steps",
+    "cohort_retention",
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as
@@ -102,6 +104,8 @@ def _extra_oracles() -> dict[str, str]:
         _VALIDATE_ORACLE,
     )
     from audience_finder_pro_spark.queries.relational import (
+        _COHORT_ORACLE,
+        _FUNNEL_ORACLE,
         _UNION_DISTINCT_ORACLE,
         _VARIANT_ORACLE,
         _WINDOW_TOPK_ORACLE,
@@ -127,6 +131,8 @@ def _extra_oracles() -> dict[str, str]:
         "validate_corpus": _VALIDATE_ORACLE,
         "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
         "q31_variant_funcs": _VARIANT_ORACLE,
+        "funnel_steps": _FUNNEL_ORACLE,
+        "cohort_retention": _COHORT_ORACLE,
     }
 
 

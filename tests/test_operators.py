@@ -1086,3 +1086,58 @@ def test_variant_malformed_and_missing_paths(spark):
         F.try_variant_get(F.try_parse_json("props"), "$.k", "int").alias("k")
     ).collect()
     assert [r.k for r in out] == [1, None, None]
+
+
+# -------------------------------------------------- W+ funnel / cohort retention
+def test_funnel_and_cohort_match_sql_oracles(spark, sf_dir):
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.relational import _COHORT_ORACLE, _FUNNEL_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["funnel_steps"](spark, sf_dir), _FUNNEL_ORACLE, sf_dir, name="funnel_steps")
+    compare(
+        QUERIES["cohort_retention"](spark, sf_dir), _COHORT_ORACLE, sf_dir,
+        name="cohort_retention",
+    )
+
+
+def test_funnel_strict_ordering_semantics(spark):
+    """A user whose purchase happens BEFORE their click must not count as
+    step 3; equal timestamps do not advance the funnel (strictly after)."""
+    from audience_finder_pro_spark.operators.funnel import funnel
+
+    rows = [
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),   # full funnel
+        (2, "view", 10), (2, "purchase", 15), (2, "click", 20),   # purchase too early
+        (3, "view", 10), (3, "click", 10),                        # tie: not after
+        (4, "click", 5),                                          # no view: never enters
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, t long").select(
+        "user_id", "event_type", F.timestamp_seconds("t").alias("ts")
+    )
+    out = {r.step: r for r in funnel(df).collect()}
+    assert out["view"].n_users == 3
+    assert out["click"].n_users == 2          # users 1 and 2
+    assert out["purchase"].n_users == 1       # user 1 only
+    assert out["purchase"].conversion == round(1 / 3, 4)
+
+
+def test_cohort_retention_semantics(spark):
+    """Two cohorts a week apart; offset-0 retention is 1.0 and later
+    offsets count only users actually active that week."""
+    from audience_finder_pro_spark.operators.funnel import cohort_retention
+
+    W = 604800
+    rows = [
+        (1, "signup", 0), (2, "signup", 0), (3, "signup", W),
+        (1, "view", W),                     # cohort-0 user active in week 1
+        (2, "view", 2 * W), (3, "view", W),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, t long").select(
+        "user_id", "event_type", F.timestamp_seconds("t").alias("ts")
+    )
+    got = {(r.cohort_week, r.week_offset): r for r in cohort_retention(df).collect()}
+    assert got[(0, 0)].n_active == 2 and got[(0, 0)].retention == 1.0
+    assert got[(0, 1)].n_active == 1 and got[(0, 1)].retention == 0.5
+    assert got[(0, 2)].n_active == 1
+    assert got[(1, 0)].n_active == 1 and got[(1, 0)].n_cohort == 1
