@@ -337,3 +337,29 @@ def test_quantile_bins_monotone_and_complete(spark, vals, n_bins):
     assert len(out) == len(vals)
     assert all(0 <= b < n_bins for _, b in out)
     assert all(b1 <= b2 for (_, b1), (_, b2) in zip(out, out[1:]))
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=30,
+    ),
+    st.booleans(),
+)
+def test_pagerank_mass_and_reference(spark, edges, dangling):
+    """On ANY random digraph: with dangling redistribution total rank
+    mass equals the node count (the mean-1 invariant), and the
+    distributed result matches the pure-python recurrence exactly at
+    4 dp regardless of graph shape."""
+    from audience_finder_pro_spark.operators.graph import pagerank
+    from tests.test_operators import _pagerank_ref
+
+    edges = list(set(edges))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.pagerank for r in pagerank(df, n_iter=6, handle_dangling=dangling).collect()}
+    assert got == _pagerank_ref(edges, n_iter=6, dangling=dangling)
+    if dangling:
+        n = len({u for u, _ in edges} | {v for _, v in edges})
+        assert abs(sum(got.values()) - n) < 1e-2
