@@ -71,7 +71,11 @@ def funnel(
         "step",
         "step_idx",
         "n_users",
-        F.round(F.col("n_users") / F.col("n_base"), 4).alias("conversion"),
+        # ANSI guard: zero first-step events → n_base 0; NULL conversion
+        # beats a job-killing DIVIDE_BY_ZERO on a degenerate events frame
+        F.when(
+            F.col("n_base") > 0, F.round(F.col("n_users") / F.col("n_base"), 4)
+        ).alias("conversion"),
     )
 
 

@@ -154,9 +154,15 @@ def lm_score_docs(
         .select(
             id_col,
             "n",
-            F.log(
-                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
-                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            # ANSI guard: an EMPTY train corpus gives V=0 and c1 NULL → the
+            # Laplace denominator is 0 for every scored bigram; NULL logp
+            # (→ NULL lm_logprob) on that degenerate input, not DIVIDE_BY_ZERO
+            F.when(
+                F.coalesce(F.col("c1"), F.lit(0)) + F.col("v") > 0,
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+                ),
             ).alias("logp"),
         )
     )

@@ -192,8 +192,12 @@ def mixture_weights(
         group_col,
         "n_docs",
         "n_tokens",
-        (F.col("n_tokens") / F.col("tot_tokens")).alias("raw_share"),
-        (F.col("pw") / F.col("tot_pw")).alias("weight"),
+        # ANSI guard: an all-empty corpus slice makes both totals 0 —
+        # NULL shares on degenerate input, not a DIVIDE_BY_ZERO
+        F.when(F.col("tot_tokens") > 0, F.col("n_tokens") / F.col("tot_tokens")).alias(
+            "raw_share"
+        ),
+        F.when(F.col("tot_pw") > 0, F.col("pw") / F.col("tot_pw")).alias("weight"),
     )
 
 

@@ -726,6 +726,7 @@ def knn_graph(
     n_lists: int = 32,
     n_probe: int = 3,
     max_exact_rows: int = 500_000,
+    max_exact_bytes: int = 256_000_000,
     chunk_rows: int = 4096,
 ) -> DataFrame:
     """k-nearest-neighbor graph over one embedding corpus: for every
@@ -739,9 +740,13 @@ def knn_graph(
     Two paths:
 
     - ``method="exact"``: the corpus (ids, vectors, norms) is collected
-      ONCE into a driver broadcast — bounded model state, gated at
-      ``max_exact_rows`` (500k × dim 64 f64 ≈ 256 MB; the same budget
-      class as ``brute_force_topk``'s broadcast query side) — then ONE
+      ONCE into a driver broadcast — bounded model state, gated BOTH on
+      ``max_exact_rows`` and on estimated matrix bytes
+      ``n_rows × dim × 8 ≤ max_exact_bytes`` (default 256 MB ≡ the
+      documented 500k × dim 64 budget; dim is probed in the same job as
+      the count, so a dim-768 corpus that would collect ~3 GB raises
+      instead of OOM-ing the driver — the same budget class as
+      ``brute_force_topk``'s broadcast query side) — then ONE
       narrow ``mapInPandas`` pass over the corpus computes chunked
       ``X @ C.T`` BLAS products and local exact top-k per row. Zero
       shuffles, zero per-pair rows: the n² similarity slab only ever
@@ -774,11 +779,21 @@ def knn_graph(
     spark = df.sparkSession
 
     if method == "exact":
-        n_corpus = df.count()
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.size(F.col(vec_col))).alias("dim")
+        ).first()
+        n_corpus, dim = stats["n"], stats["dim"] or 0
         if n_corpus > max_exact_rows:
             raise ValueError(
                 f"knn_graph exact path: corpus has {n_corpus} rows > "
                 f"max_exact_rows={max_exact_rows}; use method='ivf'"
+            )
+        est_bytes = n_corpus * dim * 8
+        if est_bytes > max_exact_bytes:
+            raise ValueError(
+                f"knn_graph exact path: corpus matrix is ~{est_bytes / 1e6:.0f} MB "
+                f"({n_corpus} rows x dim {dim} f64) > max_exact_bytes="
+                f"{max_exact_bytes}; use method='ivf'"
             )
         rows = sorted(df.select(id_col, vec_col).collect(), key=lambda r: r[0])
         if not rows:  # empty corpus: no neighbors to emit, np.stack would throw

@@ -88,13 +88,20 @@ def validate_table(
     for name, kind, p in scalar:
         col_label = ",".join(p["cols"]) if kind == "unique" else p["col"]
         stack_args.append((name, kind, col_label, f"_v_{name}"))
-    stack_expr = "stack({n}, {legs}) as (rule, kind, column, n_violations)".format(
-        n=len(stack_args),
-        legs=", ".join(f"'{n}', '{k}', '{c}', {v}" for n, k, c, v in stack_args),
-    )
-    report = one.select(F.expr(stack_expr), F.col("_n").alias("n_rows")).select(
-        "rule", "kind", "column", "n_rows", F.col("n_violations").cast("long").alias("n_violations")
-    )
+    if stack_args:
+        stack_expr = "stack({n}, {legs}) as (rule, kind, column, n_violations)".format(
+            n=len(stack_args),
+            legs=", ".join(f"'{n}', '{k}', '{c}', {v}" for n, k, c, v in stack_args),
+        )
+        report = one.select(F.expr(stack_expr), F.col("_n").alias("n_rows")).select(
+            "rule", "kind", "column", "n_rows", F.col("n_violations").cast("long").alias("n_violations")
+        )
+    else:
+        # FK-only rules list: 'stack(0, )' would fail analysis — start the
+        # report empty and let the FK legs union in below
+        if not fks:
+            raise ValueError("validate_table: rules list is empty")
+        report = None
 
     n_frame = df.agg(F.count(F.lit(1)).alias("n_rows"))  # 1 row → broadcast NLJ
     for name, kind, p in fks:
@@ -115,6 +122,6 @@ def validate_table(
             "n_rows",
             F.col("n_violations").cast("long").alias("n_violations"),
         )
-        report = report.unionByName(leg)
+        report = leg if report is None else report.unionByName(leg)
 
     return report.withColumn("passed", F.col("n_violations") == 0)

@@ -389,8 +389,14 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = "afp_ann_ivf_probe_idx"
     if _IVF_BUILT.get("key") != key or not spark.catalog.tableExists(table):
         # explicit external location: the session warehouse defaults to
-        # cwd/spark-warehouse, which may not be writable where the driver runs
-        idx_path = os.path.join(tempfile.gettempdir(), "afp_ann_ivf_probe_index")
+        # cwd/spark-warehouse, which may not be writable where the driver runs.
+        # Per-PID dir: a fixed path let a concurrent process's rebuild (mode
+        # overwrite deletes first) yank part-files out from under this one's
+        # probe scan — observed FAILED_READ_FILE.FILE_NOT_EXIST when bench.py
+        # and driver_sim.py ran side by side.
+        idx_path = os.path.join(
+            tempfile.gettempdir(), f"afp_ann_ivf_probe_index_{os.getpid()}"
+        )
         ivf_build_index(emb, table, n_lists=32, path=idx_path)
         _IVF_BUILT["key"] = key  # single entry: a different sf_dir rebuilds
     return ivf_probe_indexed(spark, table, queries, k=10, n_probe=4)
@@ -1635,19 +1641,31 @@ def media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------ E17 BPE subword tokenizer (train+apply)
+# session-scoped BPE merge-list memo, keyed (applicationId, sf_dir): the fit
+# is deterministic (md5-ordered sample), so repeat invocations on the same
+# corpus re-pay only the encode, not the ~0.3s train — the same
+# build-once-probe-many shape as _IVF_BUILT (VERDICT r6 item 5)
+_BPE_MERGES: dict = {}
+
+
 @_q("bpe_tokenize", None)
 def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real subword tokenization end-to-end (operators/bpe): fit a BPE
     merge list on a deterministic md5-ordered corpus sample (bounded
-    model state, like the IVF centroids), broadcast it, Arrow-encode the
-    corpus in one shuffle-free map stage, and report per-source subword
-    statistics (vs token_count's chars/4 estimate). Python encode path →
-    no SQL oracle; python-reference equality, determinism, and
-    reconstruction tests live in tests/test_llm_ops.py."""
+    model state, like the IVF centroids — memoized per (session, sf_dir)),
+    broadcast it, Arrow-encode the corpus in one shuffle-free map stage,
+    and report per-source subword statistics (vs token_count's chars/4
+    estimate). Python encode path → no SQL oracle; python-reference
+    equality, determinism, and reconstruction tests live in
+    tests/test_llm_ops.py."""
     from audience_finder_pro_spark.operators.bpe import bpe_encode, train_bpe
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    merges = train_bpe(docs, n_merges=200, sample_docs=2000)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if _BPE_MERGES.get("key") != key:
+        _BPE_MERGES["key"] = key  # single entry: a different corpus refits
+        _BPE_MERGES["merges"] = train_bpe(docs, n_merges=200, sample_docs=2000)
+    merges = _BPE_MERGES["merges"]
     enc = bpe_encode(docs, merges)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return (
@@ -2393,15 +2411,15 @@ FROM (
 """
 
 
-@_q("validate_corpus", None)
+@_q("validate_corpus", _VALIDATE_ORACLE)
 def validate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style declarative validation gate
     (operators/validate.validate_table): six constraint rules over the
     orders table — null/unique/range/enum/regex in ONE aggregate pass,
     FK integrity vs customer as one anti-join — reported as
     (rule, kind, column, n_rows, n_violations, passed).
-    ``_VALIDATE_ORACLE`` recomputes every count in DuckDB; pytest
-    hash-checked at the driver's own SF."""
+    ``_VALIDATE_ORACLE`` recomputes every count in DuckDB (driver slot
+    funded by merge #15, r9 — the q28/q31 → q24 semi-structured fold)."""
     from audience_finder_pro_spark.operators.validate import validate_table
 
     orders = load_table(spark, sf_dir, "orders")

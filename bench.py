@@ -23,7 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from audience_finder_pro_spark.caching import free_checkpoint
-from audience_finder_pro_spark.queries import ORACLES, QUERIES
+from audience_finder_pro_spark.queries import _STATEFUL_PLANS, ORACLES, QUERIES
 from audience_finder_pro_spark.session import TABLES, get_spark
 
 # headline set: one per operator family, weighted toward the scan/join/agg
@@ -106,6 +106,8 @@ def _extra_oracles() -> dict[str, str]:
     from audience_finder_pro_spark.queries.relational import (
         _COHORT_ORACLE,
         _FUNNEL_ORACLE,
+        _JSON_FUNCS_ORACLE,
+        _MAP_FUNCS_ORACLE,
         _UNION_DISTINCT_ORACLE,
         _VARIANT_ORACLE,
         _WINDOW_TOPK_ORACLE,
@@ -133,6 +135,8 @@ def _extra_oracles() -> dict[str, str]:
         "q31_variant_funcs": _VARIANT_ORACLE,
         "funnel_steps": _FUNNEL_ORACLE,
         "cohort_retention": _COHORT_ORACLE,
+        "q28_map_funcs": _MAP_FUNCS_ORACLE,
+        "q24_json_agg": _JSON_FUNCS_ORACLE,
     }
 
 
@@ -237,6 +241,21 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = time.perf_counter() - t0
                 timings[name] = min(timings.get(name, float("inf")), elapsed)
+                prev = handles.get(name)
+                if prev is not None and prev is not df and name in _STATEFUL_PLANS:
+                    # _STATEFUL_PLANS queries bypass the prepared-plan memo,
+                    # rebuild per pass, and OWN their checkpoints — free the
+                    # previous pass's blocks now instead of leaking two passes'
+                    # worth until the ContextCleaner collects them. Everything
+                    # else keeps the end-of-run cleanup only: memoized queries
+                    # hand back the same DataFrame (prev is df), and bench-extra
+                    # stages like ann_cosine_768 rebuild per pass around a
+                    # SHARED session-scoped checkpointed corpus that an eager
+                    # free here would rip out from under passes 2-3 (observed
+                    # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
+                    for c in getattr(prev, "_owned_caches", []):
+                        c.unpersist()
+                    free_checkpoint(prev)
                 handles[name] = df
                 if _pass == 2:
                     counts[name] = df.count()  # row count for the report; untimed
@@ -293,7 +312,29 @@ def main() -> None:
                 )
     if failed:
         result["failed"] = failed
-    print(json.dumps(result))
+    # The graded artifact keeps only the LAST ~2000 chars of stdout, and the
+    # full result line (spark + duckdb per-query dicts) outgrew that window in
+    # round 6 ("parsed": null — the grade was lost). Emit the FULL result to
+    # BENCH_DETAIL.json + stderr for humans, and print a COMPACT grade line
+    # LAST on stdout: ratios always, per-query spark timings only as long as
+    # the line stays well under the capture window (fastest rows dropped
+    # first — the slow rows are the informative ones).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+    except OSError as ex:
+        print(f"# could not write {detail_path}: {ex}", file=sys.stderr)
+    print("# full result: " + json.dumps(result), file=sys.stderr)
+    compact = {k: v for k, v in result.items() if k not in ("queries", "duckdb_queries")}
+    compact["detail"] = "BENCH_DETAIL.json"
+    q2 = {k: round(v, 2) for k, v in sorted(timings.items(), key=lambda kv: -kv[1])}
+    while q2 and len(json.dumps(compact | {"queries": q2})) > 1700:
+        q2.pop(next(reversed(q2)))  # drop the current fastest row
+    compact["queries"] = q2
+    if len(q2) < len(timings):
+        compact["queries_omitted"] = len(timings) - len(q2)
+    print(json.dumps(compact))
 
 
 def duckdb_timings(sf_dir: str) -> dict[str, float]:

@@ -1120,6 +1120,32 @@ def test_bpe_learns_frequent_merges(spark, sf_smoke):
     assert row.r < 0.6  # far fewer subwords than characters
 
 
+def test_bpe_tokenize_memoizes_fit_per_corpus(spark, sf_smoke, monkeypatch):
+    """Repeat bpe_tokenize calls on the same (session, sf_dir) must skip
+    the train_bpe fit (VERDICT r6 item 5) and return identical results;
+    a different sf_dir key refits."""
+    import audience_finder_pro_spark.operators.bpe as bpe_mod
+    import audience_finder_pro_spark.queries.llm as llm_mod
+
+    calls = {"n": 0}
+    real_train = bpe_mod.train_bpe
+
+    def counting_train(*a, **kw):
+        calls["n"] += 1
+        return real_train(*a, **kw)
+
+    monkeypatch.setattr(bpe_mod, "train_bpe", counting_train)
+    monkeypatch.setattr(llm_mod, "_BPE_MERGES", {}, raising=True)
+    fn = getattr(llm_mod.QUERIES["bpe_tokenize"], "__wrapped__", llm_mod.QUERIES["bpe_tokenize"])
+    first = fn(spark, sf_smoke).collect()
+    assert calls["n"] == 1
+    second = fn(spark, sf_smoke).collect()
+    assert calls["n"] == 1  # memo hit: no refit
+    assert first == second
+    fn(spark, sf_smoke + "/")  # same corpus modulo trailing slash: still memo-hit
+    assert calls["n"] == 1
+
+
 def test_gapfill_rollup_matches_duckdb(spark, sf_smoke):
     """E18: the dense gap-filled hourly rollup hash-matches a DuckDB CTE
     (epoch-aligned buckets, per-key generate_series spine, IGNORE NULLS
@@ -1397,6 +1423,25 @@ def test_knn_graph_exact_gate_raises(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="max_exact_rows"):
         knn_graph(emb, k=5, max_exact_rows=10)
+
+
+def test_knn_graph_exact_gate_is_byte_budgeted(spark):
+    """The exact-path driver collect scales with rows × dim, not rows: a
+    high-dim corpus that passes the row gate must still raise (at dim 768,
+    500k rows would be a ~3 GB driver broadcast). The budget is
+    n_rows × dim × 8 bytes ≤ max_exact_bytes."""
+    from audience_finder_pro_spark.operators.similarity import knn_graph
+
+    dim = 768
+    rows = [(i, [float((i * 31 + j) % 17) for j in range(dim)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # 50 × 768 × 8 = 307,200 bytes > a 100 KB budget → must raise with the
+    # same use-ivf guidance as the row gate
+    with pytest.raises(ValueError, match="max_exact_bytes.*|use method='ivf'"):
+        knn_graph(emb, k=3, max_exact_bytes=100_000)
+    # and the identical corpus under a sufficient budget still answers
+    out = knn_graph(emb, k=3, max_exact_bytes=400_000)
+    assert out.count() == 3 * 50
 
 
 def test_knn_graph_ivf_planted_clusters_recall(spark):

@@ -1064,6 +1064,40 @@ def test_snapshot_diff_statuses(spark):
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "unchanged", 9: "added"}
 
 
+# ------------------------------------------------------- merge-#16 constituents
+def test_revenue_constituents_match_sql_oracles(spark, sf_dir):
+    """The q02 carrier frame (merge #16) is driver-checked; the demoted
+    'df' and 'sql' constituents keep their own standalone hash gates."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.relational import (
+        _REVENUE_DF_ORACLE,
+        _SQL_INTERFACE_ORACLE,
+    )
+    from tests.oracle import compare
+
+    compare(QUERIES["q02_revenue_df"](spark, sf_dir), _REVENUE_DF_ORACLE, sf_dir,
+            name="q02_revenue_df")
+    compare(QUERIES["q29_sql_interface"](spark, sf_dir), _SQL_INTERFACE_ORACLE, sf_dir,
+            name="q29_sql_interface")
+
+
+# ------------------------------------------------------- F16 merged constituents
+def test_semistructured_constituents_match_sql_oracles(spark, sf_dir):
+    """The q24 carrier frame (merge #15) is driver-checked; the demoted
+    constituents keep their own standalone hash gates here."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.relational import (
+        _JSON_FUNCS_ORACLE,
+        _MAP_FUNCS_ORACLE,
+    )
+    from tests.oracle import compare
+
+    compare(QUERIES["q24_json_agg"](spark, sf_dir), _JSON_FUNCS_ORACLE, sf_dir,
+            name="q24_json_agg")
+    compare(QUERIES["q28_map_funcs"](spark, sf_dir), _MAP_FUNCS_ORACLE, sf_dir,
+            name="q28_map_funcs")
+
+
 # ------------------------------------------------------- F16+ VARIANT (Spark 4)
 def test_q31_variant_matches_sql_oracle(spark, sf_dir):
     from audience_finder_pro_spark.queries import QUERIES
@@ -1120,6 +1154,56 @@ def test_funnel_strict_ordering_semantics(spark):
     assert out["click"].n_users == 2          # users 1 and 2
     assert out["purchase"].n_users == 1       # user 1 only
     assert out["purchase"].conversion == round(1 / 3, 4)
+
+
+def test_degenerate_inputs_yield_null_not_ansi_error(spark):
+    """ANSI mode is on: every ratio whose denominator can be 0 on a
+    degenerate-but-legal input must yield NULL, not DIVIDE_BY_ZERO —
+    funnel with zero first-step events, mixture weights over an
+    all-empty corpus slice, LM scoring under an empty train corpus."""
+    from audience_finder_pro_spark.operators.funnel import funnel
+    from audience_finder_pro_spark.operators.relevance import lm_score_docs
+    from audience_finder_pro_spark.operators.sampling import mixture_weights
+
+    no_views = spark.createDataFrame(
+        [(1, "click", 5), (1, "purchase", 9)], "user_id long, event_type string, t long"
+    ).select("user_id", "event_type", F.timestamp_seconds("t").alias("ts"))
+    out = funnel(no_views).collect()
+    assert [r.n_users for r in sorted(out, key=lambda r: r.step_idx)] == [0, 0, 0]
+    assert all(r.conversion is None for r in out)
+
+    empty_text = spark.createDataFrame(
+        [(1, "", "web"), (2, "   ", "web"), (3, None, "books")],
+        "doc_id long, text string, source string",
+    )
+    w = mixture_weights(empty_text, group_col="source").collect()
+    assert {r.source for r in w} == {"web", "books"}
+    assert all(r.raw_share is None and r.weight is None for r in w)
+
+    empty_train = spark.createDataFrame([], "doc_id long, text string")
+    scored = lm_score_docs(empty_train, empty_text.limit(0).drop("source")).collect()
+    assert scored == []  # nothing to score either — but the plan must analyze+run
+    some_docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    scored2 = lm_score_docs(empty_train, some_docs).collect()
+    assert len(scored2) == 1 and scored2[0].lm_logprob is None
+
+
+def test_validate_table_fk_only_rules(spark):
+    """A rules list with only ref_integrity rules must produce an FK-only
+    report (no malformed stack(0)); an empty rules list raises."""
+    import pytest as _pytest
+
+    from audience_finder_pro_spark.operators.validate import validate_table
+
+    df = spark.createDataFrame([(1, 10), (2, 99)], "id long, fk long")
+    ref = spark.createDataFrame([(10,), (11,)], "k long")
+    out = validate_table(
+        df, [("fk_ok", "ref_integrity", {"col": "fk", "ref": ref, "ref_col": "k"})]
+    ).collect()
+    assert len(out) == 1
+    assert out[0].rule == "fk_ok" and out[0].n_violations == 1 and not out[0].passed
+    with _pytest.raises(ValueError, match="rules list is empty"):
+        validate_table(df, [])
 
 
 def test_cohort_retention_semantics(spark):

@@ -44,9 +44,10 @@ def test_q01_single_exchange_partial_agg(spark, sf_smoke, no_aqe):
 
 def test_q02_star_join_all_broadcast_locally(spark, sf_smoke, no_aqe):
     """At fixture scale every dim fits the broadcast threshold: the fact side
-    must not shuffle for any of the four joins."""
+    must not shuffle for any join in either leg of the merged carrier
+    (merge #16: 4 star-join BHJs on the df leg + 2 on the sql leg)."""
     plan = _plan(spark, "q02_revenue_by_nation", sf_smoke)
-    assert len(re.findall(r"BroadcastHashJoin", plan)) == 4
+    assert len(re.findall(r"BroadcastHashJoin", plan)) == 6
     assert "SortMergeJoin" not in plan
 
 
