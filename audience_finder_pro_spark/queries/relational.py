@@ -31,9 +31,7 @@ def _q(name: str, oracle: str | None):
 
 
 # ---------------------------------------------------------------- A7/F14/O1
-@_q(
-    "q01_pricing_summary",
-    """
+_PRICING_PLAIN_ORACLE = """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 4) AS sum_qty,
            round(sum(l_extendedprice), 4) AS sum_base_price,
@@ -46,9 +44,73 @@ def _q(name: str, oracle: str | None):
     FROM lineitem
     WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
+"""
+
+_SALTED_AGG_ORACLE = """
+    SELECT l_returnflag AS returnflag,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_price,
+           count(*) AS n_items,
+           round(sum(l_quantity) / count(l_quantity), 4) AS avg_qty,
+           round(max(l_discount), 4) AS max_disc
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@_q(
+    "q01_pricing_summary",
+    f"""
+    SELECT 'plain' AS op, l_returnflag AS k1, l_linestatus AS k2,
+           sum_qty AS v1, sum_base_price AS v2, sum_disc_price AS v3,
+           sum_charge AS v4, avg_qty AS v5, avg_price AS v6, avg_disc AS v7,
+           count_order AS n
+    FROM ({_PRICING_PLAIN_ORACLE})
+    UNION ALL
+    SELECT 'salted', returnflag, '', total_price, CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), avg_qty,
+           CAST(NULL AS DOUBLE), max_disc, n_items
+    FROM ({_SALTED_AGG_ORACLE})
     """,
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both A7/F14 lineitem aggregate surfaces in one tagged frame
+    (merge #17, r9 — funds a new driver-oracle slot): the 'plain'
+    TPC-H-Q1 hash agg and the 'salted' skew-split agg (former
+    q27_salted_agg's body — salting must stay result-identical to the
+    plain GROUP BY, so one hash verifies both). Padded
+    (op, k1, k2, v1..v7, n) schema; each constituent stays declared and
+    callable with its standalone oracle as a module constant."""
+    pad = F.lit(None).cast("double")
+    plain = q01_pricing_plain(spark, sf_dir).select(
+        F.lit("plain").alias("op"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("sum_qty").alias("v1"),
+        F.col("sum_base_price").alias("v2"),
+        F.col("sum_disc_price").alias("v3"),
+        F.col("sum_charge").alias("v4"),
+        F.col("avg_qty").alias("v5"),
+        F.col("avg_price").alias("v6"),
+        F.col("avg_disc").alias("v7"),
+        F.col("count_order").alias("n"),
+    )
+    salted = q27_salted_agg(spark, sf_dir).select(
+        F.lit("salted").alias("op"),
+        F.col("returnflag").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("total_price").alias("v1"),
+        pad.alias("v2"),
+        pad.alias("v3"),
+        pad.alias("v4"),
+        F.col("avg_qty").alias("v5"),
+        pad.alias("v6"),
+        F.col("max_disc").alias("v7"),
+        F.col("n_items").alias("n"),
+    )
+    return plain.unionByName(salted)
+
+
+@_q("q01_pricing_plain", None)  # oracle rides the merged q01 frame (merge #17)
+def q01_pricing_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan → filter (pushed to parquet) → hash agg (partial+final)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -1001,17 +1063,7 @@ def q24_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- skew-salted agg
-@_q(
-    "q27_salted_agg",
-    """
-    SELECT l_returnflag AS returnflag,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_price,
-           count(*) AS n_items,
-           round(sum(l_quantity) / count(l_quantity), 4) AS avg_qty,
-           round(max(l_discount), 4) AS max_disc
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
+@_q("q27_salted_agg", None)  # oracle rides the merged q01 frame (merge #17)
 def q27_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation over an EXTREMELY skewed key (l_returnflag has 3 values —
     a naive shuffle lands a third of 100 TB on one reducer). salted_agg
