@@ -199,16 +199,17 @@ def community_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return discover_communities(spark, sf_dir, queries=DISCOVERY_QUERIES, comment_limit=20)
 
 
-@_q(
-    "keyword_doc_freq",
-    f"""
+_KEYWORD_DOC_FREQ_ORACLE = f"""
     WITH keywords(kw_pos, keyword) AS (SELECT * FROM (VALUES {_KW_VALUES}))
     SELECT k.keyword, count(*) AS n_docs
     FROM documents d
     JOIN keywords k ON contains(lower({_NORM.format(c="d.text")}), lower(k.keyword))
     GROUP BY k.keyword
-    """,
-)
+"""
+
+
+# oracle rides the merged quarantine_report frame (merge #19)
+@_q("keyword_doc_freq", None)
 def keyword_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 in isolation: broadcast theta-join document frequency per keyword."""
     docs = load_table(spark, sf_dir, "documents")
@@ -236,6 +237,9 @@ comment_bad AS (
 SELECT entity, reason, count(*) AS n_rows
 FROM (SELECT * FROM post_bad UNION ALL SELECT * FROM comment_bad)
 GROUP BY entity, reason
+UNION ALL
+SELECT 'keyword' AS entity, keyword AS reason, n_docs AS n_rows
+FROM ({_KEYWORD_DOC_FREQ_ORACLE})
 """
 
 
@@ -246,7 +250,11 @@ def quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     121-129); the engine routes them through quarantine_invalid so dropped
     data is observable, and this query is the observability surface —
     counts by (entity, reason), first-match reason priority mirroring the
-    pipelines' filter order."""
+    pipelines' filter order. Merge #19 (r8, funds mixture_weights' driver
+    slot): the J1 keyword×documents doc-frequency counts ride along as an
+    'keyword' entity leg — same (string, string, bigint) shape, zero
+    padding; keyword_doc_freq stays declared and callable with its
+    standalone oracle as a module constant."""
     from audience_finder_pro_spark.functions.text import norm_ws
     from audience_finder_pro_spark.plans.views import reddit_views
     from audience_finder_pro_spark.sources.quarantine import quarantine_invalid
@@ -272,7 +280,12 @@ def quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_c = bad_c.groupBy("reason").agg(F.count("*").alias("n_rows")).withColumn(
         "entity", F.lit("comment")
     )
-    return rep_p.unionByName(rep_c).select("entity", "reason", "n_rows")
+    rep_k = keyword_doc_freq(spark, sf_dir).select(
+        F.lit("keyword").alias("entity"),
+        F.col("keyword").alias("reason"),
+        F.col("n_docs").alias("n_rows"),
+    )
+    return rep_p.unionByName(rep_c).select("entity", "reason", "n_rows").unionByName(rep_k)
 
 
 _SIGNAL_V1_ORACLE = f"""

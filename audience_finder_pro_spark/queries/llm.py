@@ -1663,8 +1663,12 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     if _BPE_MERGES.get("key") != key:
+        # train FIRST, stamp after success — a transient train failure must
+        # not leave the memo claiming this corpus (ADVICE r7; matches the
+        # _IVF_BUILT stamp-after-build pattern)
+        merges_fresh = train_bpe(docs, n_merges=200, sample_docs=2000)
         _BPE_MERGES["key"] = key  # single entry: a different corpus refits
-        _BPE_MERGES["merges"] = train_bpe(docs, n_merges=200, sample_docs=2000)
+        _BPE_MERGES["merges"] = merges_fresh
     merges = _BPE_MERGES["merges"]
     enc = bpe_encode(docs, merges)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -1750,12 +1754,12 @@ scored AS (
   FROM per_doc JOIN model m USING (token) CROSS JOIN tot t
 )
 SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
-       round(sum(n * logratio) / sum(n), 4) AS dsir_logratio
+       round(sum(n * logratio) / sum(n), 4) + 0.0 AS dsir_logratio
 FROM scored GROUP BY doc_id
 """
 
 
-@_q("dsir_select", None)
+@_q("dsir_select", _DSIR_ORACLE)
 def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection (operators/relevance.importance_score):
     every document scored by its mean token log-likelihood ratio between
@@ -1764,15 +1768,18 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-score tail is what survives into the training mixture. Pure
     DataFrame — one tagged-union model aggregate, token-key shuffle hash
     join, weighted per-doc mean; no Python, nothing driver-side.
-    Oracle as a module constant (_DSIR_ORACLE, pytest-verified): the
-    driver's 50 slots are fully funded, so this registers oracle-less."""
+    Driver-oracle row since r8 (slot funded by merge #21, q12→q10)."""
     from audience_finder_pro_spark.operators.relevance import importance_score
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     target = docs.filter(F.col("source") == "src0")
     out = importance_score(docs, target)
+    # + 0.0 normalizes IEEE -0.0 to +0.0 (same in the oracle): a doc whose
+    # mean logratio is a tiny negative rounds to -0.0 in DuckDB but +0.0 in
+    # Spark's HALF_UP round, and the driver hashes the STRING form where
+    # "-0.0" != "0.0" (caught live at sf0.1, six docs)
     return out.select(
-        "doc_id", "n_tokens", F.round("dsir_logratio", 4).alias("dsir_logratio")
+        "doc_id", "n_tokens", (F.round("dsir_logratio", 4) + F.lit(0.0)).alias("dsir_logratio")
     )
 
 
@@ -1817,18 +1824,18 @@ stacked AS (
 ),
 movers AS (
   SELECT 'mover' AS kind, token, round(p, 4) AS p_a, round(q, 4) AS p_b,
-         round(p - q, 4) AS delta
+         round(p - q, 4) + 0.0 AS delta
   FROM probs ORDER BY abs(p - q) DESC, token ASC LIMIT 10
 )
 SELECT 'metric' AS kind, token, CAST(NULL AS DOUBLE) AS p_a,
-       CAST(NULL AS DOUBLE) AS p_b, round(v, 4) AS delta
+       CAST(NULL AS DOUBLE) AS p_b, round(v, 4) + 0.0 AS delta
 FROM stacked
 UNION ALL
 SELECT * FROM movers
 """
 
 
-@_q("corpus_drift", None)
+@_q("corpus_drift", _DRIFT_ORACLE)
 def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-drift monitor (operators/profile.distribution_drift):
     token-distribution divergence between two corpus slices (src0 vs
@@ -1836,21 +1843,22 @@ def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jensen-Shannon, total variation, novel-vocabulary mass, plus the
     top-10 token movers by |p - q|. One tagged-union aggregate builds
     both distributions; the movers are a global top-k
-    (TakeOrderedAndProject), never a full sort. Oracle as a module
-    constant (_DRIFT_ORACLE, pytest-verified); registers oracle-less
-    under the funded 50-slot cap."""
+    (TakeOrderedAndProject), never a full sort. Driver-oracle row since
+    r8 (slot funded by merge #18, q06→q03)."""
     from audience_finder_pro_spark.operators.profile import distribution_drift
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     a = docs.filter(F.col("source") == "src0")
     b = docs.filter(F.col("source") == "src1")
     out = distribution_drift(a, b, k=10)
+    # + 0.0 on the signed column: a mover whose p-q rounds to a signed zero
+    # would hash "-0.0" != "0.0" between engines (the dsir_select lesson)
     return out.select(
         "kind",
         "token",
         F.round("p_a", 4).alias("p_a"),
         F.round("p_b", 4).alias("p_b"),
-        F.round("delta", 4).alias("delta"),
+        (F.round("delta", 4) + F.lit(0.0)).alias("delta"),
     )
 
 
@@ -1874,16 +1882,15 @@ FROM per CROSS JOIN tot
 """
 
 
-@_q("mixture_weights", None)
+@_q("mixture_weights", _MIXW_ORACLE)
 def mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pile/GPT-3-style mixture temperature weighting
     (operators/sampling.mixture_weights, alpha=0.7): per-source token
     shares flattened by share^alpha and renormalized — the weights that
     feed mixture_sample's per-source rates. One map-side-combined
     aggregate (token counts via size(tokens(text)) — a projection, no
-    explode), totals via broadcast NLJ. Oracle as a module constant
-    (_MIXW_ORACLE, pytest-verified); registers oracle-less under the
-    funded 50-slot cap."""
+    explode), totals via broadcast NLJ. Driver-oracle row since r8 (slot
+    funded by merge #19, keyword_doc_freq→quarantine_report)."""
     from audience_finder_pro_spark.operators.sampling import mixture_weights
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2055,13 +2062,14 @@ FROM mat m LEFT JOIN cnt c ON c.source_a = m.source_a AND c.source_b = m.source_
 """
 
 
-@_q("source_overlap", None)
+@_q("source_overlap", _OVERLAP_ORACLE)
 def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix (operators/dedup.source_overlap)
     over the oracle-checked exact-Jaccard pair pipeline: pairs-per-
     million possible doc pairs for every unordered source pair including
     the diagonal. ``_OVERLAP_ORACLE`` extends the shared _JACCARD_CTES
-    chain; pytest hash-checked at the driver's own SF."""
+    chain; driver-oracle row since r8 (slot funded by merge #20,
+    q04→q16)."""
     from audience_finder_pro_spark.operators.dedup import source_overlap
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
@@ -2471,14 +2479,15 @@ FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """
 
 
-@_q("snapshot_diff", None)
+@_q("snapshot_diff", _SNAPSHOT_DIFF_ORACLE)
 def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl audit (operators/profile.snapshot_diff): exact
     added/removed/changed/unchanged classification between two corpus
     snapshots via one (id, hash)-projected full-outer join — content
     never shuffles. The new snapshot is a deterministic simulation of
     the fixture (drop %7, modify %5, add 50) so ``_SNAPSHOT_DIFF_ORACLE``
-    replays the whole diff; pytest hash-checked at the driver's SF."""
+    replays the whole diff; driver-oracle row (fills the slot funded by
+    merge #17's q27→q01 demotion)."""
     from audience_finder_pro_spark.operators.profile import snapshot_diff
 
     docs = load_table(spark, sf_dir, "documents")

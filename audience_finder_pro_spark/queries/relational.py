@@ -215,9 +215,7 @@ def q02_revenue_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- J5 + O5 top-k
-@_q(
-    "q03_top_orders",
-    """
+_TOP_ORDERS_ORACLE = """
     SELECT o_orderkey, strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS order_date,
            c_mktsegment AS mktsegment,
            round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
@@ -227,9 +225,52 @@ def q02_revenue_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderkey, order_date, c_mktsegment
     ORDER BY revenue DESC, o_orderkey
     LIMIT 10
+"""
+
+_CROSS_JOIN_ORACLE = """
+    SELECT a.r_name AS region_a, b.r_name AS region_b
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey <> b.r_regionkey
+"""
+
+
+@_q(
+    "q03_top_orders",
+    f"""
+    SELECT 'top' AS op, order_date AS k1, mktsegment AS k2,
+           CAST(o_orderkey AS BIGINT) AS id1, revenue AS v1
+    FROM ({_TOP_ORDERS_ORACLE})
+    UNION ALL
+    SELECT 'cross', region_a, region_b, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM ({_CROSS_JOIN_ORACLE})
     """,
 )
 def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/O5 global top-k and J8 cartesian in one tagged frame (merge #18,
+    r8 — funds corpus_drift's driver-oracle slot): the heap top-10 'top'
+    leg (TakeOrderedAndProject, no full sort) and the region×region
+    'cross' leg. Padded (op, k1, k2, id1, v1) schema; each constituent
+    stays declared and callable with its standalone oracle as a module
+    constant."""
+    top = q03_top_orders_plain(spark, sf_dir).select(
+        F.lit("top").alias("op"),
+        F.col("order_date").alias("k1"),
+        F.col("mktsegment").alias("k2"),
+        F.col("o_orderkey").cast("long").alias("id1"),
+        F.col("revenue").alias("v1"),
+    )
+    cross = q06_cross_join(spark, sf_dir).select(
+        F.lit("cross").alias("op"),
+        F.col("region_a").alias("k1"),
+        F.col("region_b").alias("k2"),
+        F.lit(None).cast("long").alias("id1"),
+        F.lit(None).cast("double").alias("v1"),
+    )
+    return top.unionByName(cross)
+
+
+@_q("q03_top_orders_plain", None)  # oracle rides the merged q03 frame (merge #18)
+def q03_top_orders_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: orderBy+limit → TakeOrderedAndProject (heap, no full sort)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -249,9 +290,7 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- J6 semi
-@_q(
-    "q04_semi_anti_join",
-    """
+_SEMI_ANTI_ORACLE = """
     SELECT 'semi' AS op, o_orderpriority AS grp, count(*) AS n
     FROM orders
     WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
@@ -261,8 +300,11 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     GROUP BY c_mktsegment
-    """,
-)
+"""
+
+
+# oracle rides the merged q16 frame (merge #20)
+@_q("q04_semi_anti_join", None)
 def q04_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both J6 existential forms in one tagged result (the
     q16_intersect_except pattern — keeps every oracle-backed query inside
@@ -287,14 +329,7 @@ def q04_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- J8 cross
-@_q(
-    "q06_cross_join",
-    """
-    SELECT a.r_name AS region_a, b.r_name AS region_b
-    FROM region a CROSS JOIN region b
-    WHERE a.r_regionkey <> b.r_regionkey
-    """,
-)
+@_q("q06_cross_join", None)  # oracle rides the merged q03 frame (merge #18)
 def q06_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     a = region.alias("a")
@@ -420,10 +455,30 @@ def q09_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- W3 lag sessionize
+_SESSIONIZE_ORACLE = """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+    FROM sess GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------- W2 ranking
 @_q(
     "q10_window_rank_running",
-    """
+    f"""
     SELECT 'rank' AS op, c_custkey AS k1, n_name AS k2,
            CAST(rank()       OVER w AS DOUBLE) AS v1,
            CAST(dense_rank() OVER w AS DOUBLE) AS v2,
@@ -451,12 +506,20 @@ def q09_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders JOIN customer ON o_custkey = c_custkey
       ) WHERE rnk <= 3
     )
+    UNION ALL
+    SELECT 'sessionize' AS op, user_id AS k1, '' AS k2,
+           CAST(n_sessions AS DOUBLE) AS v1, CAST(n_events AS DOUBLE) AS v2,
+           NULL AS v3, NULL AS v4
+    FROM ({_SESSIONIZE_ORACLE})
     """,
 )
 def q10_window_rank_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 rank family + W4 frame specs + the former q09 per-group top-k
-    leg ('topk' rows, merged r8 — funds c4_clean's oracle slot) in one
-    tagged result; every window operator family stays oracle-checked."""
+    leg ('topk' rows, merged r8 — funds c4_clean's oracle slot) + the W3
+    lag/sessionize leg ('sessionize' rows, merge #21 r8 — funds
+    dsir_select's driver slot) in one tagged result; every window
+    operator family stays oracle-checked. q12 stays declared and
+    callable with its standalone oracle as a module constant."""
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
@@ -494,30 +557,22 @@ def q10_window_rank_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("v3"),
         F.lit(None).cast("double").alias("v4"),
     )
-    return rank_part.unionByName(running_part).unionByName(topk_part)
-
-
-# ---------------------------------------------------------------- W3 lag sessionize
-@_q(
-    "q12_sessionize",
-    """
-    WITH flagged AS (
-      SELECT user_id, ts,
-             CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-    ),
-    sess AS (
-      SELECT user_id, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      FROM flagged
+    sess_part = q12_sessionize(spark, sf_dir).select(
+        F.lit("sessionize").alias("op"),
+        F.col("user_id").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("n_sessions").cast("double").alias("v1"),
+        F.col("n_events").cast("double").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+        F.lit(None).cast("double").alias("v4"),
     )
-    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
-    FROM sess GROUP BY user_id
-    """,
-)
+    return (
+        rank_part.unionByName(running_part).unionByName(topk_part).unionByName(sess_part)
+    )
+
+
+# oracle rides the merged q10 frame (merge #21)
+@_q("q12_sessionize", None)
 def q12_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     s = sessionize(events, "user_id", "ts", 1800)
@@ -628,27 +683,31 @@ def q13_rollup_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- U3 intersect+except
 @_q(
     "q16_intersect_except",
-    """
-    SELECT 'intersect' AS op, n_name AS nation_name FROM (
-      SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
-      INTERSECT
-      SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
-    )
-    UNION ALL
-    SELECT 'except' AS op, n_name AS nation_name FROM (
-      SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
-      EXCEPT
-      SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
-    )
-    UNION ALL
-    SELECT 'union_' || role AS op, nation_name FROM (
-      SELECT DISTINCT nation_name, role FROM (
-        SELECT n_name AS nation_name, 'customer' AS role
-        FROM customer JOIN nation ON c_nationkey = n_nationkey
-        UNION ALL
-        SELECT n_name, 'supplier' FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    f"""
+    SELECT op, nation_name AS k1, CAST(NULL AS BIGINT) AS n FROM (
+      SELECT 'intersect' AS op, n_name AS nation_name FROM (
+        SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        INTERSECT
+        SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      )
+      UNION ALL
+      SELECT 'except' AS op, n_name AS nation_name FROM (
+        SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        EXCEPT
+        SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      )
+      UNION ALL
+      SELECT 'union_' || role AS op, nation_name FROM (
+        SELECT DISTINCT nation_name, role FROM (
+          SELECT n_name AS nation_name, 'customer' AS role
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          UNION ALL
+          SELECT n_name, 'supplier' FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        )
       )
     )
+    UNION ALL
+    SELECT op, grp AS k1, n FROM ({_SEMI_ANTI_ORACLE})
     """,
 )
 def q16_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,7 +716,11 @@ def q16_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('except', distinct EXCEPT semantics via subtract), and the former
     q18 UNION-then-DISTINCT legs riding as 'union_<role>' rows (merged
     r8 to free a driver slot — the distinct runs over (nation, role)
-    exactly as before, the role folds into the tag)."""
+    exactly as before, the role folds into the tag). Merge #20 (r8,
+    funds source_overlap's driver slot): the J6 semi/anti legs ride
+    along as ('semi'/'anti', grp, n) rows on the padded (op, k1, n)
+    schema; q04 stays declared and callable with its standalone oracle
+    as a module constant."""
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -673,7 +736,15 @@ def q16_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         q18_union_distinct(spark, sf_dir)
         .select(F.concat(F.lit("union_"), F.col("role")).alias("op"), "nation_name")
     )
-    return inter.unionByName(exc).unionByName(uni)
+    sets = (
+        inter.unionByName(exc)
+        .unionByName(uni)
+        .select("op", F.col("nation_name").alias("k1"), F.lit(None).cast("long").alias("n"))
+    )
+    semi_anti = q04_semi_anti_join(spark, sf_dir).select(
+        "op", F.col("grp").alias("k1"), F.col("n")
+    )
+    return sets.unionByName(semi_anti)
 
 
 # ---------------------------------------------------------------- U1/U2 union+dedup

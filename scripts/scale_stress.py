@@ -539,6 +539,139 @@ def main() -> None:
     t_g = time.time() - t0
     print(f"gumbel_topk: {picked} of {n_docs} docs selected in {t_g:.1f}s")
 
+    # ------- r8: 50x datapoints for the newly driver-badged tier (VERDICT r7 #5)
+    # validate_table: planted-violation table — every count must come back EXACT
+    from audience_finder_pro_spark.operators.validate import validate_table
+
+    vt = spark.range(n_docs).select(
+        F.col("id"),
+        F.when(F.col("id") % 1000 != 0, F.col("id")).alias("maybe_null"),
+        (F.col("id") % 100).alias("val"),
+        (F.col("id") - F.col("id") % 2).alias("dup_key"),
+        (F.col("id") % 11).alias("fk"),
+    )
+    ref = spark.range(11).filter(F.col("id") != 10).select(F.col("id").alias("ref_id"))
+    t0 = time.time()
+    got = {
+        r.rule: r.n_violations
+        for r in validate_table(
+            vt,
+            [
+                ("nn", "not_null", {"col": "maybe_null"}),
+                ("rng", "in_range", {"col": "val", "lo": 0, "hi": 98}),
+                ("uq", "unique", {"cols": ["dup_key"]}),
+                ("fk", "ref_integrity", {"col": "fk", "ref": ref, "ref_col": "ref_id"}),
+            ],
+        ).collect()
+    }
+    t_val = time.time() - t0
+    expect = {
+        "nn": (n_docs + 999) // 1000,
+        "rng": n_docs // 100,
+        "uq": n_docs - (n_docs + 1) // 2,
+        "fk": n_docs // 11,
+    }
+    assert got == expect, (got, expect)
+    print(f"validate_table: 4 rules over {n_docs} rows in {t_val:.1f}s; planted counts exact")
+
+    # funnel + cohort: planted progressive dropout — step counts must be
+    # exactly [n, n/2, n/4] and monotonically non-increasing
+    from audience_finder_pro_spark.operators.funnel import cohort_retention, funnel
+
+    n_users = n_docs // 4
+    base = spark.range(n_users)
+    ev = (
+        base.select(F.col("id").alias("user_id"), F.lit("view").alias("event_type"),
+                    F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") % 1000).alias("ts"))
+        .unionByName(
+            base.filter(F.col("id") % 2 == 0).select(
+                F.col("id").alias("user_id"), F.lit("cart").alias("event_type"),
+                F.timestamp_seconds(F.lit(1_700_100_000) + F.col("id") % 1000).alias("ts"))
+        )
+        .unionByName(
+            base.filter(F.col("id") % 4 == 0).select(
+                F.col("id").alias("user_id"), F.lit("purchase").alias("event_type"),
+                F.timestamp_seconds(F.lit(1_700_200_000) + F.col("id") % 1000).alias("ts"))
+        )
+    )
+    t0 = time.time()
+    steps = {r.step: r.n_users for r in funnel(ev, steps=("view", "cart", "purchase")).collect()}
+    t_fun = time.time() - t0
+    assert steps["view"] == n_users and steps["cart"] == (n_users + 1) // 2
+    assert steps["view"] >= steps["cart"] >= steps["purchase"]
+    print(f"funnel: 3 steps over {n_users} users ({n_users + n_users // 2 + n_users // 4} events) "
+          f"in {t_fun:.1f}s; planted dropout exact + monotone")
+
+    # cohort: signups spread over 4 weeks, activity over 0-2 week offsets;
+    # offset-0 retention is 1.0 for every cohort by construction
+    cohort_ev = (
+        base.select(F.col("id").alias("user_id"), F.lit("signup").alias("event_type"),
+                    F.timestamp_seconds((F.col("id") % 4) * 604800 + 1000).alias("ts"))
+        .unionByName(
+            base.select(F.col("id").alias("user_id"), F.lit("click").alias("event_type"),
+                        F.timestamp_seconds(((F.col("id") % 4) + (F.col("id") % 3)) * 604800 + 2000).alias("ts"))
+        )
+    )
+    t0 = time.time()
+    tri = cohort_retention(cohort_ev).collect()
+    t_coh = time.time() - t0
+    off0 = [r for r in tri if r.week_offset == 0]
+    assert len(off0) == 4 and all(r.retention == 1.0 for r in off0), off0
+    assert all(r.n_active <= r.n_cohort for r in tri)
+    print(f"cohort_retention: {len(tri)} triangle cells over {n_users * 2} events "
+          f"in {t_coh:.1f}s; offset-0 retention exactly 1.0 x4")
+
+    # snapshot_diff: planted add/remove/change — statuses must sum to
+    # |old ∪ new| and each class must come back exact
+    from audience_finder_pro_spark.operators.profile import snapshot_diff
+
+    old = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document body "), (F.col("id") % 9973).cast("string")).alias("text"),
+    )
+    new = (
+        old.filter(F.col("doc_id") % 7 != 0)
+        .select("doc_id",
+                F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2")))
+                .otherwise(F.col("text")).alias("text"))
+        .unionByName(
+            spark.range(n_docs // 10).select(
+                (F.col("id") + 10_000_000).alias("doc_id"),
+                F.concat(F.lit("fresh "), F.col("id").cast("string")).alias("text"))
+        )
+    )
+    t0 = time.time()
+    diff = {r.status: r.n for r in snapshot_diff(old, new).groupBy("status")
+            .agg(F.count("*").alias("n")).collect()}
+    t_diff = time.time() - t0
+    n_removed = (n_docs + 6) // 7
+    n_changed = (
+        sum(1 for i in range(35) if i % 7 != 0 and i % 5 == 0) * (n_docs // 35)
+        + sum(1 for i in range(n_docs % 35) if i % 7 != 0 and i % 5 == 0)
+    )
+    assert diff["removed"] == n_removed and diff["added"] == n_docs // 10, diff
+    assert diff["changed"] == n_changed, (diff, n_changed)
+    assert sum(diff.values()) == n_docs + n_docs // 10
+    print(f"snapshot_diff: {n_docs}-doc old vs perturbed new in {t_diff:.1f}s; "
+          f"statuses {diff} sum to |old ∪ new|")
+
+    # Spark-4 VARIANT fold (the q24/q31 leg): parse_json -> typed extraction
+    # -> aggregate at volume; the sum must equal the closed form
+    jdocs = spark.range(n_docs).select(
+        F.concat(F.lit('{"a": '), (F.col("id") % 1000).cast("string"),
+                 F.lit(', "b": {"c": "x"}}')).alias("js")
+    )
+    t0 = time.time()
+    vsum = (
+        jdocs.select(F.try_variant_get(F.parse_json(F.col("js")), "$.a", "bigint").alias("a"))
+        .agg(F.sum("a").alias("s")).first().s
+    )
+    t_var = time.time() - t0
+    expect_sum = (n_docs // 1000) * (999 * 1000 // 2) + sum(i for i in range(n_docs % 1000))
+    assert vsum == expect_sum, (vsum, expect_sum)
+    print(f"variant_fold: parse_json+try_variant_get over {n_docs} docs in {t_var:.1f}s; "
+          f"closed-form sum exact")
+
 
 if __name__ == "__main__":
     main()

@@ -1098,6 +1098,53 @@ def test_semistructured_constituents_match_sql_oracles(spark, sf_dir):
             name="q28_map_funcs")
 
 
+# ------------------------------------------------- merge-#18/#19 constituents
+def test_topk_cross_constituents_match_sql_oracles(spark, sf_dir):
+    """The q03 carrier frame (merge #18) is driver-checked; the demoted
+    top-k and cartesian constituents keep their own standalone hash gates."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.relational import (
+        _CROSS_JOIN_ORACLE,
+        _TOP_ORDERS_ORACLE,
+    )
+    from tests.oracle import compare
+
+    compare(QUERIES["q03_top_orders_plain"](spark, sf_dir), _TOP_ORDERS_ORACLE, sf_dir,
+            name="q03_top_orders_plain")
+    compare(QUERIES["q06_cross_join"](spark, sf_dir), _CROSS_JOIN_ORACLE, sf_dir,
+            name="q06_cross_join")
+
+
+def test_semi_anti_constituent_matches_sql_oracle(spark, sf_dir):
+    """Demoted into the q16 set-op carrier (merge #20); standalone gate."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.relational import _SEMI_ANTI_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["q04_semi_anti_join"](spark, sf_dir), _SEMI_ANTI_ORACLE, sf_dir,
+            name="q04_semi_anti_join")
+
+
+def test_sessionize_constituent_matches_sql_oracle(spark, sf_dir):
+    """Demoted into the q10 window carrier (merge #21); standalone gate."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.relational import _SESSIONIZE_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["q12_sessionize"](spark, sf_dir), _SESSIONIZE_ORACLE, sf_dir,
+            name="q12_sessionize")
+
+
+def test_keyword_doc_freq_matches_sql_oracle(spark, sf_dir):
+    """Demoted into the quarantine_report carrier (merge #19); standalone gate."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.golden import _KEYWORD_DOC_FREQ_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["keyword_doc_freq"](spark, sf_dir), _KEYWORD_DOC_FREQ_ORACLE, sf_dir,
+            name="keyword_doc_freq")
+
+
 # ------------------------------------------------------- F16+ VARIANT (Spark 4)
 def test_q31_variant_matches_sql_oracle(spark, sf_dir):
     from audience_finder_pro_spark.queries import QUERIES

@@ -37,9 +37,19 @@ def test_q01_filter_pushed_to_scan(spark, sf_smoke, no_aqe):
 
 
 def test_q01_single_exchange_partial_agg(spark, sf_smoke, no_aqe):
-    plan = _plan(spark, "q01_pricing_summary", sf_smoke)
+    # The plain TPC-H-Q1 constituent: exactly one shuffle, map-side combined.
+    plan = _plan(spark, "q01_pricing_plain", sf_smoke)
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_q01_merged_carrier_three_exchanges(spark, sf_smoke, no_aqe):
+    """Merge #17 carrier = plain leg (1 exchange) ∪ salted leg (two-level
+    agg: salt shuffle + final shuffle = 2). Anything beyond 3 means a leg
+    lost its map-side combine or the union added a shuffle."""
+    plan = _plan(spark, "q01_pricing_summary", sf_smoke)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3
+    assert "Union" in plan
 
 
 def test_q02_star_join_all_broadcast_locally(spark, sf_smoke, no_aqe):
@@ -52,8 +62,16 @@ def test_q02_star_join_all_broadcast_locally(spark, sf_smoke, no_aqe):
 
 
 def test_q03_heap_topk_not_full_sort(spark, sf_smoke, no_aqe):
+    plan = _plan(spark, "q03_top_orders_plain", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q03_merged_carrier_keeps_heap_topk(spark, sf_smoke, no_aqe):
+    # Merge #18 carrier: the 'top' leg must still be a heap top-k (no full
+    # sort) and the 'cross' leg a nested-loop over the 5-row region dim.
     plan = _plan(spark, "q03_top_orders", sf_smoke)
     assert "TakeOrderedAndProject" in plan
+    assert "Union" in plan
 
 
 def test_q04_exists_becomes_semi_join(spark, sf_smoke, no_aqe):
