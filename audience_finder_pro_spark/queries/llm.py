@@ -1925,8 +1925,8 @@ def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ E23 corpus k-NN graph
 # Exact self-kNN is SQL-replayable (cross join + row_number) — this oracle
-# is the pytest hash gate (tests/test_llm_ops.py); the query registers
-# oracle-less because the driver's 50 slots are fully funded.
+# is both the pytest hash gate (tests/test_llm_ops.py) and, since r8, the
+# registry oracle (driver slot funded by merge #22, q19→q20).
 _KNN_ORACLE = f"""
 WITH scored AS (
   SELECT a.vec_id, b.vec_id AS nbr_id, {_cos_sql("a.embedding", "b.embedding")} AS sim
@@ -1940,14 +1940,15 @@ WHERE rnk <= 5
 """
 
 
-@_q("knn_graph", None)
+@_q("knn_graph", _KNN_ORACLE)
 def knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus self k-NN graph (operators/similarity.knn_graph, exact
     path): every vector's 5 nearest neighbors by cosine, zero shuffles —
     one broadcast of the (gated, bounded) corpus + a narrow chunked-BLAS
-    mapInPandas pass. ``_KNN_ORACLE`` is the standalone DuckDB oracle,
-    hash-checked in tests at the driver's own SF; the IVF multi-probe
-    path is recall-checked against this exact output."""
+    mapInPandas pass. ``_KNN_ORACLE`` is the DuckDB oracle — a pytest
+    hash gate and, since r8, the driver-oracle row (merge #22 funded the
+    slot); the IVF multi-probe path is recall-checked against this
+    exact output."""
     from audience_finder_pro_spark.operators.similarity import knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)

@@ -775,9 +775,7 @@ def q18_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- A7 stats
-@_q(
-    "q19_distinct_stats",
-    """
+_DISTINCT_STATS_ORACLE = """
     SELECT 'customer' AS op, c_mktsegment AS k,
            count(*) AS n,
            CAST(count(DISTINCT c_nationkey) AS DOUBLE) AS v1,
@@ -794,7 +792,12 @@ def q18_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS DOUBLE) AS v2,
            0.0 AS v3, 0.0 AS v4, 0.0 AS v5
     FROM documents GROUP BY source
-    """,
+"""
+
+
+@_q(
+    "q19_distinct_stats",
+    None,  # oracle rides the merged q20 frame (merge #22)
 )
 def q19_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 standard/distinct/ordered aggregates + the former token_count
@@ -844,7 +847,7 @@ def q19_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- F13 date/time
 @_q(
     "q20_date_math_funcs",
-    """
+    f"""
     SELECT 'date' AS op,
            CAST(EXTRACT(year FROM o_orderdate) * 100 + EXTRACT(month FROM o_orderdate) AS BIGINT) AS k1,
            CAST(count(*) AS DOUBLE) AS v1,
@@ -866,6 +869,13 @@ def q19_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(exp(p_size / 100.0), 4) AS v7,
            '' AS s1, '' AS s2
     FROM part WHERE p_retailprice > 0
+    UNION ALL
+    SELECT op, CAST(0 AS BIGINT) AS k1,
+           CAST(n AS DOUBLE) AS v1,
+           w1 AS v2, w2 AS v3, w3 AS v4, w4 AS v5, w5 AS v6, 0.0 AS v7,
+           k AS s1, '' AS s2
+    FROM (SELECT op, k, n, v1 AS w1, v2 AS w2, v3 AS w3, v4 AS w4, v5 AS w5
+          FROM ({_DISTINCT_STATS_ORACLE}))
     """,
 )
 def q20_date_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -874,7 +884,11 @@ def q20_date_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     50-query verification cap for ``pack_documents`` while keeping both
     scalar-function families oracle-checked). Date rows fill the unused
     numeric slots with literal 0.0 and math rows use empty strings, so no
-    null-representation semantics enter the hash compare."""
+    null-representation semantics enter the hash compare. Merge #22 (r8,
+    funds knn_graph's driver slot): q19's distinct/stat aggregates ride
+    along with the count in v1, its v1..v5 shifted to v2..v6, and the
+    string key in s1; q19 stays declared and callable with its
+    standalone oracle as a module constant."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     zero = F.lit(0.0)
@@ -919,7 +933,20 @@ def q20_date_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("s1"),
         F.lit("").alias("s2"),
     )
-    return date_part.unionByName(math_part)
+    stats_part = q19_distinct_stats(spark, sf_dir).select(
+        "op",
+        F.lit(0).cast("long").alias("k1"),
+        F.col("n").cast("double").alias("v1"),
+        F.col("v1").alias("v2"),
+        F.col("v2").alias("v3"),
+        F.col("v3").alias("v4"),
+        F.col("v4").alias("v5"),
+        F.col("v5").alias("v6"),
+        F.lit(0.0).alias("v7"),
+        F.col("k").alias("s1"),
+        F.lit("").alias("s2"),
+    )
+    return date_part.unionByName(math_part).unionByName(stats_part)
 
 
 # --------------------------------------------- F1-F11 strings + F12 CASE bands

@@ -122,12 +122,10 @@ def _extra_oracles() -> dict[str, str]:
     from audience_finder_pro_spark.queries.streaming import _SESSION_WINDOW_ORACLE
     from audience_finder_pro_spark.queries.llm import (
         _GOPHER_ORACLE,
-        _KNN_ORACLE,
         _PASSAGE_ORACLE,
     )
 
     return {
-        "knn_graph": _KNN_ORACLE,
         "repeated_passages": _PASSAGE_ORACLE,
         "gopher_quality": _GOPHER_ORACLE,
         "c4_clean": _C4_ORACLE,

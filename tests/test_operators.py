@@ -1125,6 +1125,16 @@ def test_semi_anti_constituent_matches_sql_oracle(spark, sf_dir):
             name="q04_semi_anti_join")
 
 
+def test_distinct_stats_constituent_matches_sql_oracle(spark, sf_dir):
+    """Demoted into the q20 scalar-function carrier (merge #22); standalone gate."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.relational import _DISTINCT_STATS_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["q19_distinct_stats"](spark, sf_dir), _DISTINCT_STATS_ORACLE, sf_dir,
+            name="q19_distinct_stats")
+
+
 def test_sessionize_constituent_matches_sql_oracle(spark, sf_dir):
     """Demoted into the q10 window carrier (merge #21); standalone gate."""
     from audience_finder_pro_spark.queries import QUERIES
