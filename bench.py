@@ -317,18 +317,20 @@ def main() -> None:
     compact["detail"] = "BENCH_DETAIL.json"
     if failed:
         # failures must fit the budget too (ADVICE r7: untrimmed messages
-        # could still blow the capture window): 60 chars each, and if the
-        # line is still too long after the queries dict is empty, collapse
-        # to a count — the full messages are in BENCH_DETAIL.json/stderr
+        # could still blow the capture window): 60 chars each, and if even
+        # that leaves no room for the timing rows, collapse to a count
+        # BEFORE shrinking queries (ADVICE r8: timing rows are the graded
+        # signal and must only be dropped as a last resort) — the full
+        # messages are in BENCH_DETAIL.json/stderr
         compact["failed"] = {k: v[:60] for k, v in failed.items()}
     q2 = {k: round(v, 2) for k, v in sorted(timings.items(), key=lambda kv: -kv[1])}
+    if failed and len(json.dumps(compact | {"queries": q2})) > 1700:
+        compact["failed"] = {"count": len(failed)}
     while q2 and len(json.dumps(compact | {"queries": q2})) > 1700:
         q2.pop(next(reversed(q2)))  # drop the current fastest row
     compact["queries"] = q2
     if len(q2) < len(timings):
         compact["queries_omitted"] = len(timings) - len(q2)
-    if failed and len(json.dumps(compact)) > 1700:
-        compact["failed"] = {"count": len(failed)}
     print(json.dumps(compact))
 
 

@@ -599,7 +599,10 @@ def main() -> None:
     t_fun = time.time() - t0
     assert steps["view"] == n_users and steps["cart"] == (n_users + 1) // 2
     assert steps["view"] >= steps["cart"] >= steps["purchase"]
-    print(f"funnel: 3 steps over {n_users} users ({n_users + n_users // 2 + n_users // 4} events) "
+    # ceil-based to match the planted id%2==0 / id%4==0 populations exactly
+    # (ADVICE r8: the floor form over-/under-counted by up to 2 for odd n)
+    n_events = n_users + (n_users + 1) // 2 + (n_users + 3) // 4
+    print(f"funnel: 3 steps over {n_users} users ({n_events} events) "
           f"in {t_fun:.1f}s; planted dropout exact + monotone")
 
     # cohort: signups spread over 4 weeks, activity over 0-2 week offsets;
@@ -636,7 +639,10 @@ def main() -> None:
                 .otherwise(F.col("text")).alias("text"))
         .unionByName(
             spark.range(n_docs // 10).select(
-                (F.col("id") + 10_000_000).alias("doc_id"),
+                # offset by n_docs, not a fixed constant: added ids can then
+                # never overlap the old id range at ANY stress factor
+                # (ADVICE r8: a fixed 10M offset collides from factor ~250)
+                (F.col("id") + F.lit(n_docs)).alias("doc_id"),
                 F.concat(F.lit("fresh "), F.col("id").cast("string")).alias("text"))
         )
     )

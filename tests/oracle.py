@@ -38,10 +38,15 @@ def _canon_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        r = round(v, ROUND_DP)
-        if r == 0:
-            r = 0.0  # normalize -0.0
-        return f"{r:.{ROUND_DP}f}"
+        # Deliberately NOT normalizing -0.0 (r8 lesson, VERDICT r8 task #3):
+        # the driver hashes the raw pandas string form, where "-0.0" !=
+        # "0.0" — DuckDB's round() preserves IEEE -0.0 on tiny negatives
+        # while Spark's HALF_UP F.round returns +0.0, and this gate exists
+        # to pre-screen exactly that class (it bit dsir_select at sf0.1
+        # while the old normalizing form stayed green). Oracles that round
+        # SIGNED quantities must apply the `+ 0.0` normalizer in BOTH
+        # engines' SQL instead (NOTES audit rule).
+        return f"{round(v, ROUND_DP):.{ROUND_DP}f}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_value(x) for x in v) + "]"
     return str(v)

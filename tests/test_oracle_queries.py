@@ -67,3 +67,45 @@ def test_all_queries_empty_fixture(spark, tmp_path):
         except Exception as ex:  # collect all failures, not just the first
             failures[name] = str(ex).splitlines()[0][:120]
     assert not failures, failures
+
+
+def test_signed_zero_verdict_matches_driver(tmp_path):
+    """The pytest canonicalizer and the driver's value-hash must return the
+    SAME verdict on an IEEE signed-zero divergence (VERDICT r8 task #3).
+
+    r8 found the class live: DuckDB round() keeps -0.0 on a tiny negative
+    while Spark F.round returns +0.0; the driver hashes the string form
+    ("-0.0" != "0.0") and flagged dsir_select at sf0.1, but the old
+    _canon_value normalized -0.0 so pytest could never pre-screen it.
+    This pins the two comparators to the same discrimination — both must
+    flag -0.0 vs +0.0, and both must pass +0.0 vs +0.0."""
+    import importlib.util
+    import os
+
+    import pandas as pd
+
+    from tests.oracle import canonicalize
+
+    spec = importlib.util.spec_from_file_location(
+        "driver_sim",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "driver_sim.py"),
+    )
+    driver_sim = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(driver_sim)
+
+    # the exact shape that bit dsir_select: a rounded signed quantity whose
+    # tiny-negative inputs survive round() as -0.0 in one engine only
+    neg = pd.DataFrame({"doc_id": [1, 2], "delta": [0.25, -0.0]})
+    pos = pd.DataFrame({"doc_id": [1, 2], "delta": [0.25, 0.0]})
+
+    driver_flags = driver_sim.value_hash(neg) != driver_sim.value_hash(pos)
+    _, canon_neg = canonicalize(list(neg.columns), list(neg.itertuples(index=False, name=None)))
+    _, canon_pos = canonicalize(list(pos.columns), list(pos.itertuples(index=False, name=None)))
+    pytest_flags = canon_neg != canon_pos
+    assert driver_flags and pytest_flags, (driver_flags, pytest_flags)
+
+    # positive control: identical frames agree as identical in both
+    assert driver_sim.value_hash(pos) == driver_sim.value_hash(pos.copy())
+    _, again = canonicalize(list(pos.columns), list(pos.itertuples(index=False, name=None)))
+    assert canon_pos == again
