@@ -111,17 +111,50 @@ SELECT * FROM post_signals UNION ALL SELECT * FROM comment_signals
 
 _SIGNAL_ORACLE = _signal_oracle()
 
+# Wide merge #23 (r9, funds quality_classifier's driver slot): the v1
+# export's derived columns ride the flagship frame as extra projections —
+# same base plan, zero additional shuffles, one scan. The v1 expressions
+# (comment truncation v1:75, newline stripping v1:61,253, constant
+# enrichment v1:145-147) stay driver-hash-verified through these columns.
+_SIGNAL_MERGED_ORACLE = f"""
+WITH base AS ({_SIGNAL_ORACLE.strip()})
+SELECT base.*,
+       CASE WHEN signal_type = 'Comment'
+            THEN substr(replace(signal_text, chr(10), ' '), 1, 300) || '...'
+            ELSE replace(signal_text, chr(10), ' ') END AS v1_text,
+       'Not Started' AS status, '' AS priority, '' AS notes
+FROM base
+"""
 
-@_q("signal_scan", _SIGNAL_ORACLE)
+
+@_q("signal_scan", _SIGNAL_MERGED_ORACLE)
 def signal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship query — the reference's opportunity scan end-to-end (SURVEY §7.1)."""
-    return scan_signals(
+    """Flagship query — the reference's opportunity scan end-to-end (SURVEY
+    §7.1), carrying the v1 export's derived columns (wide merge #23, r9):
+    ``v1_text`` is the CSV-hygiene form of ``signal_text`` (newline-stripped,
+    comments truncated to 300 chars + '...', v1:61,75,253) and
+    status/priority/notes are the v1 tracking-sheet constants (v1:145-147).
+    Pure sibling projections over the same frame — the keyword-match plan
+    shape is unchanged (tests/test_plan_shapes.py pins no-join)."""
+    from audience_finder_pro_spark.functions.text import strip_newlines, truncate_ellipsis
+
+    base = scan_signals(
         spark,
         sf_dir,
         subreddits=SIGNAL_SUBREDDITS,
         keywords=SIGNAL_KEYWORDS,
         post_limit=50,
         comment_limit=100,
+    )
+    clean = strip_newlines(F.col("signal_text"))
+    return base.select(
+        "*",
+        F.when(F.col("signal_type") == "Comment", truncate_ellipsis(clean, 300))
+        .otherwise(clean)
+        .alias("v1_text"),
+        F.lit("Not Started").alias("status"),
+        F.lit("").alias("priority"),
+        F.lit("").alias("notes"),
     )
 
 
@@ -300,27 +333,27 @@ FROM base
 """
 
 
-@_q("signal_scan_v1_export", _SIGNAL_V1_ORACLE)
+# oracle slot moved to the signal_scan carrier (wide merge #23, r9) —
+# the standalone oracle stays as _SIGNAL_V1_ORACLE with a pytest hash
+# gate (tests/test_operators.py merge-#23 section)
+@_q("signal_scan_v1_export", None)
 def signal_scan_v1_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The v1 reference's CSV-download shape (SURVEY P3/F3/F5): comment text
     truncated to 300 chars + '...' (v1:75), newline-stripped for CSV hygiene
     (v1:61,253), constant enrichment columns Status/Priority/Notes
-    (v1:145-147) appended for the downstream tracking sheet."""
-    from audience_finder_pro_spark.functions.text import strip_newlines, truncate_ellipsis
-
-    base = signal_scan(spark, sf_dir)
-    clean = strip_newlines(F.col("signal_text"))
-    return base.select(
+    (v1:145-147) appended for the downstream tracking sheet. Demoted r9
+    (wide merge #23): the identical derived expressions are driver-verified
+    as the signal_scan carrier's v1_text/status/priority/notes columns; this
+    stays the callable export shape (renames v1_text back to signal_text)."""
+    return signal_scan(spark, sf_dir).select(
         "signal_subreddit",
         "matched",
         "signal_type",
-        F.when(F.col("signal_type") == "Comment", truncate_ellipsis(clean, 300))
-        .otherwise(clean)
-        .alias("signal_text"),
+        F.col("v1_text").alias("signal_text"),
         "author",
         "link",
         "src_id",
-        F.lit("Not Started").alias("status"),
-        F.lit("").alias("priority"),
-        F.lit("").alias("notes"),
+        "status",
+        "priority",
+        "notes",
     )

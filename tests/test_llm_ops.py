@@ -1876,9 +1876,30 @@ def test_quality_classifier_matches_numpy_reference(spark, sf_dir):
                           zip(w[1:], ("f_len", "f_wordlen", "f_stop", "f_ttr"))), 4))
         for r in rows
     ]
-    got = QUERIES["quality_classifier"](spark, sf_dir)
+    got = QUERIES["quality_classifier_fit"](spark, sf_dir)
     g_cols, g_rows = got.columns, [tuple(r) for r in got.collect()]
     assert canonicalize(g_cols, g_rows) == canonicalize(["doc_id", "y", "clf_score"], ref)
+
+
+def test_clf_pinned_weights_reproducible(spark):
+    """The committed CLF_WEIGHTS literals (the driver-badged serving
+    model, wide merge #23's funded slot) must be exactly what the live
+    closed-form fit produces on the curated sf0.01 corpus — proves the
+    literals are a reproducible artifact of fit_quality_classifier, not
+    magic numbers. Stable by construction: the Gramian and weights are
+    6-dp-rounded, so the fit is partitioning-independent."""
+    from audience_finder_pro_spark.operators.relevance import (
+        classifier_features,
+        fit_quality_classifier,
+    )
+    from audience_finder_pro_spark.queries.llm import CLF_WEIGHTS
+    from audience_finder_pro_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents", fan_out=True)
+    feats = classifier_features(
+        docs, label=(F.col("source") == "src0").cast("int")
+    ).filter(F.col("n_tok") > 0)
+    assert fit_quality_classifier(feats) == CLF_WEIGHTS
 
 
 def test_quality_classifier_separation_and_determinism(spark):

@@ -1145,6 +1145,18 @@ def test_sessionize_constituent_matches_sql_oracle(spark, sf_dir):
             name="q12_sessionize")
 
 
+def test_signal_v1_export_constituent_matches_sql_oracle(spark, sf_dir):
+    """Demoted into the signal_scan wide-merge carrier (merge #23, r9 —
+    the v1 expressions ride as v1_text/status/priority/notes); the export
+    shape keeps its standalone hash gate."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.golden import _SIGNAL_V1_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["signal_scan_v1_export"](spark, sf_dir), _SIGNAL_V1_ORACLE, sf_dir,
+            name="signal_scan_v1_export")
+
+
 def test_keyword_doc_freq_matches_sql_oracle(spark, sf_dir):
     """Demoted into the quarantine_report carrier (merge #19); standalone gate."""
     from audience_finder_pro_spark.queries import QUERIES
