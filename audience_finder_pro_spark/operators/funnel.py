@@ -39,10 +39,21 @@ def funnel(
 ) -> DataFrame:
     """Per-step funnel summary: (step, step_idx, n_users, conversion)
     where conversion = n_users(step) / n_users(first step), 4 dp.
+
+    Counting shape (r9 floor reduction): the step completion sets are
+    nested by construction (a user completes step i only after step
+    i−1), so instead of one single-partition count aggregate per step
+    plus a broadcast join for the base count (k+1 extra stages), the
+    base frame left-joins each later step's user set as a 0/1 flag —
+    every frame is already hash-partitioned on ``user`` by its own
+    groupBy, so these joins add NO exchange — and ONE global aggregate
+    produces every step count in a single row, unpivoted with ``stack``.
+    The conversion divides within that row, so the former 1-row
+    broadcast disappears too.
     """
     prev = None  # (user, t_i) completion frame for the previous step
-    counts = []
-    for i, step in enumerate(steps):
+    frames = []
+    for step in steps:
         ev = events.filter(F.col(type_col) == step).select(
             F.col(user_col).alias("user"), F.col(ts_col).alias("t")
         )
@@ -55,26 +66,32 @@ def funnel(
                 .groupBy("user")
                 .agg(F.min("t").alias("t"))
             )
-        counts.append(
-            cur.agg(F.count("*").alias("n_users")).select(
-                F.lit(step).alias("step"),
-                F.lit(i + 1).alias("step_idx"),
-                "n_users",
-            )
-        )
+        frames.append(cur)
         prev = cur
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    base = counts[0].select(F.col("n_users").alias("n_base"))  # 1 row → broadcast
-    return out.crossJoin(F.broadcast(base)).select(
+    d = frames[0].select("user")
+    for i in range(1, len(frames)):
+        d = d.join(frames[i].select("user", F.lit(1).alias(f"_h{i}")), "user", "left")
+    # ANSI note: sums over the 0/1 flags are NULL when no user reached the
+    # step — coalesce to 0 so the report always carries every step row
+    aggs = [F.count(F.lit(1)).alias("_n0")] + [
+        F.coalesce(F.sum(f"_h{i}"), F.lit(0).cast("long")).alias(f"_n{i}")
+        for i in range(1, len(frames))
+    ]
+    row = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{step}', {i + 1}, _n{i}" for i, step in enumerate(steps)
+    )
+    return row.select(
+        F.expr(f"stack({len(steps)}, {stack_args}) AS (step, step_idx, n_users)"),
+        F.col("_n0").alias("_n_base"),
+    ).select(
         "step",
         "step_idx",
         "n_users",
         # ANSI guard: zero first-step events → n_base 0; NULL conversion
         # beats a job-killing DIVIDE_BY_ZERO on a degenerate events frame
         F.when(
-            F.col("n_base") > 0, F.round(F.col("n_users") / F.col("n_base"), 4)
+            F.col("_n_base") > 0, F.round(F.col("n_users") / F.col("_n_base"), 4)
         ).alias("conversion"),
     )
 
@@ -101,11 +118,17 @@ def cohort_retention(
     activity = events.select(
         F.col(user_col).alias("user"), week.alias("week")
     ).distinct()
+    # count(*), not count_distinct (r9 floor reduction): ``activity`` is
+    # already distinct on (user, week) and every user has exactly one
+    # cohort_week, so within a (cohort_week, week_offset) group each user
+    # appears at most once — a distinct count would only re-pay the
+    # two-phase expand exchange for rows that are already unique. (The
+    # DuckDB oracle keeps count(DISTINCT u); equal by the same argument.)
     ret = (
         activity.join(first, "user")
         .filter(F.col("week") >= F.col("cohort_week"))
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
-        .agg(F.count_distinct("user").alias("n_active"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )
     return ret.join(sizes, "cohort_week").select(
         "cohort_week",

@@ -105,10 +105,11 @@ def frequent_tokens(
 
 def distribution_drift(
     a: DataFrame,
-    b: DataFrame,
+    b: DataFrame | None = None,
     text_col: str = "text",
     alpha: float = 0.5,
     k: int = 10,
+    in_a=None,
 ) -> DataFrame:
     """Token-distribution divergence between two corpus slices — the
     drift monitor a recurring 100 TB ingest runs between snapshot N and
@@ -126,7 +127,15 @@ def distribution_drift(
     - kind='mover' rows: the top-``k`` tokens by |p - q| (ties broken on
       token ascending), with p_a, p_b and ``delta`` = p_a - p_b.
 
-    Scale shape: ONE tagged-union aggregate builds (token, c_a, c_b) —
+    Two call forms: two frames (``a``, ``b`` — e.g. separate snapshot
+    tables), or — when both slices live in ONE table — a single frame
+    ``a`` with ``b=None`` and ``in_a`` a boolean Column over ``a``
+    marking the A-side. The single-frame form scans and tokenizes the
+    corpus ONCE (the two-frame union plans two scans and two explodes of
+    the same bytes when the slices share a table — measured ~2× the
+    toy-SF cost, and 2× the scan I/O at 100 TB).
+
+    Scale shape: ONE tagged aggregate builds (token, c_a, c_b) —
     a single map-side-combined exchange; totals (N_a, N_b, V) are a
     1-row aggregate entering via broadcast NLJ; the metric rows are a
     second 1-row aggregate over the vocabulary-sized model table; the
@@ -140,10 +149,18 @@ def distribution_drift(
     """
     from audience_finder_pro_spark.functions.text import tokens
 
-    a_tok = a.select(F.explode(tokens(text_col)).alias("token"), F.lit(1).alias("in_a"))
-    b_tok = b.select(F.explode(tokens(text_col)).alias("token"), F.lit(0).alias("in_a"))
+    if b is None:
+        if in_a is None:
+            raise ValueError("single-frame form needs in_a (boolean Column over a)")
+        tagged = a.select(
+            F.explode(tokens(text_col)).alias("token"), in_a.cast("int").alias("in_a")
+        )
+    else:
+        a_tok = a.select(F.explode(tokens(text_col)).alias("token"), F.lit(1).alias("in_a"))
+        b_tok = b.select(F.explode(tokens(text_col)).alias("token"), F.lit(0).alias("in_a"))
+        tagged = a_tok.unionByName(b_tok)
     model = (
-        a_tok.unionByName(b_tok)
+        tagged
         .groupBy("token")
         .agg(
             F.sum("in_a").alias("c_a"),

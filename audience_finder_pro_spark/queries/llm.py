@@ -1848,9 +1848,11 @@ def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_finder_pro_spark.operators.profile import distribution_drift
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    a = docs.filter(F.col("source") == "src0")
-    b = docs.filter(F.col("source") == "src1")
-    out = distribution_drift(a, b, k=10)
+    # single-frame form (r9 floor reduction): both slices live in the same
+    # table, so scan+tokenize once with an in_a tag instead of planning
+    # two scans and two explodes of the same parquet bytes
+    both = docs.filter(F.col("source").isin("src0", "src1"))
+    out = distribution_drift(both, in_a=F.col("source") == "src0", k=10)
     # + 0.0 on the signed column: a mover whose p-q rounds to a signed zero
     # would hash "-0.0" != "0.0" between engines (the dsir_select lesson)
     return out.select(

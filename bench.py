@@ -74,12 +74,19 @@ BENCH_QUERIES = [
     "stream_static_join",
     "quarantine_report",
     "knn_graph",
+    # the four r8-promoted oracle rows (VERDICT r8 #4): BENCH_r{N}.json is
+    # the round-over-round regression tripwire and must see every driver row
+    "corpus_drift",
+    "mixture_weights",
+    "source_overlap",
+    "dsir_select",
     "repeated_passages",
     "gopher_quality",
     "incremental_dedup",
     "corpus_dedup",
     "c4_clean",
     "quality_classifier",
+    "quality_classifier_fit",  # live sufficient-stats fit (Spark-only stage)
     "similarity_pagerank",
     "cluster_topics",
     "validate_corpus",

@@ -678,6 +678,70 @@ def main() -> None:
     print(f"variant_fold: parse_json+try_variant_get over {n_docs} docs in {t_var:.1f}s; "
           f"closed-form sum exact")
 
+    # ------- r9: 50x datapoints for the remaining r8-promoted tier (VERDICT r8 #4)
+    # corpus drift: two engineered uniform slices — half the vocabulary is
+    # shared (zero contribution), half of A's vocab is missing from B, and
+    # B brings the same count of novel tokens, so every smoothed divergence
+    # has a closed form; movers are a 10000-way |delta| tie broken on token
+    import math
+
+    from audience_finder_pro_spark.operators.profile import distribution_drift
+
+    v = 10_000
+    n_side = max(n_docs // v, 1) * v  # multiple of V -> exactly uniform counts
+    tok_a = F.concat(F.lit("t"), F.format_string("%04d", (F.col("id") % v).cast("int")))
+    side_a = spark.range(n_side).select(tok_a.alias("text"))
+    side_b = spark.range(n_side).select(
+        F.when(F.col("id") % v < v // 2, tok_a)
+        .otherwise(F.concat(F.lit("x"), F.format_string("%04d", (F.col("id") % v).cast("int"))))
+        .alias("text")
+    )
+    t0 = time.time()
+    drift_rows = distribution_drift(side_a, side_b, k=10).collect()
+    t_dr = time.time() - t0
+    c, big_v, alpha = n_side / v, v + v // 2, 0.5
+    d_norm = n_side + alpha * big_v
+    p1, p0 = (c + alpha) / d_norm, alpha / d_norm  # present / smoothed-absent prob
+    kl = (v // 2) * (p1 * math.log(p1 / p0) + p0 * math.log(p0 / p1))
+    m1, m0 = (p1 + p0) / 2.0, (p0 + p1) / 2.0
+    js = (v // 2) * (p1 * math.log(p1 / m1) + p0 * math.log(p0 / m0))  # per side; symmetric
+    expect_metrics = {
+        "kl_pq": kl, "kl_qp": kl, "js_divergence": js,
+        "tvd": 0.5 * v * (p1 - p0), "vocab_size": float(big_v),
+        "novel_mass_b": (v // 2) * p1,
+    }
+    got_metrics = {r.token: r.delta for r in drift_rows if r.kind == "metric"}
+    for k_, exp in expect_metrics.items():
+        assert abs(got_metrics[k_] - exp) <= 1e-9 * max(abs(exp), 1.0), (k_, got_metrics[k_], exp)
+    movers = [r for r in drift_rows if r.kind == "mover"]
+    assert [r.token for r in movers] == [f"t{i:04d}" for i in range(v // 2, v // 2 + 10)], movers
+    assert all(abs(r.delta - (p1 - p0)) <= 1e-12 for r in movers)
+    print(f"corpus_drift: {2 * n_side} tokens / {big_v}-token union vocab in {t_dr:.1f}s; "
+          f"all 6 metrics + tie-broken movers closed-form exact")
+
+    # mixture weights: 4 sources with planted doc/token populations — the
+    # single map-side-combined aggregate must return exact counts and
+    # closed-form temperature shares
+    from audience_finder_pro_spark.operators.sampling import mixture_weights
+
+    mdocs = spark.range(n_docs).select(
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+        F.expr("repeat('w ', cast(id % 4 as int) + 1)").alias("text"),
+    )
+    t0 = time.time()
+    mw = {r.source: r for r in mixture_weights(mdocs).collect()}
+    t_mw = time.time() - t0
+    cnt = [n_docs // 4 + (1 if s < n_docs % 4 else 0) for s in range(4)]
+    toks = [cnt[s] * (s + 1) for s in range(4)]
+    tot_t, tot_pw = sum(toks), sum(t**0.7 for t in toks)
+    for s in range(4):
+        r = mw[f"src{s}"]
+        assert (r.n_docs, r.n_tokens) == (cnt[s], toks[s]), (s, r)
+        assert abs(r.raw_share - toks[s] / tot_t) <= 1e-9
+        assert abs(r.weight - toks[s] ** 0.7 / tot_pw) <= 1e-9
+    print(f"mixture_weights: {n_docs} docs / 4 sources in {t_mw:.1f}s; "
+          f"counts exact, temperature shares closed-form exact")
+
 
 if __name__ == "__main__":
     main()

@@ -1298,6 +1298,37 @@ def test_distribution_drift_identical_and_disjoint(spark):
     assert len(movers) == 3
 
 
+def test_distribution_drift_single_frame_equals_two_frame(spark):
+    """The single-scan tagged form (b=None, in_a=<bool Column>) must return
+    exactly the two-frame form's rows — it is the same recurrence over the
+    same counts, minus one redundant scan+explode of the shared table
+    (r9 floor reduction; the corpus_drift driver row uses this form)."""
+    from audience_finder_pro_spark.operators.profile import distribution_drift
+
+    rows = [(i, "src0" if i % 3 else "src1",
+             f"alpha beta tok{i % 5} gamma tok{i % 7}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    two = distribution_drift(
+        docs.filter("source = 'src0'"), docs.filter("source = 'src1'"), k=5
+    ).collect()
+    one = distribution_drift(docs, in_a=F.col("source") == "src0", k=5).collect()
+    # movers are per-token arithmetic over identical counts — exact match;
+    # metric rows are global float sums whose addend ORDER differs between
+    # the two plans, so compare those at far-sub-round() tolerance
+    m_one = {r.token: r.delta for r in one if r.kind == "metric"}
+    m_two = {r.token: r.delta for r in two if r.kind == "metric"}
+    assert m_one.keys() == m_two.keys()
+    assert all(abs(m_one[t] - m_two[t]) <= 1e-12 for t in m_one), (m_one, m_two)
+    mv_one = [tuple(r) for r in one if r.kind == "mover"]
+    mv_two = [tuple(r) for r in two if r.kind == "mover"]
+    assert mv_one == mv_two and len(mv_one) == 5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        distribution_drift(docs)  # single-frame form requires in_a
+
+
 def test_mixture_weights_temperature_flattens(spark):
     """alpha=1 reproduces raw shares exactly; alpha<1 moves every
     source's weight toward uniform (large sources down, small up);
