@@ -40,20 +40,19 @@ def funnel(
     """Per-step funnel summary: (step, step_idx, n_users, conversion)
     where conversion = n_users(step) / n_users(first step), 4 dp.
 
-    Counting shape (r9 floor reduction): the step completion sets are
-    nested by construction (a user completes step i only after step
-    i−1), so instead of one single-partition count aggregate per step
-    plus a broadcast join for the base count (k+1 extra stages), the
-    base frame left-joins each later step's user set as a 0/1 flag —
-    every frame is already hash-partitioned on ``user`` by its own
-    groupBy, so these joins add NO exchange — and ONE global aggregate
-    produces every step count in a single row, unpivoted with ``stack``.
-    The conversion divides within that row, so the former 1-row
-    broadcast disappears too.
+    Counting-tail shape note (r9): a stack()-based tail that left-joined
+    the nested step sets into one frame and took ONE global aggregate was
+    built and tree-A/B-measured against this form — it replaced k
+    near-free map-side count partials with k−1 sort-merge joins (SORTS of
+    the full user sets) and read ~27% SLOWER at sf0.1; the sorts are also
+    strictly more work than counting at 100 TB. The per-step count
+    aggregates stay: each consumes a frame the step chain materializes
+    anyway, partial-aggregated map-side, so the only cost is k tiny
+    single-row exchanges.
     """
     prev = None  # (user, t_i) completion frame for the previous step
-    frames = []
-    for step in steps:
+    counts = []
+    for i, step in enumerate(steps):
         ev = events.filter(F.col(type_col) == step).select(
             F.col(user_col).alias("user"), F.col(ts_col).alias("t")
         )
@@ -66,32 +65,26 @@ def funnel(
                 .groupBy("user")
                 .agg(F.min("t").alias("t"))
             )
-        frames.append(cur)
+        counts.append(
+            cur.agg(F.count("*").alias("n_users")).select(
+                F.lit(step).alias("step"),
+                F.lit(i + 1).alias("step_idx"),
+                "n_users",
+            )
+        )
         prev = cur
-    d = frames[0].select("user")
-    for i in range(1, len(frames)):
-        d = d.join(frames[i].select("user", F.lit(1).alias(f"_h{i}")), "user", "left")
-    # ANSI note: sums over the 0/1 flags are NULL when no user reached the
-    # step — coalesce to 0 so the report always carries every step row
-    aggs = [F.count(F.lit(1)).alias("_n0")] + [
-        F.coalesce(F.sum(f"_h{i}"), F.lit(0).cast("long")).alias(f"_n{i}")
-        for i in range(1, len(frames))
-    ]
-    row = d.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{step}', {i + 1}, _n{i}" for i, step in enumerate(steps)
-    )
-    return row.select(
-        F.expr(f"stack({len(steps)}, {stack_args}) AS (step, step_idx, n_users)"),
-        F.col("_n0").alias("_n_base"),
-    ).select(
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    base = counts[0].select(F.col("n_users").alias("n_base"))  # 1 row → broadcast
+    return out.crossJoin(F.broadcast(base)).select(
         "step",
         "step_idx",
         "n_users",
         # ANSI guard: zero first-step events → n_base 0; NULL conversion
         # beats a job-killing DIVIDE_BY_ZERO on a degenerate events frame
         F.when(
-            F.col("_n_base") > 0, F.round(F.col("n_users") / F.col("_n_base"), 4)
+            F.col("n_base") > 0, F.round(F.col("n_users") / F.col("n_base"), 4)
         ).alias("conversion"),
     )
 

@@ -1098,6 +1098,29 @@ def test_semistructured_constituents_match_sql_oracles(spark, sf_dir):
             name="q28_map_funcs")
 
 
+# ------------------------------------------------- merge-#17 constituents
+def test_q01_constituents_match_sql_oracles(spark, sf_dir):
+    """The q01 carrier covers its constituents transitively (it calls
+    them), but each also keeps a standalone gate against its
+    module-constant oracle so a carrier refactor can never silently
+    orphan them. (An r9 fused-single-scan carrier rewrite was measured
+    and REJECTED here: exact decimal money products force BigDecimal-
+    backed precision >18 — ~0.7s per scan at sf0.1, 3x the stage floor
+    it saved — and double sums under salting are the documented
+    drift-past-round(4) hash class. See NOTES r9.)"""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.relational import (
+        _PRICING_PLAIN_ORACLE,
+        _SALTED_AGG_ORACLE,
+    )
+    from tests.oracle import compare
+
+    compare(QUERIES["q01_pricing_plain"](spark, sf_dir), _PRICING_PLAIN_ORACLE, sf_dir,
+            name="q01_pricing_plain")
+    compare(QUERIES["q27_salted_agg"](spark, sf_dir), _SALTED_AGG_ORACLE, sf_dir,
+            name="q27_salted_agg")
+
+
 # ------------------------------------------------- merge-#18/#19 constituents
 def test_topk_cross_constituents_match_sql_oracles(spark, sf_dir):
     """The q03 carrier frame (merge #18) is driver-checked; the demoted
