@@ -103,7 +103,15 @@ def validate_table(
             raise ValueError("validate_table: rules list is empty")
         report = None
 
-    n_frame = df.agg(F.count(F.lit(1)).alias("n_rows"))  # 1 row → broadcast NLJ
+    # the FK legs need the table's total row count; when the scalar pass
+    # already computed it, reuse that 1-row aggregate instead of planning a
+    # second full scan+count of the table (r9 floor reduction — one scan
+    # and one aggregate stage less per FK rule set; at 100 TB the count is
+    # not worth paying twice)
+    if stack_args:
+        n_frame = one.select(F.col("_n").alias("n_rows"))
+    else:
+        n_frame = df.agg(F.count(F.lit(1)).alias("n_rows"))  # 1 row → broadcast NLJ
     for name, kind, p in fks:
         missing = (
             df.select(F.col(p["col"]))
