@@ -447,3 +447,105 @@ def cluster_topics(
         .filter(F.col("rnk") <= k)
         .select("cluster", "token", "score", "rnk")
     )
+
+
+def bm25_retrieve(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-``k`` documents per query (E36).
+
+    The principled version of the reference's fixed-list substring scan
+    (app.py:93-149) and the scorer retrieval-based data selection uses
+    (e.g. selecting pretraining documents by similarity to a curated
+    query set — the BM25 flavor of DSIR's importance weighting):
+
+        score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+        idf(t)      = ln(1 + (N − df + 0.5) / (df + 0.5))   (RSJ, ≥ 0)
+
+    with ``dl`` the document token count and ``avgdl`` = total tokens /
+    N over the whole collection (zero-token docs count in N).
+
+    Scale shape (pure DataFrame, zero Python):
+    - ONE tokenize pass builds the (doc, token, tf) postings aggregate
+      (map-side combined); doc length comes from re-aggregating THOSE
+      combined rows (sum of tf per doc), never a second pass over the
+      raw stream; document frequency likewise (count per token).
+    - The query-term table is exploded, DISTINCT'd, and BROADCAST
+      (explicit hint: a retrieval query set is bounded — thousands of
+      terms — while the postings side scales with the corpus); the
+      broadcast semi-prunes the postings to candidate rows BEFORE the
+      df/dl model joins, so at 100 TB the token- and doc-keyed joins
+      move only postings that contain query terms.
+    - Corpus constants (N, total tokens) enter as a broadcast NLJ of
+      1-row aggregates; per-query top-k is a rank-filtered window whose
+      partial group-limit pushes below the exchange
+      (InferWindowGroupLimit — same W1 shape as tfidf/ANN).
+
+    Determinism: tf/df/dl are integers; each (query, doc) score sums a
+    handful of identically-computed doubles, far below round(4) drift;
+    ordering is (rounded score DESC, id ASC) — a total order both
+    engines cut identically. Returns (query_id, id_col, score, rnk).
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))  # 1 row → broadcast NLJ
+    tot = dl.agg(F.sum("dl").alias("total_tokens"))  # 1 row → broadcast NLJ
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tokens(query_text_col)).alias("token"),
+        )
+        .distinct()
+    )
+    cand = tf.join(F.broadcast(qterms), "token")
+    idf = dfreq.crossJoin(F.broadcast(n)).select(
+        "token",
+        F.log(
+            1.0
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+        F.col("n_docs"),
+    )
+    scored = (
+        cand.join(idf, "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "query_id",
+            F.col(id_col),
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        1.0
+                        - b
+                        + b
+                        * F.col("dl")
+                        / (F.col("total_tokens").cast("double") / F.col("n_docs"))
+                    )
+                )
+            ).alias("contrib"),
+        )
+    )
+    scores = scored.groupBy("query_id", id_col).agg(
+        F.round(F.sum("contrib"), 4).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scores.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "score", "rnk")
+    )

@@ -2571,3 +2571,78 @@ def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(docs, new)
+
+
+# ------------------------------------------------ E36 BM25 retrieval
+# Three fixed query strings over the documents fixture's vocabulary —
+# plan-time constants in BOTH engines (same pattern as the keyword lists).
+_BM25_QUERIES = [
+    (0, "spark window agg"),
+    (1, "hash join merge"),
+    (2, "stream batch query"),
+]
+
+_BM25_ORACLE = r"""
+WITH q(query_id, query_text) AS (
+  VALUES (0, 'spark window agg'), (1, 'hash join merge'), (2, 'stream batch query')
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> length(x) > 0)) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl) AS total_tokens
+),
+qt AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split_regex(lower(query_text), '[^a-z0-9]+'),
+                            x -> length(x) > 0)) AS token
+  FROM q
+),
+cand AS (
+  SELECT qt.query_id, tf.doc_id,
+         ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * (1.0 - 0.75
+                             + 0.75 * dl.dl / (CAST(s.total_tokens AS DOUBLE) / s.n_docs)))
+           AS contrib
+  FROM tf
+  JOIN qt USING (token)
+  JOIN dfreq USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, doc_id, round(sum(contrib), 4) AS score
+  FROM cand GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, doc_id, score, rnk FROM ranked WHERE rnk <= 10
+"""
+
+
+@_q("bm25_retrieval", None)  # declared past the 50-slot cap; standalone gate
+def bm25_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval (operators/relevance.bm25_retrieve,
+    E36) for three fixed queries over the documents corpus — the
+    principled replacement for the reference's fixed-list substring
+    scan (app.py:93-149), and the scorer retrieval-based pretraining
+    selection uses. All 50 driver slots are occupied, so this rides the
+    declared-past-the-cap pattern: ``_BM25_ORACLE`` is the standalone
+    DuckDB comparator (pytest hash gate + bench _extra_oracles entry)."""
+    from audience_finder_pro_spark.operators.relevance import bm25_retrieve
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, query_text string")
+    return bm25_retrieve(docs, queries, k=10)

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "q31_variant_funcs",
     "funnel_steps",
     "cohort_retention",
+    "bm25_retrieval",
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as
@@ -128,11 +129,13 @@ def _extra_oracles() -> dict[str, str]:
     )
     from audience_finder_pro_spark.queries.streaming import _SESSION_WINDOW_ORACLE
     from audience_finder_pro_spark.queries.llm import (
+        _BM25_ORACLE,
         _GOPHER_ORACLE,
         _PASSAGE_ORACLE,
     )
 
     return {
+        "bm25_retrieval": _BM25_ORACLE,
         "repeated_passages": _PASSAGE_ORACLE,
         "gopher_quality": _GOPHER_ORACLE,
         "c4_clean": _C4_ORACLE,

@@ -1992,3 +1992,43 @@ def test_cluster_topics_surfaces_planted_signatures(spark):
     assert top == {0: "quantum", 1: "recipes"}
     # exactly k rows per cluster, rnk always 1..k
     assert all(r.rnk == 1 for r in out) and len(out) == 2
+
+
+# ------------------------------------------------------- E36 BM25 retrieval
+def test_bm25_retrieval_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate (the same compare the driver would run), plus the bench
+    comparator via _extra_oracles."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _BM25_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["bm25_retrieval"](spark, sf_dir), _BM25_ORACLE, sf_dir,
+            name="bm25_retrieval")
+
+
+def test_bm25_ranking_semantics(spark):
+    """Planted corpus pins the three BM25 properties that distinguish it
+    from raw TF scoring: (1) a doc matching MORE distinct query terms
+    outranks repetition of one term (idf sums beat tf saturation);
+    (2) at equal term counts the SHORTER doc wins (length
+    normalization, b > 0); (3) docs with no query term never appear."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from audience_finder_pro_spark.operators.relevance import bm25_retrieve
+
+    filler = "xx yy zz " * 4
+    rows = [
+        (1, "alpha beta " + filler),          # both terms, long
+        (2, "alpha beta"),                    # both terms, short -> best
+        (3, "alpha alpha alpha " + filler),   # one term repeated
+        (4, filler),                          # no query terms
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = spark.createDataFrame([(0, "alpha beta")], "query_id int, query_text string")
+    out = bm25_retrieve(docs, queries, k=10).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rnk)]
+    assert 4 not in ranked
+    assert ranked[0] == 2, ranked          # short two-term doc first
+    assert ranked.index(1) < ranked.index(3), ranked  # two terms beat repetition
+    assert [r.rnk for r in sorted(out, key=lambda r: r.rnk)] == [1, 2, 3]
