@@ -742,6 +742,31 @@ def main() -> None:
     print(f"mixture_weights: {n_docs} docs / 4 sources in {t_mw:.1f}s; "
           f"counts exact, temperature shares closed-form exact")
 
+    # ------- r9: BM25 retrieval (E36) — closed-form planted scores at scale.
+    # Every doc has exactly L=8 tokens (avgdl == dl -> the length normalizer
+    # is exactly 1); even ids carry 'needle' once, odd ids never. Query
+    # 'needle' -> every even doc scores idf*(1*(k1+1))/(1+k1) = idf exactly,
+    # rank ties break on doc_id ascending, so top-k = the first k even ids.
+    from audience_finder_pro_spark.operators.relevance import bm25_retrieve
+
+    bdocs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % 2 == 0, F.lit("needle")).otherwise(F.lit("hay0")),
+            F.lit(" hay1 hay2 hay3 hay4 hay5 hay6 hay7"),
+        ).alias("text"),
+    )
+    bq = spark.createDataFrame([(0, "needle")], "query_id int, query_text string")
+    t0 = time.time()
+    hits = bm25_retrieve(bdocs, bq, k=25).collect()
+    t_bm = time.time() - t0
+    n_match = (n_docs + 1) // 2
+    idf = math.log(1.0 + (n_docs - n_match + 0.5) / (n_match + 0.5))
+    assert [r.doc_id for r in sorted(hits, key=lambda r: r.rnk)] == [2 * i for i in range(25)]
+    assert all(abs(r.score - round(idf, 4)) <= 5e-5 for r in hits), (hits[0], idf)
+    print(f"bm25_retrieve: {n_docs} docs x 8 tokens, 1 query in {t_bm:.1f}s; "
+          f"top-25 ids exact, scores == closed-form idf")
+
 
 if __name__ == "__main__":
     main()
