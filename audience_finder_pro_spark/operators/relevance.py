@@ -549,3 +549,83 @@ def bm25_retrieve(
         .filter(F.col("rnk") <= k)
         .select("query_id", id_col, "score", "rnk")
     )
+
+
+def rrf_fuse(
+    legs: list[tuple[str, DataFrame]],
+    k: int = 10,
+    k_rrf: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Reciprocal-rank fusion of per-query ranked lists (E37).
+
+    The standard hybrid-retrieval combiner (Cormack/Clarke/Buettcher,
+    SIGIR'09): each input leg — e.g. BM25 lexical ranks and dense
+    embedding-cosine ranks — contributes ``1/(k_rrf + rank)`` for every
+    (query, doc) it ranked, and documents are re-ranked by the summed
+    score. Rank fusion needs no score calibration across legs (ranks
+    are scale-free), which is why RAG stacks fuse sparse+dense this way
+    rather than mixing raw BM25 and cosine values. The reference's
+    single fixed-list scan (app.py:93-149) has one signal; this is the
+    principled multi-signal form.
+
+    ``legs`` is an ORDERED list of (name, frame) where each frame has
+    (query_col, id_col, rank_col) — the per-query top-N of one
+    retriever, e.g. ``bm25_retrieve(...)`` / ``brute_force_topk(...)``.
+
+    Scale shape: each leg is already per-query bounded (N rows per
+    query), so the fusion input is O(n_queries x N) — independent of
+    corpus size; the expensive part of hybrid retrieval is the legs
+    themselves, never this combiner. Legs are stitched with full outer
+    joins on (query, id) in the given order: keys are bounded per query
+    (no skew) and the join degree per key is 1, so this is a clean
+    shuffle join at any query volume; with millions of queries the
+    (query, id) hash partitioning spreads evenly.
+
+    Determinism: contributions are ``1.0 / (k_rrf + integer rank)``
+    added in FIXED leg order (one coalesce chain, not a groupBy sum —
+    float addition is not associative and a partition-order sum could
+    drift across engines at round() boundaries). ``rrf_score`` is
+    rounded to 6 dp and always positive (no signed-zero class); final
+    order (score DESC, id ASC) is total. Returns
+    (query_col, id_col, rrf_score, n_legs, rnk) where ``n_legs`` is how
+    many input lists ranked the doc.
+    """
+    if not legs:
+        raise ValueError("rrf_fuse needs at least one ranked leg")
+    fused: DataFrame | None = None
+    rank_cols: list[str] = []
+    for name, frame in legs:
+        rc = f"_rnk_{name}"
+        rank_cols.append(rc)
+        leg = frame.select(
+            F.col(query_col), F.col(id_col), F.col(rank_col).alias(rc)
+        )
+        fused = leg if fused is None else fused.join(
+            leg, [query_col, id_col], "full_outer"
+        )
+    contribs = [
+        F.coalesce(1.0 / (F.lit(float(k_rrf)) + F.col(rc)), F.lit(0.0))
+        for rc in rank_cols
+    ]
+    score = contribs[0]
+    for c in contribs[1:]:  # fixed left-to-right addition order
+        score = score + c
+    hits = [F.when(F.col(rc).isNotNull(), 1).otherwise(0) for rc in rank_cols]
+    n_legs = hits[0]
+    for h in hits[1:]:
+        n_legs = n_legs + h
+    w = Window.partitionBy(query_col).orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        fused.select(
+            query_col,
+            id_col,
+            F.round(score, 6).alias("rrf_score"),
+            n_legs.alias("n_legs"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_col, id_col, "rrf_score", "n_legs", "rnk")
+    )

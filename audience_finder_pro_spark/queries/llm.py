@@ -2646,3 +2646,198 @@ def bm25_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, query_text string")
     return bm25_retrieve(docs, queries, k=10)
+
+
+# ------------------------------------------------ E37 hybrid RRF retrieval
+# Sparse leg: the E36 BM25 oracle body at k=20. Dense leg: the A10
+# brute-force cosine oracle shape (same sequential-double fold as the
+# Spark expression — see queries/llm._cos_sql note) for query_id < 3 at
+# k=20. Fusion: 1/(60+rnk) per leg, FIXED two-term addition order,
+# round(6) — scores are sums of reciprocals of small integers, always
+# positive (no signed-zero class) and nowhere near a 6-dp half
+# boundary.
+_RRF_ORACLE = r"""
+WITH q(query_id, query_text) AS (
+  VALUES (0, 'spark window agg'), (1, 'hash join merge'), (2, 'stream batch query')
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> length(x) > 0)) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl) AS total_tokens
+),
+qt AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split_regex(lower(query_text), '[^a-z0-9]+'),
+                            x -> length(x) > 0)) AS token
+  FROM q
+),
+cand AS (
+  SELECT qt.query_id, tf.doc_id,
+         ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * (1.0 - 0.75
+                             + 0.75 * dl.dl / (CAST(s.total_tokens AS DOUBLE) / s.n_docs)))
+           AS contrib
+  FROM tf
+  JOIN qt USING (token)
+  JOIN dfreq USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+bm25_scores AS (
+  SELECT query_id, doc_id, round(sum(contrib), 4) AS score
+  FROM cand GROUP BY 1, 2
+),
+sparse AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM bm25_scores
+  QUALIFY rnk <= 20
+),
+qv AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+dense_scored AS (
+  SELECT qv.query_id, e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(qv.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, len(qv.qv) + 1),
+                  i -> CAST(qv.qv[i] AS DOUBLE) * CAST(qv.qv[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+         AS sim
+  FROM embeddings e CROSS JOIN qv
+),
+dense AS (
+  SELECT query_id, vec_id AS doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM dense_scored
+  QUALIFY rnk <= 20
+),
+fused AS (
+  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         coalesce(s.doc_id, d.doc_id) AS doc_id,
+         round(coalesce(1.0 / (60.0 + s.rnk), 0.0)
+               + coalesce(1.0 / (60.0 + d.rnk), 0.0), 6) AS rrf_score,
+         (CASE WHEN s.rnk IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN d.rnk IS NOT NULL THEN 1 ELSE 0 END) AS n_legs
+  FROM sparse s
+  FULL OUTER JOIN dense d ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, rrf_score, n_legs, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS rnk
+      FROM fused)
+WHERE rnk <= 10
+"""
+
+
+@_q("hybrid_retrieval", None)  # declared past the 50-slot cap; standalone gate
+def hybrid_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval via reciprocal-rank fusion (E37,
+    operators/relevance.rrf_fuse): the same three fixed queries as
+    ``bm25_retrieval``, each with a lexical leg (BM25 top-20 over the
+    documents corpus) and a dense leg (brute-force cosine top-20 over
+    the aligned embeddings table, query vector = the query's own
+    embedding row), fused with the standard 1/(60+rank) RRF combiner —
+    the multi-signal form of the reference's single fixed-list scan
+    (app.py:93-149) and the shape every RAG retrieval stack runs.
+    ``_RRF_ORACLE`` is the standalone DuckDB comparator (pytest hash
+    gate + bench _extra_oracles entry)."""
+    from audience_finder_pro_spark.operators.relevance import bm25_retrieve, rrf_fuse
+    from audience_finder_pro_spark.operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, query_text string")
+    qvec = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sparse = bm25_retrieve(docs, queries, k=20).select("query_id", "doc_id", "rnk")
+    dense = brute_force_topk(emb, qvec, k=20).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rnk"
+    )
+    return rrf_fuse([("sparse", sparse), ("dense", dense)], k=10)
+
+
+# ------------------------------------------------ E38 fuzzy record linkage
+# The right-hand table is a deterministic in-engine corruption of the
+# customer registry (one character deleted at a key-derived position in
+# [2,14]), so the WHOLE linkage — corruption, blocking, edit distance,
+# best-match — is SQL-replayed in DuckDB. Suffix-4 blocking only: every
+# planted deletion position keeps the last 4 characters intact, while
+# the shared 'Customer#' prefix is the documented blocking-skew hazard
+# (a prefix pass here would re-create the cross join). All output
+# columns are integers — no float classes at all.
+_LINKAGE_ORACLE = r"""
+WITH corrupt AS (
+  SELECT c_custkey + 1000000 AS rid,
+         substr(c_name, 1, (c_custkey % 13) + 1)
+         || substr(c_name, (c_custkey % 13) + 3, length(c_name)) AS rname
+  FROM customer
+),
+lk AS (
+  SELECT c_custkey AS lid, c_name AS lname,
+         substr(c_name, length(c_name) - 3, 4) AS bk
+  FROM customer
+),
+rk AS (
+  SELECT rid, rname, substr(rname, length(rname) - 3, 4) AS bk
+  FROM corrupt
+),
+cand AS (SELECT DISTINCT lid, lname, rid, rname FROM lk JOIN rk USING (bk)),
+scored AS (
+  SELECT lid, rid, levenshtein(lname, rname) AS dist
+  FROM cand
+  WHERE abs(length(lname) - length(rname)) <= 2
+    AND levenshtein(lname, rname) <= 2
+)
+SELECT lid AS c_custkey, rid AS right_id, dist
+FROM (SELECT *, row_number() OVER (PARTITION BY lid
+                                   ORDER BY dist, rid) AS rnk
+      FROM scored)
+WHERE rnk = 1
+"""
+
+
+@_q("record_linkage", None)  # declared past the 50-slot cap; standalone gate
+def record_linkage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage (E38, operators/linkage.fuzzy_link): match
+    each customer-registry record to its best counterpart in a
+    corrupted snapshot of the same registry (one character deleted at a
+    key-derived position — simulated vendor drift), via suffix-4
+    blocking + thresholded Levenshtein + best-match-per-left. The fuzzy
+    generalization of the reference's exact-id multi-source merge
+    (app.py:151-190). ``_LINKAGE_ORACLE`` replays corruption, blocking,
+    edit distance and tie-break in DuckDB (pytest hash gate + bench
+    _extra_oracles entry)."""
+    from audience_finder_pro_spark.operators.linkage import fuzzy_link
+
+    cust = load_table(spark, sf_dir, "customer")
+    # delete position = (c_custkey % 13) + 2, i.e. in [2, 14] — always
+    # inside the span whose removal keeps the last 4 characters intact
+    corrupt = cust.select(
+        (F.col("c_custkey") + 1_000_000).alias("rid"),
+        F.concat(
+            F.expr("substr(c_name, 1, (c_custkey % 13) + 1)"),
+            F.expr("substr(c_name, (c_custkey % 13) + 3, length(c_name))"),
+        ).alias("rname"),
+    )
+    return fuzzy_link(
+        cust,
+        corrupt,
+        left_id="c_custkey",
+        right_id="rid",
+        left_name="c_name",
+        right_name="rname",
+        max_dist=2,
+        prefix_len=0,
+        suffix_len=4,
+    ).withColumnRenamed("rid", "right_id")

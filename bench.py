@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "funnel_steps",
     "cohort_retention",
     "bm25_retrieval",
+    "hybrid_retrieval",
+    "record_linkage",
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as
@@ -131,11 +133,15 @@ def _extra_oracles() -> dict[str, str]:
     from audience_finder_pro_spark.queries.llm import (
         _BM25_ORACLE,
         _GOPHER_ORACLE,
+        _LINKAGE_ORACLE,
         _PASSAGE_ORACLE,
+        _RRF_ORACLE,
     )
 
     return {
         "bm25_retrieval": _BM25_ORACLE,
+        "hybrid_retrieval": _RRF_ORACLE,
+        "record_linkage": _LINKAGE_ORACLE,
         "repeated_passages": _PASSAGE_ORACLE,
         "gopher_quality": _GOPHER_ORACLE,
         "c4_clean": _C4_ORACLE,

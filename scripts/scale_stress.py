@@ -768,5 +768,92 @@ def main() -> None:
           f"top-25 ids exact, scores == closed-form idf")
 
 
+
+    # ------- r9: hybrid RRF fusion (E37) — engineered dual-leg ranked lists.
+    # For query q, the sparse leg ranks docs q*100+o at rank o (o=1..20) and
+    # the dense leg ranks docs q*100+o at rank o-10 (o=11..30). Docs with
+    # BOTH legs (o=11..20) each beat every single-leg doc — score(o) =
+    # 1/(60+o) + 1/(50+o) > 1/61 >= any single contribution — so the fused
+    # top-10 per query is EXACTLY o=11..20 in order, with a rank-determined
+    # closed-form score. Input volume scales with n_queries (the combiner's
+    # scale axis: its input is per-query bounded, never corpus-sized).
+    from audience_finder_pro_spark.operators.relevance import rrf_fuse
+
+    n_q = 200_000 * factor // 50
+    base20 = spark.range(n_q * 20).select(
+        (F.col("id") / 20).cast("long").alias("query_id"),
+        (F.col("id") % 20 + 1).cast("int").alias("r"),
+    )
+    sparse_leg = base20.select(
+        "query_id", (F.col("query_id") * 100 + F.col("r")).alias("doc_id"),
+        F.col("r").alias("rnk"),
+    )
+    dense_leg = base20.select(
+        "query_id", (F.col("query_id") * 100 + F.col("r") + 10).alias("doc_id"),
+        F.col("r").alias("rnk"),
+    )
+    t0 = time.time()
+    fused = rrf_fuse([("sparse", sparse_leg), ("dense", dense_leg)], k=10)
+    agg = fused.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("doc_id") % 100 == F.col("rnk") + 10, 1).otherwise(0)).alias("ok_doc"),
+        F.sum(F.when(F.col("n_legs") == 2, 1).otherwise(0)).alias("dual"),
+        F.count_distinct(F.struct("rnk", "rrf_score")).alias("rank_scores"),
+    ).first()
+    t_rrf = time.time() - t0
+    assert agg.n == n_q * 10 and agg.ok_doc == agg.n and agg.dual == agg.n, agg
+    assert agg.rank_scores == 10, agg  # score is a pure function of rank
+    top = fused.filter((F.col("query_id") == n_q - 1) & (F.col("rnk") == 1)).first()
+    assert top.rrf_score == round(1 / 71 + 1 / 61, 6), top
+    print(f"rrf_fuse: {n_q} queries x 2 legs x 20 in {t_rrf:.1f}s; "
+          f"fused top-10 closed-form exact (o=11..20 per query)")
+
+    # ------- r9: fuzzy record linkage (E38) — hand-computed per-block
+    # template distances. Each of n_blocks prefix-7 blocks holds exactly
+    # 2 left + 2 right records: left <base>kitten / <base>sitten, right
+    # <base>kitte (planted partner) / <base>zzzzzzz (over budget: the DP
+    # early-exits at distance 7). Every left record must link to the
+    # block's kitte row — evens at dist 1 (one deletion), odds at dist 2
+    # (substitute + delete) — and blocking confines comparisons to 4
+    # pairs per block (linear total volume, never the cross join).
+    from audience_finder_pro_spark.operators.linkage import fuzzy_link
+
+    n_blocks = 1_000_000 * factor // 50
+    off = 100_000_000
+    lnames = spark.range(2 * n_blocks).select(
+        F.col("id").alias("left_id"),
+        F.concat(
+            F.format_string("%07d", (F.col("id") / 2).cast("long")),
+            F.when(F.col("id") % 2 == 0, F.lit("kitten")).otherwise(F.lit("sitten")),
+        ).alias("left_name"),
+    )
+    rnames = spark.range(2 * n_blocks).select(
+        (F.col("id") + off).alias("right_id"),
+        F.concat(
+            F.format_string("%07d", (F.col("id") / 2).cast("long")),
+            F.when(F.col("id") % 2 == 0, F.lit("kitte")).otherwise(F.lit("zzzzzzz")),
+        ).alias("right_name"),
+    )
+    t0 = time.time()
+    link_agg = (
+        fuzzy_link(lnames, rnames, max_dist=2, prefix_len=7, suffix_len=0)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("right_id") == F.col("left_id") - F.col("left_id") % 2 + off)
+                    & (F.col("dist") == 1 + F.col("left_id") % 2),
+                    1,
+                ).otherwise(0)
+            ).alias("ok"),
+        )
+        .first()
+    )
+    t_link = time.time() - t0
+    assert link_agg.n == 2 * n_blocks and link_agg.ok == link_agg.n, link_agg
+    print(f"fuzzy_link: {2 * n_blocks} left x {2 * n_blocks} right over {n_blocks} "
+          f"blocks in {t_link:.1f}s; every planted partner + template distance exact")
+
+
 if __name__ == "__main__":
     main()

@@ -2032,3 +2032,120 @@ def test_bm25_ranking_semantics(spark):
     assert ranked[0] == 2, ranked          # short two-term doc first
     assert ranked.index(1) < ranked.index(3), ranked  # two terms beat repetition
     assert [r.rnk for r in sorted(out, key=lambda r: r.rnk)] == [1, 2, 3]
+
+
+# -------------------------------------------------- E37 hybrid RRF retrieval
+def test_hybrid_retrieval_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate (the same compare the driver would run), plus the bench
+    comparator via _extra_oracles. Verified at sf0.1 too on landing
+    (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _RRF_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["hybrid_retrieval"](spark, sf_dir), _RRF_ORACLE, sf_dir,
+            name="hybrid_retrieval")
+
+
+def test_rrf_fuse_semantics(spark):
+    """Planted ranked lists pin the RRF properties: (1) a doc ranked by
+    BOTH legs outranks any single-leg doc whose best rank is worse than
+    rank-1 (1/61+1/80 > 1/62); (2) contributions follow the exact
+    1/(k_rrf + rank) closed form; (3) a doc present in one leg only
+    still appears, with n_legs = 1; (4) ties on the rounded score break
+    by ascending id in a total order."""
+    from audience_finder_pro_spark.operators.relevance import rrf_fuse
+
+    sparse = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id long, doc_id long, rnk int"
+    )
+    dense = spark.createDataFrame(
+        [(0, 10, 20), (0, 13, 1), (0, 14, 2)], "query_id long, doc_id long, rnk int"
+    )
+    out = {r.doc_id: r for r in rrf_fuse([("s", sparse), ("d", dense)], k=10).collect()}
+    assert set(out) == {10, 11, 12, 13, 14}
+    # closed forms (round 6, fixed two-term order)
+    assert out[10].rrf_score == round(1 / 61 + 1 / 80, 6)
+    assert out[13].rrf_score == round(1 / 61, 6)
+    assert out[10].n_legs == 2 and out[13].n_legs == 1
+    # both-legs doc 10 beats every single-leg doc, including both rank-1s
+    assert out[10].rnk == 1
+    # 11 (sparse rank 2) and 13 (dense rank 1): 1/61 > 1/62 -> 13 first
+    assert out[13].rnk < out[11].rnk
+    # equal-rank different-leg docs tie on score and break by id: 11 vs 14
+    assert out[11].rrf_score == out[14].rrf_score
+    assert out[11].rnk < out[14].rnk
+
+
+# -------------------------------------------------- E38 fuzzy record linkage
+def test_record_linkage_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate (the same compare the driver would run), plus the bench
+    comparator via _extra_oracles. Verified at sf0.1 too on landing
+    (NOTES audit rule). All-integer output: no float classes."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _LINKAGE_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["record_linkage"](spark, sf_dir), _LINKAGE_ORACLE, sf_dir,
+            name="record_linkage")
+
+
+def test_record_linkage_finds_every_planted_partner(spark, sf_dir):
+    """The sf fixture's corruption deletes at positions [2,14] of an
+    18-char name, so suffix-4 blocking must catch EVERY planted pair:
+    each customer's best match is exactly its own corrupted row
+    (right_id = c_custkey + 1_000_000) at dist 1."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from pyspark.sql import functions as F
+
+    out = QUERIES["record_linkage"](spark, sf_dir)
+    n = out.count()
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert n == n_cust
+    planted = out.filter(
+        (F.col("right_id") == F.col("c_custkey") + 1_000_000) & (F.col("dist") == 1)
+    ).count()
+    assert planted == n_cust, f"{planted} of {n_cust} planted partners won"
+
+
+def test_fuzzy_link_semantics(spark):
+    """Planted micro-corpus pins the operator contract: (1) exact
+    duplicates match at dist 0 and win over near matches; (2) a
+    right record past max_dist never appears even when it shares a
+    block; (3) a pair sharing NO blocking key is not compared
+    (declared blocking recall — 'zzfoo' vs 'fozz' stays unmatched);
+    (4) best_only tie-breaks equal distances by ascending right id;
+    (5) best_only=False returns every in-budget candidate."""
+    from audience_finder_pro_spark.operators.linkage import fuzzy_link
+
+    left = spark.createDataFrame(
+        [(1, "alphabet"), (2, "zzfoo")], "left_id long, left_name string"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "alphabet"),   # dist 0
+            (11, "alphabex"),   # dist 1, same prefix block
+            (12, "alPHAbet"),   # dist > 2 (3 subs), same blocks
+            (13, "fozz"),       # reversed: shares neither 2-prefix nor 2-suffix with zzfoo
+        ],
+        "right_id long, right_name string",
+    )
+    best = {r.left_id: r for r in fuzzy_link(
+        left, right, max_dist=2, prefix_len=2, suffix_len=2
+    ).collect()}
+    assert best[1].right_id == 10 and best[1].dist == 0
+    assert 2 not in best  # blocking recall: no shared key -> never compared
+    all_cand = fuzzy_link(
+        left, right, max_dist=2, prefix_len=2, suffix_len=2, best_only=False
+    ).collect()
+    got = {(r.left_id, r.right_id, r.dist) for r in all_cand}
+    assert got == {(1, 10, 0), (1, 11, 1)}  # 12 over budget, 13 unblocked
+    # tie-break: two dist-1 candidates, lower right id wins
+    tie_right = spark.createDataFrame(
+        [(21, "alphabex"), (20, "alphabez")], "right_id long, right_name string"
+    )
+    tb = fuzzy_link(left.filter("left_id = 1"), tie_right,
+                    max_dist=2, prefix_len=2, suffix_len=0).collect()
+    assert len(tb) == 1 and tb[0].right_id == 20 and tb[0].dist == 1
