@@ -90,3 +90,67 @@ def gapfill_rollup(
     else:
         filled = F.col("sum_value")
     return dense.withColumn("filled_sum", filled)
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    step_seconds: int = 86400,
+    window: int = 7,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly detection over bucketed event counts (E40).
+
+    The monitoring staple on top of a rollup: per key, each bucket's
+    event count is scored against the mean/std of the previous
+    ``window`` OBSERVED buckets (ROWS frame ``-window .. -1`` — prior
+    buckets only, so today's spike can't dilute its own baseline;
+    compose with ``gapfill_rollup`` first when empty buckets should
+    count as zeros). Buckets whose baseline has fewer than 2 points or
+    zero variance get a NULL z (never a division: ±Infinity strings
+    don't round-trip identically across engines).
+
+    Scale shape: ONE map-side-combined (key, bucket) count aggregate,
+    then ONE pass of per-key windows ordered by bucket — partitions are
+    per key and bucket counts are tiny (days per key), so the window
+    stage is bounded by distinct keys, not event volume; no join, no
+    second scan.
+
+    Determinism (the float-drift rule from NOTES): the rolling
+    mean/std are NOT stddev_samp — they are derived from integer
+    ``sum`` / ``sum of squares`` window sums (exact in both engines),
+    combined in one explicit all-double formula, so Spark and DuckDB
+    fold bit-identical doubles; ``z`` is signed, so the rounded value
+    carries the ``+ 0.0`` signed-zero normalizer. ``is_anomaly``
+    compares the UNROUNDED z — both engines see the same double, same
+    verdict. Returns (key, bucket, n, baseline_mean, z, is_anomaly).
+    """
+    bucketed = (
+        df.select(F.col(key_col).alias("key"), time_bucket(ts_col, step_seconds).alias("bucket"))
+        .groupBy("key", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(-window, -1)
+    )
+    s = F.sum("n").over(w).cast("double")
+    sq = F.sum(F.col("n") * F.col("n")).over(w).cast("double")
+    c = F.count("n").over(w).cast("double")
+    mean = s / c
+    var = (sq - s * s / c) / (c - 1.0)
+    std = F.sqrt(var)
+    z = (F.col("n").cast("double") - mean) / std
+    ok = (c >= 2.0) & (var > 0.0)
+    return bucketed.select(
+        "key",
+        "bucket",
+        "n",
+        F.when(ok, F.round(mean, 4)).alias("baseline_mean"),
+        F.when(ok, F.round(z, 4) + 0.0).alias("z"),
+        F.when(ok & (F.abs(z) > F.lit(z_thresh)), 1)
+        .when(ok, 0)
+        .alias("is_anomaly"),
+    )

@@ -2841,3 +2841,91 @@ def record_linkage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_len=0,
         suffix_len=4,
     ).withColumnRenamed("rid", "right_id")
+
+
+# ------------------------------------------------ E39 k-anonymity audit
+_PRIVACY_ORACLE = r"""
+SELECT c_nationkey, c_mktsegment,
+       count(*) AS class_size,
+       count(DISTINCT c_acctbal) AS n_sensitive,
+       CASE WHEN count(*) < 10 THEN 1 ELSE 0 END AS risky,
+       CASE WHEN count(DISTINCT c_acctbal) >= 5 THEN 1 ELSE 0 END AS diverse
+FROM customer
+GROUP BY 1, 2
+"""
+
+
+@_q("privacy_audit", None)  # declared past the 50-slot cap; standalone gate
+def privacy_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (E39,
+    operators/privacy.k_anonymity_audit) of the customer registry over
+    the (nation, market-segment) quasi-identifier pair with account
+    balance as the sensitive attribute — the release-gate privacy
+    question the reference never asks of the PRAW author payloads it
+    forwards verbatim (app.py:115-118). One map-side-combined
+    aggregate; all-integer output. ``_PRIVACY_ORACLE`` is the
+    standalone DuckDB comparator (pytest hash gate + bench
+    _extra_oracles entry)."""
+    from audience_finder_pro_spark.operators.privacy import k_anonymity_audit
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity_audit(
+        cust,
+        quasi_cols=["c_nationkey", "c_mktsegment"],
+        k=10,
+        sensitive_col="c_acctbal",
+        l=5,
+    )
+
+
+# ------------------------------------------------ E40 rolling anomaly scan
+# The baseline stats are rebuilt from integer window sums in BOTH
+# engines (never stddev_samp — different internal summation orders
+# would drift); the shared all-double formula folds bit-identically.
+# z is SIGNED -> the rounded value carries the + 0.0 normalizer
+# (NOTES signed-zero rule); is_anomaly compares the UNROUNDED z.
+_ANOMALY_ORACLE = r"""
+WITH b AS (
+  SELECT event_type AS key, date_trunc('day', ts)::TIMESTAMP AS bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+wnd AS (
+  SELECT key, bucket, n,
+         CAST(sum(n) OVER w AS DOUBLE) AS s,
+         CAST(sum(n * n) OVER w AS DOUBLE) AS sq,
+         CAST(count(n) OVER w AS DOUBLE) AS c
+  FROM b
+  WINDOW w AS (PARTITION BY key ORDER BY bucket
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT key, bucket, n,
+       CASE WHEN c >= 2 AND (sq - s * s / c) / (c - 1.0) > 0
+            THEN round(s / c, 4) END AS baseline_mean,
+       CASE WHEN c >= 2 AND (sq - s * s / c) / (c - 1.0) > 0
+            THEN round((CAST(n AS DOUBLE) - s / c)
+                       / sqrt((sq - s * s / c) / (c - 1.0)), 4) + 0.0
+       END AS z,
+       CASE WHEN c >= 2 AND (sq - s * s / c) / (c - 1.0) > 0
+            THEN CASE WHEN abs((CAST(n AS DOUBLE) - s / c)
+                               / sqrt((sq - s * s / c) / (c - 1.0))) > 2.0
+                      THEN 1 ELSE 0 END
+       END AS is_anomaly
+FROM wnd
+"""
+
+
+@_q("anomaly_scan", None)  # declared past the 50-slot cap; standalone gate
+def anomaly_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly scan (E40,
+    operators/timeseries.rolling_anomaly) over daily per-event-type
+    counts of the events stream: each day scored against the mean/std
+    of its previous 7 observed days, |z| > 2 flagged — the monitoring
+    staple a pipeline runs on its own ingest volumes (the reference
+    only ever renders current counts, app.py:222-258).
+    ``_ANOMALY_ORACLE`` is the standalone DuckDB comparator (pytest
+    hash gate + bench _extra_oracles entry)."""
+    from audience_finder_pro_spark.operators.timeseries import rolling_anomaly
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_anomaly(ev, step_seconds=86400, window=7, z_thresh=2.0)

@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "bm25_retrieval",
     "hybrid_retrieval",
     "record_linkage",
+    "privacy_audit",
+    "anomaly_scan",
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as
@@ -137,11 +139,17 @@ def _extra_oracles() -> dict[str, str]:
         _PASSAGE_ORACLE,
         _RRF_ORACLE,
     )
+    from audience_finder_pro_spark.queries.llm import (
+        _ANOMALY_ORACLE,
+        _PRIVACY_ORACLE,
+    )
 
     return {
         "bm25_retrieval": _BM25_ORACLE,
         "hybrid_retrieval": _RRF_ORACLE,
         "record_linkage": _LINKAGE_ORACLE,
+        "privacy_audit": _PRIVACY_ORACLE,
+        "anomaly_scan": _ANOMALY_ORACLE,
         "repeated_passages": _PASSAGE_ORACLE,
         "gopher_quality": _GOPHER_ORACLE,
         "c4_clean": _C4_ORACLE,

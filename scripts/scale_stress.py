@@ -769,6 +769,82 @@ def main() -> None:
 
 
 
+
+    # ------- r9: k-anonymity audit (E39) — engineered class populations.
+    # n_docs rows spread over 1000 equal residue classes (quasi1 = id%1000)
+    # plus 37 planted singletons in a disjoint quasi range; sensitive =
+    # (id//1000)%5 cycles all 5 values inside every residue class. Every
+    # class size, risky flag and l-diversity count has a closed form.
+    from audience_finder_pro_spark.operators.privacy import k_anonymity_audit
+
+    n_even = n_docs - n_docs % 1000  # multiple of 1000 -> exactly equal classes
+    pdf = (
+        spark.range(n_even).select(
+            (F.col("id") % 1000).alias("quasi"),
+            ((F.col("id") / 1000).cast("long") % 5).alias("sensitive"),
+        )
+        .unionByName(
+            spark.range(37).select(
+                (F.col("id") + 10_000).alias("quasi"), F.lit(0).alias("sensitive")
+            )
+        )
+    )
+    t0 = time.time()
+    pa = k_anonymity_audit(pdf, ["quasi"], k=5, sensitive_col="sensitive", l=5)
+    pagg = pa.agg(
+        F.count("*").alias("classes"),
+        F.sum("risky").alias("risky"),
+        F.sum("diverse").alias("diverse"),
+        F.sum(F.when(F.col("class_size") == n_even // 1000, 1).otherwise(0)).alias("even"),
+        F.sum("class_size").alias("rows_total"),
+    ).first()
+    t_pa = time.time() - t0
+    assert pagg.classes == 1037 and pagg.risky == 37 and pagg.diverse == 1000, pagg
+    assert pagg.even == 1000 and pagg.rows_total == n_even + 37, pagg
+    print(f"k_anonymity_audit: {n_even + 37} rows / 1037 classes in {t_pa:.1f}s; "
+          f"sizes, risky and l-diversity counts closed-form exact")
+
+    # ------- r9: rolling anomaly scan (E40) — planted spike per key.
+    # Every key gets the same 10-day series: alternating 2/3 counts for
+    # 9 days then a 30-event spike; the spike's z has ONE closed-form
+    # value (same integer-sum formula), mid-series |z| ~ 1 stays
+    # unflagged, so anomalies == n_keys exactly and the distinct
+    # (day, z) surface is tiny and fully checkable.
+    from audience_finder_pro_spark.operators.timeseries import rolling_anomaly
+
+    counts = [2, 3, 2, 3, 2, 3, 2, 3, 2, 30]
+    offsets = [d for d, c in enumerate(counts) for _ in range(c)]  # 52 per key
+    per_key = len(offsets)
+    n_keys = max(n_docs // per_key, 1)
+    day_arr = F.array(*[F.lit(d) for d in offsets])
+    aev = spark.range(n_keys * per_key).select(
+        F.concat(F.lit("k"), (F.col("id") / per_key).cast("long").cast("string")).alias(
+            "event_type"
+        ),
+        F.timestamp_seconds(
+            F.element_at(day_arr, (F.col("id") % per_key + 1).cast("int")) * 86400
+            + F.col("id") % per_key
+        ).alias("ts"),
+    )
+    t0 = time.time()
+    an = rolling_anomaly(aev, step_seconds=86400, window=7, z_thresh=3.0)
+    aagg = an.agg(
+        F.count("*").alias("n"),
+        F.sum("is_anomaly").alias("flagged"),
+        F.sum(F.when(F.col("z").isNull(), 1).otherwise(0)).alias("nulls"),
+    ).first()
+    t_an = time.time() - t0
+    base = counts[2:9]
+    s, sq, c = float(sum(base)), float(sum(b * b for b in base)), float(len(base))
+    z_spike = (30.0 - s / c) / (((sq - s * s / c) / (c - 1.0)) ** 0.5)
+    spike_rows = an.filter(F.col("is_anomaly") == 1).select("z").distinct().collect()
+    assert aagg.n == n_keys * 10 and aagg.flagged == n_keys, aagg
+    assert aagg.nulls == 2 * n_keys, aagg  # first two buckets per key: c < 2
+    assert [r.z for r in spike_rows] == [round(z_spike, 4) + 0.0], spike_rows
+    print(f"rolling_anomaly: {n_keys * per_key} events / {n_keys} keys x 10 days "
+          f"in {t_an:.1f}s; spike z closed-form exact, anomalies == n_keys")
+
+
     # ------- r9: hybrid RRF fusion (E37) — engineered dual-leg ranked lists.
     # For query q, the sparse leg ranks docs q*100+o at rank o (o=1..20) and
     # the dense leg ranks docs q*100+o at rank o-10 (o=11..30). Docs with

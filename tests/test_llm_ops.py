@@ -2149,3 +2149,91 @@ def test_fuzzy_link_semantics(spark):
     tb = fuzzy_link(left.filter("left_id = 1"), tie_right,
                     max_dist=2, prefix_len=2, suffix_len=0).collect()
     assert len(tb) == 1 and tb[0].right_id == 20 and tb[0].dist == 1
+
+
+# -------------------------------------------------- E39 k-anonymity audit
+def test_privacy_audit_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule). All-integer output."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _PRIVACY_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["privacy_audit"](spark, sf_dir), _PRIVACY_ORACLE, sf_dir,
+            name="privacy_audit")
+
+
+def test_k_anonymity_audit_semantics(spark):
+    """Planted table pins the contract: class sizes exact, risky flags
+    classes strictly below k, l-diversity counts DISTINCT non-NULL
+    sensitive values (NULL ignored — the count_distinct semantic
+    documented at operators/validate.py), and NULL quasi values form
+    their own equivalence class."""
+    from audience_finder_pro_spark.operators.privacy import k_anonymity_audit
+
+    rows = [
+        ("us", "a", 1), ("us", "a", 2), ("us", "a", 2),   # size 3, 2 distinct
+        ("us", "b", 5),                                    # size 1 -> risky
+        (None, "a", None), (None, "a", 7),                 # NULL quasi class, 1 non-NULL sensitive
+    ]
+    df = spark.createDataFrame(rows, "region string, seg string, val int")
+    out = {(r.region, r.seg): r for r in k_anonymity_audit(
+        df, ["region", "seg"], k=2, sensitive_col="val", l=2
+    ).collect()}
+    assert out[("us", "a")].class_size == 3 and out[("us", "a")].risky == 0
+    assert out[("us", "a")].n_sensitive == 2 and out[("us", "a")].diverse == 1
+    assert out[("us", "b")].risky == 1 and out[("us", "b")].diverse == 0
+    assert out[(None, "a")].class_size == 2          # NULLs group together
+    assert out[(None, "a")].n_sensitive == 1         # NULL sensitive ignored
+    assert len(out) == 3
+
+
+# -------------------------------------------------- E40 rolling anomaly scan
+def test_anomaly_scan_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule; z is signed — the +0.0
+    normalizer is part of both engines' projections)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _ANOMALY_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["anomaly_scan"](spark, sf_dir), _ANOMALY_ORACLE, sf_dir,
+            name="anomaly_scan")
+
+
+def test_rolling_anomaly_semantics(spark):
+    """One planted key: alternating 2/3 daily counts for 9 days, then a
+    spike of 30. The first two buckets have <2 baseline points (z
+    NULL); mid-series |z| stays ~1 (unflagged); the spike's z equals
+    the closed form computed with the SAME integer-sum formula — and
+    only the spike is flagged."""
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.timeseries import rolling_anomaly
+
+    counts = [2, 3, 2, 3, 2, 3, 2, 3, 2, 30]
+    rows = [
+        (day, i)
+        for day, c in enumerate(counts)
+        for i in range(c)
+    ]
+    ev = spark.createDataFrame(rows, "day int, i int").select(
+        F.timestamp_seconds(F.col("day") * 86400 + F.col("i")).alias("ts"),
+        F.lit("k").alias("event_type"),
+    )
+    out = sorted(
+        rolling_anomaly(ev, step_seconds=86400, window=7, z_thresh=3.0).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.n for r in out] == counts
+    assert out[0].z is None and out[1].z is None          # c < 2
+    assert all(r.is_anomaly == 0 for r in out[2:9])        # |z| ~ 1
+    base = counts[2:9]                                     # rows -7..-1 of the spike
+    s, sq, c = float(sum(base)), float(sum(b * b for b in base)), float(len(base))
+    mean, var = s / c, (sq - s * s / c) / (c - 1.0)
+    z = (30.0 - mean) / var ** 0.5
+    assert out[9].is_anomaly == 1
+    assert out[9].z == round(z, 4) + 0.0
+    assert out[9].baseline_mean == round(mean, 4)
