@@ -1,0 +1,77 @@
+"""Incremental rollup maintenance: mergeable aggregate state (E41).
+
+The daily-maintenance operation of every standing 100 TB pipeline: the
+corpus-wide rollup (counts, sums, extrema per key/bucket) must absorb
+today's delta WITHOUT rescanning yesterday's petabytes. The classic
+answer is an algebraic/commutative-monoid aggregate state — per-group
+partials that merge associatively, exactly the shape Spark's own
+partial/final aggregation uses inside one job, lifted here across jobs
+and days (the same contract as `operators/dedup.incremental_ingest`'s
+cross-batch banding, applied to metrics instead of signatures).
+
+The reference recomputes every dashboard count from scratch per request
+(app.py:222-258, behind a 1-hour TTL cache); this is the operator that
+makes the rollup incremental instead.
+
+Scale shape:
+- `rollup_state` is ONE map-side-combined groupBy over the batch; the
+  state frame is bounded by |keys × buckets| — orders of magnitude
+  below event volume — and is what gets persisted.
+- `merge_rollup_states` unions state frames and re-aggregates with the
+  monoid ops (sum/sum/min/max). Merging N daily states shuffles only
+  state rows, never raw events; the merge is associative AND
+  commutative, so any grouping of days — pairwise, hierarchical,
+  out of order — yields the identical frame.
+
+Determinism (the float-sum rule from NOTES): the measure column is
+summed as DECIMAL(18,4), never DOUBLE — decimal addition is exact and
+order-independent, so incremental-vs-full equality holds bit-for-bit
+at any partitioning and any merge order, and the DuckDB oracle (which
+sums in one pass over the full table) hash-matches the two-pass merged
+state exactly. count/min/max are trivially order-independent; derived
+means are presentation-layer (round at read time), never part of the
+persisted state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STATE_COLS = ("n", "sum_value", "min_value", "max_value")
+
+
+def rollup_state(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    decimal_type: str = "decimal(18,4)",
+) -> DataFrame:
+    """Mergeable per-key aggregate state of one batch: (keys..., n,
+    sum_value, min_value, max_value) with the sum carried as exact
+    decimal so merge order can never change it."""
+    v = F.col(value_col).cast(decimal_type)
+    return df.groupBy(*key_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("sum_value"),
+        F.min(v).alias("min_value"),
+        F.max(v).alias("max_value"),
+    )
+
+
+def merge_rollup_states(states: list[DataFrame]) -> DataFrame:
+    """Merge any number of ``rollup_state`` frames into one equivalent
+    state — associative and commutative, so daily states can fold in
+    any order and still equal the full recompute."""
+    if not states:
+        raise ValueError("merge_rollup_states needs at least one state frame")
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    key_cols = [c for c in merged.columns if c not in STATE_COLS]
+    return merged.groupBy(*key_cols).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )

@@ -2929,3 +2929,58 @@ def anomaly_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return rolling_anomaly(ev, step_seconds=86400, window=7, z_thresh=2.0)
+
+
+# ------------------------------------------------ E41 incremental rollup merge
+# The Spark side computes the daily rollup the INCREMENTAL way — three
+# disjoint batch states (split on event_id % 3, deliberately not a
+# time split: merge must be indifferent to how history was sliced)
+# merged by the monoid ops — while the oracle recomputes from the full
+# table in one pass. Hash equality IS the algebraic-correctness proof.
+# The measure is summed as DECIMAL(18,4) (exact, order-independent —
+# the float-sum rule), so incremental == full holds bit-for-bit.
+_INCREMENTAL_ORACLE = r"""
+SELECT event_type AS key,
+       date_trunc('day', ts)::TIMESTAMP AS bucket,
+       count(*) AS n,
+       sum(CAST(value AS DECIMAL(18,4))) AS sum_value,
+       min(CAST(value AS DECIMAL(18,4))) AS min_value,
+       max(CAST(value AS DECIMAL(18,4))) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@_q("incremental_rollup", None)  # declared past the 50-slot cap; standalone gate
+def incremental_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (E41, operators/incremental):
+    the daily (event_type, day) count/sum/min/max state computed as
+    three disjoint batch states merged by the mergeable-state monoid —
+    against an oracle that recomputes from the full table in one pass.
+    The hash match proves the merge algebra (exact decimal sums, so
+    slice-order can never change a digit) — the operator that makes
+    the reference's recompute-per-request dashboard counts
+    (app.py:222-258) incremental at 100 TB. ``_INCREMENTAL_ORACLE`` is
+    the standalone DuckDB comparator (pytest hash gate + bench
+    _extra_oracles entry)."""
+    from audience_finder_pro_spark.operators.incremental import (
+        merge_rollup_states,
+        rollup_state,
+    )
+    from audience_finder_pro_spark.operators.timeseries import time_bucket
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"),
+        time_bucket("ts", 86400).alias("bucket"),
+        F.col("value"),
+        F.col("event_id"),
+    )
+    states = [
+        rollup_state(
+            ev.filter(F.col("event_id") % 3 == i).drop("event_id"),
+            ["key", "bucket"],
+            "value",
+        )
+        for i in range(3)
+    ]
+    return merge_rollup_states(states)

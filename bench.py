@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "record_linkage",
     "privacy_audit",
     "anomaly_scan",
+    "incremental_rollup",
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as
@@ -141,6 +142,7 @@ def _extra_oracles() -> dict[str, str]:
     )
     from audience_finder_pro_spark.queries.llm import (
         _ANOMALY_ORACLE,
+        _INCREMENTAL_ORACLE,
         _PRIVACY_ORACLE,
     )
 
@@ -150,6 +152,7 @@ def _extra_oracles() -> dict[str, str]:
         "record_linkage": _LINKAGE_ORACLE,
         "privacy_audit": _PRIVACY_ORACLE,
         "anomaly_scan": _ANOMALY_ORACLE,
+        "incremental_rollup": _INCREMENTAL_ORACLE,
         "repeated_passages": _PASSAGE_ORACLE,
         "gopher_quality": _GOPHER_ORACLE,
         "c4_clean": _C4_ORACLE,

@@ -845,6 +845,40 @@ def main() -> None:
           f"in {t_an:.1f}s; spike z closed-form exact, anomalies == n_keys")
 
 
+
+    # ------- r9: incremental rollup merge (E41) — merge-vs-direct at volume.
+    # n_docs events over 5 keys with quarter-valued measures (0.25 steps are
+    # exact in double AND decimal, so the Python closed form is exact too);
+    # the 7-way interleaved split merged through merge_rollup_states must
+    # equal the direct single-pass state row-for-row, and the global total
+    # must hit the arithmetic-series closed form.
+    from audience_finder_pro_spark.operators.incremental import (
+        merge_rollup_states,
+        rollup_state,
+    )
+
+    iev = spark.range(n_docs).select(
+        (F.col("id") % 5).alias("key"),
+        ((F.col("id") % 997).cast("double") * 0.25).alias("value"),
+        F.col("id"),
+    )
+    t0 = time.time()
+    direct = rollup_state(iev.drop("id"), ["key"], "value")
+    merged = merge_rollup_states(
+        [rollup_state(iev.filter(F.col("id") % 7 == i).drop("id"), ["key"], "value")
+         for i in range(7)]
+    )
+    diff_rows = merged.exceptAll(direct).count() + direct.exceptAll(merged).count()
+    tot = merged.agg(F.sum("n").alias("n"), F.sum("sum_value").alias("s")).first()
+    t_inc = time.time() - t0
+    cyc, rem = divmod(n_docs, 997)
+    expect_total = 0.25 * (cyc * (996 * 997 // 2) + rem * (rem - 1) // 2)
+    assert diff_rows == 0, diff_rows
+    assert tot.n == n_docs and float(tot.s) == expect_total, (tot, expect_total)
+    print(f"incremental_rollup: {n_docs} events, 7-way merge vs direct in "
+          f"{t_inc:.1f}s; states identical, closed-form total exact")
+
+
     # ------- r9: hybrid RRF fusion (E37) — engineered dual-leg ranked lists.
     # For query q, the sparse leg ranks docs q*100+o at rank o (o=1..20) and
     # the dense leg ranks docs q*100+o at rank o-10 (o=11..30). Docs with

@@ -2237,3 +2237,58 @@ def test_rolling_anomaly_semantics(spark):
     assert out[9].is_anomaly == 1
     assert out[9].z == round(z, 4) + 0.0
     assert out[9].baseline_mean == round(mean, 4)
+
+
+# -------------------------------------------------- E41 incremental rollup
+def test_incremental_rollup_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. The oracle
+    recomputes from the full table in one pass while the query merges
+    three disjoint batch states, so the hash match IS the merge-algebra
+    proof. Verified at sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _INCREMENTAL_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["incremental_rollup"](spark, sf_dir), _INCREMENTAL_ORACLE,
+            sf_dir, name="incremental_rollup")
+
+
+def test_rollup_state_merge_algebra(spark):
+    """The monoid contract on a planted frame: merging per-batch states
+    equals the full recompute for ANY slicing and ANY merge order/
+    grouping — including pairwise (associativity) and reversed
+    (commutativity) — bit-for-bit, because the sum is exact decimal."""
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.incremental import (
+        merge_rollup_states,
+        rollup_state,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, float(i) / 4 - 10) for i in range(101)], "key int, value double"
+    )
+    full = rollup_state(df, ["key"], "value")
+    # three disjoint slices on a non-key axis
+    slices = [df.filter((F.col("value") + 10) * 4 % 3 == i) for i in range(3)]
+    states = [rollup_state(s, ["key"], "value") for s in slices]
+
+    def rows(frame):
+        return sorted(tuple(r) for r in frame.collect())
+
+    expect = rows(full)
+    assert rows(merge_rollup_states(states)) == expect
+    assert rows(merge_rollup_states(states[::-1])) == expect           # commutative
+    ab_then_c = merge_rollup_states(
+        [merge_rollup_states(states[:2]), states[2]]
+    )
+    assert rows(ab_then_c) == expect                                   # associative
+    # negative values keep exact extrema and the count telescopes
+    got = {r.key: r for r in full.collect()}
+    vals = {k: [float(i) / 4 - 10 for i in range(101) if i % 3 == k] for k in range(3)}
+    for k in range(3):
+        assert got[k].n == len(vals[k])
+        assert float(got[k].min_value) == min(vals[k])
+        assert float(got[k].max_value) == max(vals[k])
+        assert float(got[k].sum_value) == sum(vals[k])  # quarters: exact in decimal AND float
