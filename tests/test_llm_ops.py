@@ -2292,3 +2292,131 @@ def test_rollup_state_merge_algebra(spark):
         assert float(got[k].min_value) == min(vals[k])
         assert float(got[k].max_value) == max(vals[k])
         assert float(got[k].sum_value) == sum(vals[k])  # quarters: exact in decimal AND float
+
+
+# ---------------------------------------- E37/E38 randomized differentials
+def test_rrf_fuse_matches_python_reference_on_random_lists(spark):
+    """Seeded-random ranked lists (3 legs, missing docs, k_rrf=40) vs a
+    plain-Python RRF reference that replays the operator's contract —
+    fixed-order contribution sum, round(6), (score DESC, id ASC)
+    tie-break. Catches any drift in the join/coalesce plumbing that the
+    planted closed-form test is too regular to exercise."""
+    import random
+
+    from audience_finder_pro_spark.operators.relevance import rrf_fuse
+
+    rng = random.Random(427)
+    legs_py = []
+    for _ in range(3):
+        leg = {}
+        for q in range(5):
+            docs = rng.sample(range(40), rng.randint(3, 12))
+            for rnk, d in enumerate(docs, start=1):
+                leg[(q, d)] = rnk
+        legs_py.append(leg)
+    frames = [
+        spark.createDataFrame(
+            [(q, d, r) for (q, d), r in leg.items()],
+            "query_id long, doc_id long, rnk int",
+        )
+        for leg in legs_py
+    ]
+    k = 7
+    got = {
+        (r.query_id, r.rnk): (r.doc_id, r.rrf_score, r.n_legs)
+        for r in rrf_fuse(
+            [(f"l{i}", f) for i, f in enumerate(frames)], k=k, k_rrf=40
+        ).collect()
+    }
+    expect = {}
+    for q in range(5):
+        scores = {}
+        for d in range(40):
+            ranks = [leg.get((q, d)) for leg in legs_py]
+            if not any(r is not None for r in ranks):
+                continue
+            s = 0.0
+            for r in ranks:  # fixed leg order, same as the operator
+                s = s + (1.0 / (40.0 + r) if r is not None else 0.0)
+            scores[d] = (round(s, 6), sum(r is not None for r in ranks))
+        ordered = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        for rnk, (d, (s, n)) in enumerate(ordered[:k], start=1):
+            expect[(q, rnk)] = (d, s, n)
+    assert got == expect
+
+
+def test_fuzzy_link_matches_bruteforce_on_random_corpus(spark):
+    """Seeded-random left/right name corpora: the blocked operator must
+    equal a driver-side brute force that replays the SPEC — candidates
+    = pairs sharing a prefix-2 OR suffix-2 block, levenshtein <= 2,
+    best match by (dist, right_id). Randomness exercises shared blocks,
+    near-ties and unblocked near-matches that planted data can't."""
+    import random
+
+    from audience_finder_pro_spark.operators.linkage import fuzzy_link
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    rng = random.Random(1009)
+    alphabet = "abcd"
+    lnames = [(i, "".join(rng.choice(alphabet) for _ in range(rng.randint(4, 7))))
+              for i in range(60)]
+    rnames = [(100 + i, "".join(rng.choice(alphabet) for _ in range(rng.randint(4, 7))))
+              for i in range(60)]
+    left = spark.createDataFrame(lnames, "left_id long, left_name string")
+    right = spark.createDataFrame(rnames, "right_id long, right_name string")
+    got = {(r.left_id, r.right_id, r.dist) for r in fuzzy_link(
+        left, right, max_dist=2, prefix_len=2, suffix_len=2
+    ).collect()}
+    expect = set()
+    for lid, ln in lnames:
+        cands = []
+        for rid, rn in rnames:
+            if ln[:2] != rn[:2] and ln[-2:] != rn[-2:]:
+                continue  # no shared block -> never compared (declared recall)
+            d = lev(ln, rn)
+            if d <= 2:
+                cands.append((d, rid))
+        if cands:
+            d, rid = min(cands)
+            expect.add((lid, rid, d))
+    assert got == expect
+
+
+def test_merge_rollup_states_random_slicings(spark):
+    """Seeded-random values and FOUR different random slicings of the
+    same frame (2-way through 5-way, uneven): every merged state must
+    equal the direct state row-for-row — the monoid law under
+    realistic, non-aligned history splits."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.incremental import (
+        merge_rollup_states,
+        rollup_state,
+    )
+
+    rng = random.Random(31)
+    rows = [(i, rng.randint(0, 6), rng.randint(-4000, 4000) / 4.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "rid long, key int, value double")
+
+    def canon(frame):
+        return sorted(tuple(r) for r in frame.drop("rid").collect()) if "rid" in frame.columns \
+            else sorted(tuple(r) for r in frame.collect())
+
+    direct = canon(rollup_state(df.drop("rid"), ["key"], "value"))
+    for n_slices in (2, 3, 4, 5):
+        # hash-mix the row id so slices are uneven and key-uncorrelated
+        mixer = (F.col("rid") * 2654435761 + n_slices) % 1_000_003 % n_slices
+        states = [
+            rollup_state(df.filter(mixer == i).drop("rid"), ["key"], "value")
+            for i in range(n_slices)
+        ]
+        assert canon(merge_rollup_states(states)) == direct, n_slices
