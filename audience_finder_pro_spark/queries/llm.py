@@ -1711,17 +1711,19 @@ FROM dense
 """
 
 
-@_q("gapfill_rollup", _GAPFILL_ORACLE)
-def gapfill_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_q("gapfill_plain", None)  # demoted to merge-#24 constituent; standalone gate
+def gapfill_plain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style regularization over events: hourly rollup per
     event_type with a dense per-key bucket spine (empty hours present,
     n_events=0) and forward-filled running sums
-    (operators/timeseries.gapfill_rollup). Oracle slot funded by the
-    q23 → q22 tagged merge (r7); DuckDB buckets via date_trunc — its
-    epoch()::BIGINT ROUNDS fractional seconds where Spark truncates,
-    silently shifting boundary events one bucket. Spine rows are
-    data-proportional — per-key min..max span, never keys × global
-    range."""
+    (operators/timeseries.gapfill_rollup). Was the driver row
+    `gapfill_rollup` until r9 merge #24 turned that row into a tagged
+    3-leg events-analytics carrier (this plain form rides as its
+    'gapfill' leg; `_GAPFILL_ORACLE` stays the standalone pytest
+    gate). DuckDB buckets via date_trunc — its epoch()::BIGINT ROUNDS
+    fractional seconds where Spark truncates, silently shifting
+    boundary events one bucket. Spine rows are data-proportional —
+    per-key min..max span, never keys × global range."""
     from audience_finder_pro_spark.operators.timeseries import gapfill_rollup
 
     ev = load_table(spark, sf_dir, "events")
@@ -2984,3 +2986,66 @@ def incremental_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(3)
     ]
     return merge_rollup_states(states)
+
+
+# ------------------------------------------------ merge #24: events-analytics carrier
+# The `gapfill_rollup` driver row becomes a tagged 3-leg carrier over
+# the SAME events table — 'gapfill' (E18 plain form), 'anomaly' (E40),
+# 'rollup_state' (E41) — driver-badging the two r9 ops at zero slot
+# cost (the q20/q10 tagged-carrier economics). Alignment: (op, key,
+# bucket, n, v1, v2, v3); the gapfill leg's v3 pad is NULL (precedent:
+# anomaly_scan's own NULL z rows already hash-match), and the exact
+# DECIMAL state sums cast to DOUBLE for the union — decimal→double is
+# correctly rounded from an exact input in BOTH engines (the UNSAFE
+# direction, computed-double→decimal, is the NOTES-documented trap and
+# is not used). Each constituent stays declared with its standalone
+# oracle gate.
+@_q("gapfill_rollup", None)  # oracle attached below (needs all three bodies)
+def gapfill_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged events-analytics carrier (merge #24): hourly gap-filled
+    rollup + daily rolling-anomaly scan + incremental rollup-state
+    merge, one frame, one driver hash. See gapfill_plain_q /
+    anomaly_scan_q / incremental_rollup_q for the constituent stories.
+    """
+    g = gapfill_plain_q(spark, sf_dir).select(
+        F.lit("gapfill").alias("op"),
+        "key",
+        "bucket",
+        F.col("n_events").alias("n"),
+        F.col("sum_value").alias("v1"),
+        F.col("filled_sum").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+    )
+    a = anomaly_scan_q(spark, sf_dir).select(
+        F.lit("anomaly").alias("op"),
+        "key",
+        "bucket",
+        "n",
+        F.col("baseline_mean").alias("v1"),
+        F.col("z").alias("v2"),
+        F.col("is_anomaly").cast("double").alias("v3"),
+    )
+    i = incremental_rollup_q(spark, sf_dir).select(
+        F.lit("rollup_state").alias("op"),
+        "key",
+        "bucket",
+        "n",
+        F.col("sum_value").cast("double").alias("v1"),
+        F.col("min_value").cast("double").alias("v2"),
+        F.col("max_value").cast("double").alias("v3"),
+    )
+    return g.unionByName(a).unionByName(i)
+
+
+ORACLES["gapfill_rollup"] = f"""
+SELECT 'gapfill' AS op, key, bucket, n_events AS n,
+       sum_value AS v1, filled_sum AS v2, CAST(NULL AS DOUBLE) AS v3
+FROM ({_GAPFILL_ORACLE})
+UNION ALL
+SELECT 'anomaly', key, bucket, n, baseline_mean, z, CAST(is_anomaly AS DOUBLE)
+FROM ({_ANOMALY_ORACLE})
+UNION ALL
+SELECT 'rollup_state', key, bucket, n, CAST(sum_value AS DOUBLE),
+       CAST(min_value AS DOUBLE), CAST(max_value AS DOUBLE)
+FROM ({_INCREMENTAL_ORACLE})
+"""

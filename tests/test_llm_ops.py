@@ -1147,19 +1147,31 @@ def test_bpe_tokenize_memoizes_fit_per_corpus(spark, sf_smoke, monkeypatch):
 
 
 def test_gapfill_rollup_matches_duckdb(spark, sf_smoke):
-    """E18: the dense gap-filled hourly rollup hash-matches a DuckDB CTE
-    (epoch-aligned buckets, per-key generate_series spine, IGNORE NULLS
-    running last)."""
+    """The merge-#24 tagged carrier (gapfill + anomaly + rollup_state
+    legs over events) hash-matches the UNION ALL of the three
+    constituent oracles — this is the driver row's exact compare."""
     from tests.oracle import compare
 
-    from audience_finder_pro_spark.queries import QUERIES
-
-    from audience_finder_pro_spark.queries import ORACLES
+    from audience_finder_pro_spark.queries import ORACLES, QUERIES
 
     df = QUERIES["gapfill_rollup"](spark, sf_smoke)
     compare(df, ORACLES["gapfill_rollup"], sf_smoke, name="gapfill_rollup")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_gapfill_plain_matches_duckdb(spark, sf_smoke):
+    """E18: the demoted merge-#24 constituent keeps its standalone gate
+    — the dense gap-filled hourly rollup hash-matches a DuckDB CTE
+    (epoch-aligned buckets, per-key generate_series spine, IGNORE
+    NULLS running last)."""
+    from tests.oracle import compare
+
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _GAPFILL_ORACLE
+
+    compare(QUERIES["gapfill_plain"](spark, sf_smoke), _GAPFILL_ORACLE,
+            sf_smoke, name="gapfill_plain")
 
 
 def test_gapfill_modes_and_dense_spine(spark):
