@@ -1944,15 +1944,16 @@ WHERE rnk <= 5
 """
 
 
-@_q("knn_graph", _KNN_ORACLE)
-def knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_q("knn_plain", None)  # demoted to merge-#25 constituent; standalone gate
+def knn_plain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus self k-NN graph (operators/similarity.knn_graph, exact
     path): every vector's 5 nearest neighbors by cosine, zero shuffles —
     one broadcast of the (gated, bounded) corpus + a narrow chunked-BLAS
-    mapInPandas pass. ``_KNN_ORACLE`` is the DuckDB oracle — a pytest
-    hash gate and, since r8, the driver-oracle row (merge #22 funded the
-    slot); the IVF multi-probe path is recall-checked against this
-    exact output."""
+    mapInPandas pass. Was the driver row `knn_graph` (merge #22, r8)
+    until r9 merge #25 turned that row into the tagged retrieval
+    carrier (this exact path rides as its 'knn' leg; ``_KNN_ORACLE``
+    stays the standalone pytest gate); the IVF multi-probe path is
+    recall-checked against this exact output."""
     from audience_finder_pro_spark.operators.similarity import knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
@@ -2483,15 +2484,17 @@ FROM (
 """
 
 
-@_q("validate_corpus", _VALIDATE_ORACLE)
-def validate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_q("validate_plain", None)  # demoted to merge-#26 constituent; standalone gate
+def validate_plain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style declarative validation gate
     (operators/validate.validate_table): six constraint rules over the
     orders table — null/unique/range/enum/regex in ONE aggregate pass,
     FK integrity vs customer as one anti-join — reported as
-    (rule, kind, column, n_rows, n_violations, passed).
-    ``_VALIDATE_ORACLE`` recomputes every count in DuckDB (driver slot
-    funded by merge #15, r9 — the q28/q31 → q24 semi-structured fold)."""
+    (rule, kind, column, n_rows, n_violations, passed). Was the driver
+    row `validate_corpus` (merge #15 funded the slot) until r9 merge
+    #26 turned that row into the tagged audit carrier (this form rides
+    as its 'validate' leg; ``_VALIDATE_ORACLE`` stays the standalone
+    pytest gate)."""
     from audience_finder_pro_spark.operators.validate import validate_table
 
     orders = load_table(spark, sf_dir, "orders")
@@ -3048,4 +3051,106 @@ UNION ALL
 SELECT 'rollup_state', key, bucket, n, CAST(sum_value AS DOUBLE),
        CAST(min_value AS DOUBLE), CAST(max_value AS DOUBLE)
 FROM ({_INCREMENTAL_ORACLE})
+"""
+
+
+# ------------------------------------------------ merge #25: retrieval carrier
+# The `knn_graph` driver row becomes a tagged 3-leg top-k retrieval
+# carrier — 'knn' (E23 exact self-graph), 'bm25' (E36 lexical), 'hybrid'
+# (E37 RRF fusion) — identical (qid, did, score, rnk) shape class,
+# driver-badging the two r9 retrieval ops at zero slot cost. bm25/
+# hybrid query ids cast int→bigint to align with vec_id (lossless,
+# identical in both engines); hybrid's n_legs column is carrier-dropped
+# (its standalone gate still checks it). Constituents stay declared
+# with standalone oracle gates.
+@_q("knn_graph", None)  # oracle attached below (needs all three bodies)
+def knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged top-k retrieval carrier (merge #25): exact k-NN self-graph
+    + BM25 lexical top-20→10 + hybrid RRF top-10, one frame, one driver
+    hash. See knn_plain_q / bm25_retrieval_q / hybrid_retrieval_q for
+    the constituent stories."""
+    k = knn_plain_q(spark, sf_dir).select(
+        F.lit("knn").alias("method"),
+        F.col("vec_id").alias("qid"),
+        F.col("nbr_id").alias("did"),
+        F.col("cosine_sim").alias("score"),
+        "rnk",
+    )
+    b = bm25_retrieval_q(spark, sf_dir).select(
+        F.lit("bm25").alias("method"),
+        F.col("query_id").cast("bigint").alias("qid"),
+        F.col("doc_id").alias("did"),
+        F.col("score"),
+        "rnk",
+    )
+    h = hybrid_retrieval_q(spark, sf_dir).select(
+        F.lit("hybrid").alias("method"),
+        F.col("query_id").cast("bigint").alias("qid"),
+        F.col("doc_id").alias("did"),
+        F.col("rrf_score").alias("score"),
+        "rnk",
+    )
+    return k.unionByName(b).unionByName(h)
+
+
+ORACLES["knn_graph"] = f"""
+SELECT 'knn' AS method, vec_id AS qid, nbr_id AS did, cosine_sim AS score, rnk
+FROM ({_KNN_ORACLE})
+UNION ALL
+SELECT 'bm25', CAST(query_id AS BIGINT), doc_id, score, rnk
+FROM ({_BM25_ORACLE})
+UNION ALL
+SELECT 'hybrid', CAST(query_id AS BIGINT), doc_id, rrf_score, rnk
+FROM ({_RRF_ORACLE})
+"""
+
+
+# ------------------------------------------------ merge #26: audit carrier
+# The `validate_corpus` driver row becomes a tagged 2-leg data-audit
+# carrier — 'validate' (E33 constraint suite over orders) + 'privacy'
+# (E39 k-anonymity/l-diversity over customer) — on an
+# (op, k1, k2, k3, n1, n2, f1, f2) frame, driver-badging the privacy
+# audit at zero slot cost. Pads are honest values, not fabrications:
+# the privacy leg's k3 is the literal sensitive-column name, the
+# validate leg's f2 is NULL (NULL pads proven driver-safe, merge #24),
+# nation keys cast int→string losslessly and identically in both
+# engines.
+@_q("validate_corpus", None)  # oracle attached below (needs both bodies)
+def validate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged data-audit carrier (merge #26): declarative constraint
+    suite + k-anonymity/l-diversity audit, one frame, one driver hash.
+    See validate_plain_q / privacy_audit_q for the constituent
+    stories."""
+    v = validate_plain_q(spark, sf_dir).select(
+        F.lit("validate").alias("op"),
+        F.col("rule").alias("k1"),
+        F.col("kind").alias("k2"),
+        F.col("column").alias("k3"),
+        F.col("n_rows").alias("n1"),
+        F.col("n_violations").alias("n2"),
+        F.col("passed").cast("int").alias("f1"),
+        F.lit(None).cast("int").alias("f2"),
+    )
+    p = privacy_audit_q(spark, sf_dir).select(
+        F.lit("privacy").alias("op"),
+        F.col("c_nationkey").cast("string").alias("k1"),
+        F.col("c_mktsegment").alias("k2"),
+        F.lit("c_acctbal").alias("k3"),
+        F.col("class_size").alias("n1"),
+        F.col("n_sensitive").alias("n2"),
+        F.col("risky").alias("f1"),
+        F.col("diverse").alias("f2"),
+    )
+    return v.unionByName(p)
+
+
+ORACLES["validate_corpus"] = f"""
+SELECT 'validate' AS op, rule AS k1, kind AS k2, "column" AS k3,
+       n_rows AS n1, n_violations AS n2, CAST(passed AS INT) AS f1,
+       CAST(NULL AS INT) AS f2
+FROM ({_VALIDATE_ORACLE})
+UNION ALL
+SELECT 'privacy', CAST(c_nationkey AS VARCHAR), c_mktsegment, 'c_acctbal',
+       class_size, n_sensitive, risky, diverse
+FROM ({_PRIVACY_ORACLE})
 """

@@ -1433,13 +1433,24 @@ def test_incremental_dedup_consistent_with_full_batch_lsh(spark, sf_smoke):
 
 # ------------------------------------------------ E23 corpus k-NN graph
 def test_knn_graph_exact_matches_sql_oracle(spark, sf_dir):
-    """The exact path registers oracle-less (driver slots fully funded) —
-    this differential IS its hash gate, same compare as the driver's."""
+    """The demoted merge-#25 constituent keeps its standalone hash gate
+    (the exact path now rides the retrieval carrier as its 'knn' leg)."""
     from audience_finder_pro_spark.queries import QUERIES
     from audience_finder_pro_spark.queries.llm import _KNN_ORACLE
     from tests.oracle import compare
 
-    compare(QUERIES["knn_graph"](spark, sf_dir), _KNN_ORACLE, sf_dir, name="knn_graph")
+    compare(QUERIES["knn_plain"](spark, sf_dir), _KNN_ORACLE, sf_dir, name="knn_plain")
+
+
+def test_retrieval_carrier_matches_sql_oracle(spark, sf_dir):
+    """The merge-#25 tagged retrieval carrier (knn + bm25 + hybrid legs)
+    hash-matches the UNION ALL of the three constituent oracles — this
+    is the driver row's exact compare."""
+    from audience_finder_pro_spark.queries import ORACLES, QUERIES
+    from tests.oracle import compare
+
+    compare(QUERIES["knn_graph"](spark, sf_dir), ORACLES["knn_graph"], sf_dir,
+            name="knn_graph")
 
 
 def test_knn_graph_exact_invariants(spark, sf_dir):

@@ -990,13 +990,28 @@ def test_similarity_pagerank_matches_sql_oracle(spark, sf_dir):
 
 # ---------------------------------------------------------------- E33 validation
 def test_validate_corpus_matches_sql_oracle(spark, sf_dir):
+    """The demoted merge-#26 constituent keeps its standalone hash gate
+    (the suite now rides the audit carrier as its 'validate' leg)."""
     from audience_finder_pro_spark.queries import QUERIES
     from audience_finder_pro_spark.queries.llm import _VALIDATE_ORACLE
     from tests.oracle import compare
 
     compare(
-        QUERIES["validate_corpus"](spark, sf_dir), _VALIDATE_ORACLE, sf_dir,
-        name="validate_corpus",
+        QUERIES["validate_plain"](spark, sf_dir), _VALIDATE_ORACLE, sf_dir,
+        name="validate_plain",
+    )
+
+
+def test_audit_carrier_matches_sql_oracle(spark, sf_dir):
+    """The merge-#26 tagged audit carrier (validate + privacy legs)
+    hash-matches the UNION ALL of both constituent oracles — this is
+    the driver row's exact compare."""
+    from audience_finder_pro_spark.queries import ORACLES, QUERIES
+    from tests.oracle import compare
+
+    compare(
+        QUERIES["validate_corpus"](spark, sf_dir), ORACLES["validate_corpus"],
+        sf_dir, name="validate_corpus",
     )
 
 
