@@ -3055,20 +3055,25 @@ FROM ({_INCREMENTAL_ORACLE})
 
 
 # ------------------------------------------------ merge #25: retrieval carrier
-# The `knn_graph` driver row becomes a tagged 3-leg top-k retrieval
+# The `knn_graph` driver row becomes a tagged 4-leg top-k retrieval
 # carrier — 'knn' (E23 exact self-graph), 'bm25' (E36 lexical), 'hybrid'
-# (E37 RRF fusion) — identical (qid, did, score, rnk) shape class,
-# driver-badging the two r9 retrieval ops at zero slot cost. bm25/
-# hybrid query ids cast int→bigint to align with vec_id (lossless,
-# identical in both engines); hybrid's n_legs column is carrier-dropped
-# (its standalone gate still checks it). Constituents stay declared
-# with standalone oracle gates.
-@_q("knn_graph", None)  # oracle attached below (needs all three bodies)
+# (E37 RRF fusion), 'linkage' (E38 best-match record linkage — which IS
+# rank-1 retrieval: each left record's single best right match) —
+# identical (qid, did, score, rnk) shape class, driver-badging the
+# three r9 ops at zero slot cost. bm25/hybrid query ids cast
+# int→bigint to align with vec_id (lossless, identical in both
+# engines); hybrid's n_legs column is carrier-dropped (its standalone
+# gate still checks it); the linkage leg's score is its integer edit
+# distance cast to double (lossless) and its rnk is the literal 1 its
+# best-match window already computed. Constituents stay declared with
+# standalone oracle gates.
+@_q("knn_graph", None)  # oracle attached below (needs all four bodies)
 def knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged top-k retrieval carrier (merge #25): exact k-NN self-graph
-    + BM25 lexical top-20→10 + hybrid RRF top-10, one frame, one driver
-    hash. See knn_plain_q / bm25_retrieval_q / hybrid_retrieval_q for
-    the constituent stories."""
+    + BM25 lexical top-20→10 + hybrid RRF top-10 + best-match fuzzy
+    linkage, one frame, one driver hash. See knn_plain_q /
+    bm25_retrieval_q / hybrid_retrieval_q / record_linkage_q for the
+    constituent stories."""
     k = knn_plain_q(spark, sf_dir).select(
         F.lit("knn").alias("method"),
         F.col("vec_id").alias("qid"),
@@ -3090,7 +3095,14 @@ def knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rrf_score").alias("score"),
         "rnk",
     )
-    return k.unionByName(b).unionByName(h)
+    lk = record_linkage_q(spark, sf_dir).select(
+        F.lit("linkage").alias("method"),
+        F.col("c_custkey").alias("qid"),
+        F.col("right_id").alias("did"),
+        F.col("dist").cast("double").alias("score"),
+        F.lit(1).alias("rnk"),
+    )
+    return k.unionByName(b).unionByName(h).unionByName(lk)
 
 
 ORACLES["knn_graph"] = f"""
@@ -3102,6 +3114,9 @@ FROM ({_BM25_ORACLE})
 UNION ALL
 SELECT 'hybrid', CAST(query_id AS BIGINT), doc_id, rrf_score, rnk
 FROM ({_RRF_ORACLE})
+UNION ALL
+SELECT 'linkage', c_custkey, right_id, CAST(dist AS DOUBLE), 1
+FROM ({_LINKAGE_ORACLE})
 """
 
 
