@@ -49,7 +49,16 @@ def rollup_state(
 ) -> DataFrame:
     """Mergeable per-key aggregate state of one batch: (keys..., n,
     sum_value, min_value, max_value) with the sum carried as exact
-    decimal so merge order can never change it."""
+    decimal so merge order can never change it.
+
+    Input assumption: ``value_col`` is representable at ``decimal_type``
+    scale (<= 4 decimal places by default). The merge-order guarantee is
+    unconditional once values ARE decimal, but the initial double→decimal
+    cast rounds, and engines may disagree on half-boundary doubles
+    (Spark rounds the shortest decimal repr HALF_UP; others round the
+    binary value) — e.g. x.00005 can land differently. Pre-round such
+    measures identically in every engine before calling, or widen
+    ``decimal_type``'s scale past the data's precision."""
     v = F.col(value_col).cast(decimal_type)
     return df.groupBy(*key_cols).agg(
         F.count("*").alias("n"),

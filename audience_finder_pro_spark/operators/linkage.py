@@ -63,6 +63,15 @@ def fuzzy_link(
     ``max_dist``, or (``best_only``) each left record's single best match
     by (dist ASC, right_id ASC). ``prefix_len``/``suffix_len`` choose the
     blocking passes; 0 disables a pass (at least one must be active).
+
+    Short-name rule (pinned cross-engine): names shorter than
+    ``suffix_len`` are EXCLUDED from the suffix blocking pass (they can
+    still pair via the prefix pass). Without the guard, engines disagree
+    on negative-position substrings — Spark ``substring('ab', -4, 4)``
+    yields the whole string while ANSI ``substr(s, length(s)-3, 4)``
+    yields only the tail — so the operator and its SQL spec would
+    silently diverge on short strings. Filtering them out gives both
+    engines the identical, documented semantics.
     """
     if prefix_len <= 0 and suffix_len <= 0:
         raise ValueError("fuzzy_link needs at least one blocking pass")
@@ -80,9 +89,15 @@ def fuzzy_link(
             )
         )
     if suffix_len > 0:
+        # short names sit out this pass (see docstring: negative-position
+        # substring semantics differ across engines below suffix_len)
         passes.append(
-            l.withColumn("_bk", F.substring("_lname", -suffix_len, suffix_len)).join(
-                r.withColumn("_bk", F.substring("_rname", -suffix_len, suffix_len)),
+            l.filter(F.length("_lname") >= suffix_len)
+            .withColumn("_bk", F.substring("_lname", -suffix_len, suffix_len))
+            .join(
+                r.filter(F.length("_rname") >= suffix_len).withColumn(
+                    "_bk", F.substring("_rname", -suffix_len, suffix_len)
+                ),
                 "_bk",
             )
         )

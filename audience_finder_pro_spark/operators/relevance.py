@@ -595,6 +595,11 @@ def rrf_fuse(
     """
     if not legs:
         raise ValueError("rrf_fuse needs at least one ranked leg")
+    names = [name for name, _ in legs]
+    if len(set(names)) != len(names):
+        # duplicate names would mint duplicate _rnk_{name} columns and
+        # surface as an ambiguous-reference error deep in the join chain
+        raise ValueError(f"rrf_fuse leg names must be unique, got {names}")
     fused: DataFrame | None = None
     rank_cols: list[str] = []
     for name, frame in legs:

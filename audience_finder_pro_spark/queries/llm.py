@@ -2791,11 +2791,11 @@ WITH corrupt AS (
 lk AS (
   SELECT c_custkey AS lid, c_name AS lname,
          substr(c_name, length(c_name) - 3, 4) AS bk
-  FROM customer
+  FROM customer WHERE length(c_name) >= 4
 ),
 rk AS (
   SELECT rid, rname, substr(rname, length(rname) - 3, 4) AS bk
-  FROM corrupt
+  FROM corrupt WHERE length(rname) >= 4
 ),
 cand AS (SELECT DISTINCT lid, lname, rid, rname FROM lk JOIN rk USING (bk)),
 scored AS (

@@ -2174,6 +2174,41 @@ def test_fuzzy_link_semantics(spark):
     assert len(tb) == 1 and tb[0].right_id == 20 and tb[0].dist == 1
 
 
+def test_fuzzy_link_short_names_sit_out_suffix_pass(spark):
+    """ADVICE r9: names shorter than suffix_len are excluded from the
+    suffix blocking pass (engines disagree on negative-position
+    substrings below the key length — Spark substring('ab',-4,4)='ab',
+    ANSI substr='b'). Pinned semantics: 'ab' vs 'ab' does NOT pair via a
+    suffix-4 pass, but DOES via a prefix pass that it satisfies."""
+    from audience_finder_pro_spark.operators.linkage import fuzzy_link
+
+    left = spark.createDataFrame([(1, "ab")], "left_id long, left_name string")
+    right = spark.createDataFrame([(10, "ab")], "right_id long, right_name string")
+    suffix_only = fuzzy_link(
+        left, right, max_dist=2, prefix_len=0, suffix_len=4
+    ).collect()
+    assert suffix_only == []  # short name never enters the suffix pass
+    prefix_pass = fuzzy_link(
+        left, right, max_dist=2, prefix_len=2, suffix_len=4
+    ).collect()
+    assert len(prefix_pass) == 1 and prefix_pass[0].dist == 0
+
+
+def test_rrf_fuse_rejects_duplicate_leg_names(spark):
+    """ADVICE r9: duplicate leg names would mint duplicate _rnk_{name}
+    columns and fail as an ambiguous reference deep in the join chain —
+    rejected up front instead."""
+    import pytest
+
+    from audience_finder_pro_spark.operators.relevance import rrf_fuse
+
+    leg = spark.createDataFrame(
+        [(1, 100, 1)], "query_id long, doc_id long, rnk int"
+    )
+    with pytest.raises(ValueError, match="unique"):
+        rrf_fuse([("s", leg), ("s", leg)], k=5)
+
+
 # -------------------------------------------------- E39 k-anonymity audit
 def test_privacy_audit_matches_sql_oracle(spark, sf_dir):
     """Declared past the 50-slot driver cap — this is its correctness
