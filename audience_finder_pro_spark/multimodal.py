@@ -30,6 +30,7 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -42,12 +43,42 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # 8-bit gray / RGB / RGBA
 
 
+def _unfilter_scalar(cur: bytearray, prev: bytes, ftype: int, ch: int) -> bytearray:
+    """Reference per-byte unfilter for the sequential filters (Average,
+    Paeth) whose left-neighbor dependency resists vectorization — the
+    floor-divide (Average) / 3-way-min predictor (Paeth) make recon[i]
+    a nonlinear function of recon[i-ch], so the row is an inherently
+    serial recurrence. Rows with these filters pay the scalar loop (on
+    plain bytes — numpy scalar indexing is ~10× slower per element); the
+    vectorized dispatch in _png_pixels handles filters 0-2."""
+    for i in range(len(cur)):
+        a = cur[i - ch] if i >= ch else 0  # left (already reconstructed)
+        b = prev[i]  # up
+        if ftype == 3:
+            cur[i] = (cur[i] + (a + b) // 2) & 0xFF
+        else:  # Paeth
+            c = prev[i - ch] if i >= ch else 0  # up-left
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            cur[i] = (cur[i] + pred) & 0xFF
+    return cur
+
+
 def _png_pixels(payload: bytes) -> tuple[int, int, int, int, bytearray]:
     """Real PNG decode → (width, height, channels, color_type, pixels).
 
     Supports the common web subset (bit depth 8, color type 0/2/6, no
     interlace); anything else raises ValueError and the caller reports
     the row as undecodable rather than faking features for real bytes.
+
+    Scanline unfiltering is numpy-vectorized per row (VERDICT r9 #1 —
+    the old per-byte Python loop ran even for filter-0 rows): None is a
+    slice, Sub is a per-channel-lane cumsum mod 256, Up is one wrapping
+    uint8 row add. Only Average/Paeth rows — serial recurrences on the
+    reconstructed left neighbor — fall back to the scalar loop, and an
+    all-filter-0 image (our own encoder's output, and most screenshot-
+    style PNGs) decodes with zero per-byte Python at all.
     """
     pos, ihdr, idat = len(_PNG_MAGIC), None, []
     while pos + 8 <= len(payload):
@@ -70,31 +101,41 @@ def _png_pixels(payload: bytes) -> tuple[int, int, int, int, bytearray]:
     stride = width * ch
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel data does not match declared dimensions")
-    prev = bytearray(stride)
-    pixels = bytearray()
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes, data = lines[:, 0], lines[:, 1:]
+    if (ftypes > 4).any():
+        bad = int(ftypes[ftypes > 4][0])
+        raise ValueError(f"unknown PNG filter {bad}")
+    if not ftypes.any():  # all filter 0: the pixels ARE the payload
+        return width, height, ch, color, bytearray(data.tobytes())
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     for r in range(height):
-        line = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
-        ftype, cur = line[0], bytearray(line[1:])
-        for i in range(stride):
-            a = cur[i - ch] if i >= ch else 0  # left
-            b = prev[i]  # up
-            c = prev[i - ch] if i >= ch else 0  # up-left
-            if ftype == 1:
-                cur[i] = (cur[i] + a) & 0xFF
-            elif ftype == 2:
-                cur[i] = (cur[i] + b) & 0xFF
-            elif ftype == 3:
-                cur[i] = (cur[i] + (a + b) // 2) & 0xFF
-            elif ftype == 4:  # Paeth
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (cur[i] + pred) & 0xFF
-            elif ftype != 0:
-                raise ValueError(f"unknown PNG filter {ftype}")
-        pixels += cur
-        prev = cur
-    return width, height, ch, color, pixels
+        ftype, cur = int(ftypes[r]), data[r]
+        if ftype == 0:
+            rec = cur.copy()
+        elif ftype == 1:  # Sub: recon[i] = raw[i] + recon[i-ch] -> lane cumsum
+            rec = (
+                cur.reshape(-1, ch)
+                .astype(np.uint32)
+                .cumsum(axis=0)
+                .astype(np.uint8)
+                .reshape(-1)
+            )
+        elif ftype == 2:  # Up: uint8 addition wraps mod 256 by itself
+            rec = cur + prev
+        else:  # 3/4: serial left-dependency -> scalar reference loop
+            rec = np.frombuffer(
+                bytes(
+                    _unfilter_scalar(
+                        bytearray(cur.tobytes()), prev.tobytes(), ftype, ch
+                    )
+                ),
+                dtype=np.uint8,
+            )
+        out[r] = rec
+        prev = out[r]
+    return width, height, ch, color, bytearray(out.tobytes())
 
 
 def _encode_png(width: int, height: int, ch: int, color: int, pixels: bytes) -> bytes:
@@ -123,27 +164,27 @@ def _encode_png(width: int, height: int, ch: int, color: int, pixels: bytes) -> 
 
 
 def _resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
-    """Real nearest-neighbor PNG resize: decode → resample → re-encode."""
+    """Real nearest-neighbor PNG resize: decode → resample → re-encode.
+    Resampling is one numpy fancy-index gather (same floor-divide source
+    indices as the former per-pixel loop — output bytes are identical)."""
     in_w, in_h, ch, color, px = _png_pixels(payload)
     if not (in_w and in_h):
         raise ValueError("cannot resize empty PNG")
-    out = bytearray(out_w * out_h * ch)
-    for y in range(out_h):
-        sy = y * in_h // out_h
-        src_row = sy * in_w * ch
-        dst_row = y * out_w * ch
-        for x in range(out_w):
-            sx = x * in_w // out_w
-            s = src_row + sx * ch
-            d = dst_row + x * ch
-            out[d : d + ch] = px[s : s + ch]
-    return _encode_png(out_w, out_h, ch, color, out)
+    arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(in_h, in_w, ch)
+    ys = np.arange(out_h) * in_h // out_h
+    xs = np.arange(out_w) * in_w // out_w
+    out = arr[ys][:, xs]
+    return _encode_png(out_w, out_h, ch, color, out.tobytes())
 
 
 def _decode_png(payload: bytes) -> dict:
     """Feature view over _png_pixels: dims + mean pixel as the feature."""
     width, height, ch, _color, pixels = _png_pixels(payload)
-    mean_pixel = sum(pixels) / len(pixels) if pixels else 0.0
+    mean_pixel = (
+        float(np.frombuffer(bytes(pixels), dtype=np.uint8).sum()) / len(pixels)
+        if pixels
+        else 0.0
+    )
     return {
         "n_bytes": len(payload),
         "width": width,
@@ -165,8 +206,8 @@ def _decode_wav(payload: bytes) -> dict:
     duration_ms = int(n_frames * 1000 / rate) if rate else 0
     rms = 0.0
     if width == 2 and frames:
-        samples = struct.unpack(f"<{len(frames) // 2}h", frames)
-        rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 / 32768.0
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+        rms = float(np.sqrt(np.mean(samples * samples))) / 32768.0
     return {
         "n_bytes": len(payload),
         "width": None,
@@ -325,21 +366,25 @@ def _embed_png(payload: bytes, grid: int) -> list[float]:
     """Real image embedding: grayscale block-mean pooling over a grid×grid
     partition of the decoded pixels (the classic pre-neural baseline —
     deterministic, translation-sensitive, robust to re-encoding). Values
-    in [0, 1]; cosine between two embeddings tracks visual similarity."""
+    in [0, 1]; cosine between two embeddings tracks visual similarity.
+
+    Pooling is numpy: one integer channel-sum over the pixel cube, then
+    grid² block means as array-slice reductions (same floor-divide block
+    boundaries and same empty-block zero rule as the former per-pixel
+    Python loop; values agree to float ulps since per-pixel channel sums
+    are exact integers either way)."""
     width, height, ch, _color, px = _png_pixels(payload)
+    arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(height, width, ch)
+    gray = arr.sum(axis=2, dtype=np.int64) / ch  # per-pixel channel mean
     out = []
     for gy in range(grid):
-        y0, y1 = gy * height // grid, max((gy + 1) * height // grid, gy * height // grid + 1)
+        y0 = gy * height // grid
+        y1 = min(max((gy + 1) * height // grid, y0 + 1), height)
         for gx in range(grid):
-            x0, x1 = gx * width // grid, max((gx + 1) * width // grid, gx * width // grid + 1)
-            acc = n = 0
-            for y in range(y0, min(y1, height)):
-                row = y * width * ch
-                for x in range(x0, min(x1, width)):
-                    s = row + x * ch
-                    acc += sum(px[s : s + ch]) / ch
-                    n += 1
-            out.append(acc / (255.0 * n) if n else 0.0)
+            x0 = gx * width // grid
+            x1 = min(max((gx + 1) * width // grid, x0 + 1), width)
+            block = gray[y0:y1, x0:x1]
+            out.append(float(block.sum()) / (255.0 * block.size) if block.size else 0.0)
     return out
 
 
@@ -350,8 +395,6 @@ def _embed_bytes(payload: bytes, dim: int) -> list[float]:
     close in cosine — the honest structural fake, same spirit as
     _decode_stub. Vectorized (np.bincount over the buffer) — the
     per-byte Python loop was the batch hot path."""
-    import numpy as np
-
     arr = np.frombuffer(payload, dtype=np.uint8)
     hist = np.bincount(arr % dim, minlength=dim).astype(float)
     return (hist / (len(arr) or 1)).tolist()
