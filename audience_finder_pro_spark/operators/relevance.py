@@ -459,6 +459,7 @@ def bm25_retrieve(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Okapi BM25 retrieval: top-``k`` documents per query (E36).
 
@@ -493,6 +494,18 @@ def bm25_retrieve(
     handful of identically-computed doubles, far below round(4) drift;
     ordering is (rounded score DESC, id ASC) — a total order both
     engines cut identically. Returns (query_id, id_col, score, rnk).
+
+    ``max_df_frac`` (VERDICT r9 #3) is the hot-term guard — the postings
+    prune stops pruning when a query contains a corpus-saturating term
+    ("the"): that term's candidate set is O(corpus) even though its
+    RSJ idf ≈ 0 makes it rank-irrelevant. With the guard set, query
+    terms whose document frequency exceeds ``max_df_frac · N`` are
+    dropped BEFORE candidate generation (same precedent as the
+    hot-shingle cap in operators/dedup.py — bound the join fan-out at
+    the key whose df explodes). Dropping is the idf-floor semantics:
+    such a term contributes the same near-zero idf to every candidate,
+    so the surviving ranking equals the stopword-free query's exactly.
+    Default None = off (the SQL-oracle spec scores every term).
     """
     tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
@@ -507,6 +520,17 @@ def bm25_retrieve(
         )
         .distinct()
     )
+    if max_df_frac is not None:
+        # df of the query's own terms only (dfreq semi-pruned by the
+        # bounded query vocabulary — a cheap broadcast join), then drop
+        # hot terms before they can mint an O(corpus) candidate set
+        cool = (
+            dfreq.join(F.broadcast(qterms.select("token").distinct()), "token")
+            .crossJoin(F.broadcast(n))
+            .filter(F.col("df") <= F.lit(float(max_df_frac)) * F.col("n_docs"))
+            .select("token")
+        )
+        qterms = qterms.join(F.broadcast(cool), "token")
     cand = tf.join(F.broadcast(qterms), "token")
     idf = dfreq.crossJoin(F.broadcast(n)).select(
         "token",

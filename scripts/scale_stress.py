@@ -767,6 +767,25 @@ def main() -> None:
     print(f"bm25_retrieve: {n_docs} docs x 8 tokens, 1 query in {t_bm:.1f}s; "
           f"top-25 ids exact, scores == closed-form idf")
 
+    # ------- r10: BM25 hot-term guard (max_df_frac) — every doc contains the
+    # stopword 'hay1', so the unguarded query 'needle hay1' mints an O(corpus)
+    # candidate set; with max_df_frac=0.5 the guard drops it pre-join and the
+    # top-25 equals the clean 'needle' query's ids exactly (idf-floor
+    # semantics), with the guarded runtime staying at the clean query's scale.
+    bq_hot = spark.createDataFrame(
+        [(0, "needle hay1")], "query_id int, query_text string"
+    )
+    t0 = time.time()
+    hits_g = bm25_retrieve(bdocs, bq_hot, k=25, max_df_frac=0.5).collect()
+    t_bg = time.time() - t0
+    assert [r.doc_id for r in sorted(hits_g, key=lambda r: r.rnk)] == [
+        2 * i for i in range(25)
+    ]
+    assert all(abs(r.score - round(idf, 4)) <= 5e-5 for r in hits_g)
+    print(f"bm25 max_df_frac guard: stopword query over {n_docs} docs in "
+          f"{t_bg:.1f}s (clean-query leg above: {t_bm:.1f}s); "
+          f"top-25 == clean query exactly")
+
 
 
 

@@ -2057,6 +2057,42 @@ def test_bm25_ranking_semantics(spark):
     assert [r.rnk for r in sorted(out, key=lambda r: r.rnk)] == [1, 2, 3]
 
 
+def test_bm25_max_df_frac_drops_hot_terms(spark):
+    """VERDICT r9 #3: the hot-term guard. A query carrying a
+    corpus-saturating stopword ('the' in every doc) must, with
+    max_df_frac set, produce the IDENTICAL (doc, score, rnk) ranking as
+    the stopword-free query — dropping a ~zero-idf term is
+    semantics-neutral — while the unguarded default still scores every
+    term (oracle-spec behavior)."""
+    from audience_finder_pro_spark.operators.relevance import bm25_retrieve
+
+    docs = spark.createDataFrame(
+        [(i, f"the filler{i % 3} needle" if i % 2 == 0 else f"the filler{i % 3} hay")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    q_hot = spark.createDataFrame([(0, "the needle")], "query_id int, query_text string")
+    q_clean = spark.createDataFrame([(0, "needle")], "query_id int, query_text string")
+
+    guarded = sorted(
+        (r.doc_id, r.score, r.rnk)
+        for r in bm25_retrieve(docs, q_hot, k=10, max_df_frac=0.5).collect()
+    )
+    clean = sorted(
+        (r.doc_id, r.score, r.rnk)
+        for r in bm25_retrieve(docs, q_clean, k=10).collect()
+    )
+    assert guarded == clean and len(guarded) == 10
+    # unguarded: the stopword's tiny-but-positive idf still enters scores
+    unguarded = {r.doc_id: r.score for r in bm25_retrieve(docs, q_hot, k=10).collect()}
+    assert all(unguarded[d] >= s for d, s, _ in clean)
+    assert any(unguarded[d] > s for d, s, _ in clean)
+    # a query made ENTIRELY of hot terms returns empty under the guard
+    assert bm25_retrieve(docs, spark.createDataFrame(
+        [(0, "the")], "query_id int, query_text string"
+    ), k=10, max_df_frac=0.5).count() == 0
+
+
 # -------------------------------------------------- E37 hybrid RRF retrieval
 def test_hybrid_retrieval_matches_sql_oracle(spark, sf_dir):
     """Declared past the 50-slot driver cap — this is its correctness
