@@ -181,6 +181,87 @@ def run_stream_foreach_batch_upsert(
     return q
 
 
+def run_stream_incremental_rollup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    state_dir: str,
+    checkpoint: str,
+):
+    """foreachBatch driver for the E41 mergeable rollup — the seam between
+    the batch incremental tier (operators/incremental.py) and T1–T4: the
+    daily-ingest loop where each micro-batch's delta is absorbed into a
+    persisted aggregate state WITHOUT rescanning history (the reference
+    recomputes per request behind a TTL cache, app.py:222-258; this is
+    the standing-pipeline form).
+
+    Per epoch: ``rollup_state`` over the batch delta →
+    ``merge_rollup_states`` with the latest persisted state → write a NEW
+    versioned snapshot ``state_dir/v{batch_id}``. Versioning by batch_id
+    makes replay idempotent: a batch re-delivered after a crash re-derives
+    its snapshot from the highest version BELOW its own id, so the retry
+    overwrites v{id} with the identical frame instead of double-counting
+    the delta (the same at-least-once-safe shape as the partition-
+    overwrite upsert above). Only state rows — bounded by |keys| — are
+    read or written per epoch, never raw history; the E41 monoid contract
+    (decimal sums: exact, associative, commutative) is what guarantees
+    stream-merged state ≡ one-pass batch recompute bit-for-bit, epoch
+    grouping be damned. The directory listing runs on the driver against
+    the state location (swap for a table-format catalog in production).
+    """
+    import os
+
+    from audience_finder_pro_spark.operators.incremental import (
+        merge_rollup_states,
+        rollup_state,
+    )
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        delta = rollup_state(batch_df, key_cols, value_col)
+        prior = (
+            [
+                int(d[1:])
+                for d in os.listdir(state_dir)
+                if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
+            ]
+            if os.path.isdir(state_dir)
+            else []
+        )
+        if prior:
+            prev = batch_df.sparkSession.read.parquet(
+                os.path.join(state_dir, f"v{max(prior)}")
+            )
+            delta = merge_rollup_states([prev, delta])
+        delta.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}")
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def latest_rollup_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The most recent versioned snapshot written by
+    ``run_stream_incremental_rollup`` (what a dashboard would read)."""
+    import os
+
+    versions = [
+        int(d[1:])
+        for d in os.listdir(state_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    if not versions:
+        raise ValueError(f"no rollup state snapshots under {state_dir}")
+    return spark.read.parquet(os.path.join(state_dir, f"v{max(versions)}"))
+
+
 DOCS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -269,6 +269,59 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path):
     assert spark.read.parquet(out).count() == len(want)
 
 
+def test_incremental_rollup_stream_equals_batch_recompute(spark, sf_smoke, tmp_path):
+    """E41 × T-tier seam (VERDICT r9 #4): replay the events fixture in ≥3
+    controlled epochs through the foreachBatch incremental-rollup runner
+    and assert the final merged streaming state equals the one-pass batch
+    recompute EXACTLY (the decimal monoid makes epoch grouping
+    irrelevant), including the min/max/count legs. Then replay the whole
+    stream again with a fresh checkpoint into the SAME state dir: the
+    versioned-by-batch-id snapshots overwrite deterministically, so the
+    retry changes nothing (at-least-once safety)."""
+    from audience_finder_pro_spark.operators.incremental import rollup_state
+    from audience_finder_pro_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        latest_rollup_state,
+        run_stream_incremental_rollup,
+    )
+
+    src = tmp_path / "src"
+    state = str(tmp_path / "state")
+    src.mkdir()
+    base = load_table(spark, sf_smoke, "events")
+    base.repartition(4).write.mode("append").parquet(str(src))  # 4 epochs
+
+    def replay(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        run_stream_incremental_rollup(
+            stream, ["event_type"], "value", state, ckpt
+        )
+
+    replay(str(tmp_path / "ck1"))
+    import os
+
+    n_epochs = len([d for d in os.listdir(state) if d.startswith("v")])
+    assert n_epochs >= 3, f"only {n_epochs} epochs materialized"
+
+    def state_rows(df):
+        return sorted(
+            (r["event_type"], r["n"], str(r["sum_value"]),
+             str(r["min_value"]), str(r["max_value"]))
+            for r in df.collect()
+        )
+
+    want = state_rows(rollup_state(base, ["event_type"], "value"))
+    got = state_rows(latest_rollup_state(spark, state))
+    assert got == want  # stream-merged state ≡ one-pass batch recompute
+
+    replay(str(tmp_path / "ck2"))  # full redelivery: idempotent overwrite
+    assert state_rows(latest_rollup_state(spark, state)) == want
+
+
 def test_quality_gate_stream_equals_batch(spark, sf_smoke, tmp_path):
     """The curation gate is stateless, so the streamed result must equal
     the batch result row-for-row on the same files."""
