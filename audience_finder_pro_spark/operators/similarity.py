@@ -393,19 +393,33 @@ def ivf_topk(
 
     for _ in range(refine_iters):
         assigned = _assign(corpus.select(id_col, vec_col), cents, vec_col, dim=dim)
-        means = (
-            assigned.select("cent_id", F.posexplode(F.col(vec_col)).alias("dim", "x"))
-            .groupBy("cent_id", "dim")
-            .agg(F.avg("x").alias("m"))
-        )
-        rows = means.collect()  # n_lists × dim scalars — model state, not data
-        by_cent: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_cent.setdefault(r["cent_id"], {})[r["dim"]] = float(r["m"])
-        new = [
-            (cid, [dims[i] for i in sorted(dims)])
-            for cid, dims in sorted(by_cent.items())
-        ]
+        if dim is not None:
+            # known width: centroid means as dim column-wise sum aggregates
+            # in ONE map-side-combined groupBy — the posexplode fallback
+            # below shuffles corpus_rows × dim exploded rows (64M at the
+            # 1M×64 stress), this shuffles n_lists × (dim+1) partials
+            sums = assigned.groupBy("cent_id").agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(F.col(vec_col)[i]).alias(f"_s{i}") for i in range(dim)],
+            )
+            new = [
+                (int(r["cent_id"]), [float(r[f"_s{i}"]) / r["_n"] for i in range(dim)])
+                for r in sorted(sums.collect(), key=lambda r: r["cent_id"])
+            ]
+        else:
+            means = (
+                assigned.select("cent_id", F.posexplode(F.col(vec_col)).alias("dim", "x"))
+                .groupBy("cent_id", "dim")
+                .agg(F.avg("x").alias("m"))
+            )
+            rows = means.collect()  # n_lists × dim scalars — model state, not data
+            by_cent: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by_cent.setdefault(r["cent_id"], {})[r["dim"]] = float(r["m"])
+            new = [
+                (cid, [dims[i] for i in sorted(dims)])
+                for cid, dims in sorted(by_cent.items())
+            ]
         cents = spark.createDataFrame(new, "cent_id int, cvec array<float>")
 
     # no persist: after refinement `cents` is a local-data DataFrame (or a

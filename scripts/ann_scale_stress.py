@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""ANN at 1M vectors (VERDICT r9 #5): the scale datapoint for the 100 TB
+similarity story. Synthesizes a deterministic clustered corpus of
+N (default 1,000,000) dim-64 vectors, then measures:
+
+1. the exact knn_graph path REFUSING the corpus (the row/bytes gate —
+   the designed behavior at scale, pointing callers at IVF);
+2. exact ground truth for a bounded query set via brute_force_topk
+   (distributed scan — queries broadcast, corpus never collected);
+3. ivf_topk recall@10 + wall time vs that ground truth.
+
+Corpus construction (mapInPandas, per-row deterministic — no RNG state
+shared across partitions): vector i = unit-normalized
+cluster_center[i % n_clusters] + noise_scale * unit_noise(i), with
+centers and noise drawn from per-index-seeded numpy Generators, so any
+partitioning yields bit-identical vectors.
+
+Usage: python scripts/ann_scale_stress.py [n_vectors] [n_clusters]
+Results recorded in NOTES.md's stress ledger.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from audience_finder_pro_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    knn_graph,
+)
+from audience_finder_pro_spark.session import get_spark
+
+DIM = 64
+
+
+def _make_corpus(spark, n_vectors: int, n_clusters: int, noise_scale: float):
+    centers = np.random.default_rng(42).normal(size=(n_clusters, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(centers)
+
+    def gen(batches):
+        import pandas as pd
+
+        C = bc.value
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            # per-row seeds -> partitioning-independent determinism
+            noise = np.stack(
+                [np.random.default_rng(int(i) + 7).normal(size=DIM) for i in ids]
+            )
+            noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+            vecs = C[ids % len(C)] + noise_scale * noise
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "embedding": [v.astype(np.float32).tolist() for v in vecs],
+                }
+            )
+
+    return (
+        spark.range(n_vectors)
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+        .mapInPandas(gen, schema="vec_id long, embedding array<float>")
+    )
+
+
+def main() -> None:
+    n_vectors = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_clusters = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    spark = get_spark("ann-scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus = _make_corpus(spark, n_vectors, n_clusters, noise_scale=0.35)
+    corpus = corpus.persist()
+    n = corpus.count()
+    print(f"# corpus={n} dim={DIM} clusters={n_clusters}")
+
+    # 1. the exact path must REFUSE a corpus this size (gate, not OOM)
+    try:
+        knn_graph(corpus, k=10, method="exact")
+        raise AssertionError("exact path accepted a 1M-row corpus — gate broken")
+    except ValueError as e:
+        print(f"exact-path gate: correctly refused ({e})")
+
+    queries = corpus.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    t0 = time.perf_counter()
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(corpus, queries, k=10, dim=DIM).collect()
+    }
+    t_exact = time.perf_counter() - t0
+    print(f"brute_force_topk (distributed exact): 20 queries in {t_exact:.1f}s")
+
+    for refine_iters, n_probe in ((1, 4), (0, 4)):
+        t0 = time.perf_counter()
+        approx = {
+            (r.query_id, r.vec_id)
+            for r in ivf_topk(
+                corpus,
+                queries,
+                k=10,
+                n_lists=n_clusters,
+                n_probe=n_probe,
+                refine_iters=refine_iters,
+                dim=DIM,
+            ).collect()
+        }
+        t_ivf = time.perf_counter() - t0
+        recall = len(exact & approx) / len(exact)
+        flag = "PASS" if recall >= 0.9 else "MISS"
+        print(
+            f"ivf_topk n_lists={n_clusters} n_probe={n_probe} "
+            f"refine={refine_iters}: recall@10={recall:.3f} in {t_ivf:.1f}s [{flag}]"
+        )
+
+    # Index amortization — the reason IVF is the 100 TB path: the build
+    # cost (two corpus-wide assignment passes) is per-CORPUS, brute force
+    # is per-QUERY × corpus. At a production query batch the crossover is
+    # decisive; measure it at 512 queries.
+    big_q = corpus.filter(F.col("vec_id") < 512).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    t0 = time.perf_counter()
+    exact_big = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(corpus, big_q, k=10, dim=DIM).collect()
+    }
+    t_bf = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    approx_big = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(
+            corpus, big_q, k=10, n_lists=n_clusters, n_probe=4,
+            refine_iters=0, dim=DIM,
+        ).collect()
+    }
+    t_iv = time.perf_counter() - t0
+    recall_big = len(exact_big & approx_big) / len(exact_big)
+    print(
+        f"512-query batch: brute {t_bf:.1f}s vs ivf {t_iv:.1f}s "
+        f"(recall@10={recall_big:.3f}) — ivf speedup {t_bf / t_iv:.1f}x"
+    )
+
+
+if __name__ == "__main__":
+    main()
