@@ -221,6 +221,10 @@ BENCH_EXTRA = {"ann_cosine_768": _ann_cosine_768}
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # machine-weather stamp (VERDICT r9 #3: the graded artifact must be
+    # self-describing — BENCH_r09 was graded in a load-5 window and read
+    # as a regression): 1-min load BEFORE this process starts competing
+    load_at_launch = round(os.getloadavg()[0], 2)
     spark = get_spark("afp-bench")
     spark.sparkContext.setLogLevel("ERROR")
     # Local-SF shuffle profile: at sf<=0.5 every post-shuffle task carries
@@ -316,6 +320,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # weather metadata: a reading taken at load>1 is noise-suspect —
+        # compare trimmed/median ratios, not totals, across such runs
+        "load_1min_at_launch": load_at_launch,
+        "load_1min_at_end": round(os.getloadavg()[0], 2),
+        "passes_per_query": 3,
+        "timing_rule": "min-of-3-interleaved",
     }
     if duck:
         # per-query DuckDB single-process comparator: regression canary, not a
