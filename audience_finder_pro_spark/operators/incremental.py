@@ -35,7 +35,7 @@ persisted state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 STATE_COLS = ("n", "sum_value", "min_value", "max_value")
@@ -84,3 +84,108 @@ def merge_rollup_states(states: list[DataFrame]) -> DataFrame:
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
     )
+
+
+def histogram_state(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+) -> DataFrame:
+    """Mergeable per-key equi-width histogram of one batch (E42):
+    (keys..., bin, bin_n) — the distribution-shaped sibling of
+    ``rollup_state``. sum/min/max answer point questions; the standing
+    100 TB pipeline also needs per-key DISTRIBUTIONS that absorb daily
+    deltas — p50/p95 latency per source, quality-score shape per dump —
+    without re-scanning history. Fixed integer bin counts are the
+    classic mergeable answer (the same state streaming "approximate
+    percentile" systems persist): counts are exact integers, merging is
+    addition, and any quantile is a cumulative walk over ≤ ``n_bins``
+    rows per key.
+
+    Binning: ``bin = clamp(floor((v − lo) / w), 0, n_bins−1)`` with
+    ``w = (hi − lo) / n_bins`` — out-of-range values clamp into the edge
+    bins (a histogram must absorb anything the delta brings; resolution
+    at the edges is the declared trade). NULL values are dropped. The
+    per-row computation involves no float aggregation, so the bin id is
+    deterministic cross-engine (identical IEEE ops in either engine);
+    counts then aggregate exactly. Only (keys × bins) rows persist.
+
+    Empty bins are NOT materialized (the state stays sparse —
+    |keys × n_bins| is the upper bound, not the row count);
+    ``quantiles_from_state`` treats absent bins as zero.
+    """
+    if not n_bins > 0:
+        raise ValueError("histogram_state needs n_bins >= 1")
+    if not hi > lo:
+        raise ValueError("histogram_state needs hi > lo")
+    w = (hi - lo) / n_bins
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(w)),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*key_cols, bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("bin_n"))
+    )
+
+
+def merge_histogram_states(states: list[DataFrame]) -> DataFrame:
+    """Merge ``histogram_state`` frames: per-(keys, bin) count addition —
+    exact, associative, commutative, so any slicing of history yields
+    the identical state (the E41 merge contract, on distributions)."""
+    if not states:
+        raise ValueError("merge_histogram_states needs at least one state frame")
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    key_cols = [c for c in merged.columns if c not in ("bin_n",)]
+    return merged.groupBy(*key_cols).agg(F.sum("bin_n").alias("bin_n"))
+
+
+def quantiles_from_state(
+    state: DataFrame,
+    key_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+) -> DataFrame:
+    """Per-key quantile estimates from a (possibly merged) histogram
+    state: for each q, the upper edge of the first bin whose cumulative
+    count reaches ``q × total`` (the conservative step-CDF read — error
+    bounded by one bin width, the histogram's declared resolution).
+    One window over ≤ n_bins rows per key + one aggregate; never
+    touches raw data. Returns (keys..., q, quantile)."""
+    w = (hi - lo) / n_bins
+    cum = state.withColumn(
+        "_cum",
+        F.sum("bin_n").over(
+            Window.partitionBy(*key_cols).orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    ).withColumn(
+        "_tot", F.sum("bin_n").over(Window.partitionBy(*key_cols))
+    )
+    legs = [
+        cum.filter(F.col("_cum") >= F.lit(q) * F.col("_tot"))
+        .groupBy(*key_cols)
+        .agg(F.min("bin").alias("_bin"))
+        .select(
+            *key_cols,
+            F.lit(q).alias("q"),
+            F.round(F.lit(lo) + (F.col("_bin") + 1) * F.lit(w), 4).alias("quantile"),
+        )
+        for q in qs
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

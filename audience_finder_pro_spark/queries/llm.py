@@ -2991,6 +2991,58 @@ def incremental_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_rollup_states(states)
 
 
+# ------------------------------------------------ E42 mergeable histogram state
+# Spark computes the histogram the INCREMENTAL way — three disjoint
+# slice states (event_id % 3) merged by count addition — while the
+# oracle bins the full table in one pass. Bin ids are floor((v-lo)/w)
+# clamps: per-row IEEE arithmetic, identical in both engines; counts
+# are exact integers. Hash equality proves the distribution monoid the
+# same way _INCREMENTAL_ORACLE proves the sum/min/max one.
+_HISTOGRAM_ORACLE = r"""
+SELECT event_type AS key,
+       CAST(least(greatest(floor((CAST(value AS DOUBLE) - 0.0) / 25.0), 0), 19) AS INT) AS bin,
+       count(*) AS bin_n
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@_q("histogram_state", None)  # declared past the 50-slot cap; standalone gate
+def histogram_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram state (E42,
+    operators/incremental.histogram_state): the per-event-type value
+    distribution over [0, 500) in 20 bins, computed as three disjoint
+    batch states (event_id % 3 — deliberately not a time split) merged
+    by ``merge_histogram_states``, vs an oracle that bins the full
+    table in one pass. The distribution-shaped sibling of E41: the
+    state a standing pipeline persists to answer per-key quantile
+    questions (``quantiles_from_state``) without rescanning history —
+    the reference recomputes dashboard distributions per request
+    (app.py:222-258). ``_HISTOGRAM_ORACLE`` is the standalone DuckDB
+    comparator (pytest hash gate + bench _extra_oracles entry)."""
+    from audience_finder_pro_spark.operators.incremental import (
+        histogram_state,
+        merge_histogram_states,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"), F.col("value"), F.col("event_id")
+    )
+    states = [
+        histogram_state(
+            ev.filter(F.col("event_id") % 3 == i).drop("event_id"),
+            ["key"],
+            "value",
+            lo=0.0,
+            hi=500.0,
+            n_bins=20,
+        )
+        for i in range(3)
+    ]
+    return merge_histogram_states(states)
+
+
 # ------------------------------------------------ merge #24: events-analytics carrier
 # The `gapfill_rollup` driver row becomes a tagged 3-leg carrier over
 # the SAME events table — 'gapfill' (E18 plain form), 'anomaly' (E40),
@@ -3130,12 +3182,18 @@ FROM ({_LINKAGE_ORACLE})
 # validate leg's f2 is NULL (NULL pads proven driver-safe, merge #24),
 # nation keys cast int→string losslessly and identically in both
 # engines.
-@_q("validate_corpus", None)  # oracle attached below (needs both bodies)
+@_q("validate_corpus", None)  # oracle attached below (needs all three bodies)
 def validate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged data-audit carrier (merge #26): declarative constraint
-    suite + k-anonymity/l-diversity audit, one frame, one driver hash.
-    See validate_plain_q / privacy_audit_q for the constituent
-    stories."""
+    """Tagged data-audit carrier (merge #26 + r10 merge #27): declarative
+    constraint suite + k-anonymity/l-diversity audit + mergeable
+    histogram state (E42 — the distribution leg of the same audit
+    story: what does this corpus/stream look like, per key), one frame,
+    one driver hash. The hist leg's bin id rides k2 as a string AND f1
+    as the int (both lossless); bin_lo/bin_hi are derivable constants
+    (lo + bin·w) and deliberately not carried — the standalone
+    ``_HISTOGRAM_ORACLE`` gate checks the full frame. See
+    validate_plain_q / privacy_audit_q / histogram_state_q for the
+    constituent stories."""
     v = validate_plain_q(spark, sf_dir).select(
         F.lit("validate").alias("op"),
         F.col("rule").alias("k1"),
@@ -3156,7 +3214,17 @@ def validate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("risky").alias("f1"),
         F.col("diverse").alias("f2"),
     )
-    return v.unionByName(p)
+    h = histogram_state_q(spark, sf_dir).select(
+        F.lit("hist").alias("op"),
+        F.col("key").alias("k1"),
+        F.col("bin").cast("string").alias("k2"),
+        F.lit("value").alias("k3"),
+        F.col("bin_n").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.col("bin").alias("f1"),
+        F.lit(None).cast("int").alias("f2"),
+    )
+    return v.unionByName(p).unionByName(h)
 
 
 ORACLES["validate_corpus"] = f"""
@@ -3168,4 +3236,8 @@ UNION ALL
 SELECT 'privacy', CAST(c_nationkey AS VARCHAR), c_mktsegment, 'c_acctbal',
        class_size, n_sensitive, risky, diverse
 FROM ({_PRIVACY_ORACLE})
+UNION ALL
+SELECT 'hist', key, CAST(bin AS VARCHAR), 'value',
+       bin_n, CAST(NULL AS BIGINT), bin, CAST(NULL AS INT)
+FROM ({_HISTOGRAM_ORACLE})
 """

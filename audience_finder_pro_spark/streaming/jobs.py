@@ -187,6 +187,8 @@ def run_stream_incremental_rollup(
     value_col: str,
     state_dir: str,
     checkpoint: str,
+    state_fn=None,
+    merge_fn=None,
 ):
     """foreachBatch driver for the E41 mergeable rollup — the seam between
     the batch incremental tier (operators/incremental.py) and T1–T4: the
@@ -208,6 +210,12 @@ def run_stream_incremental_rollup(
     stream-merged state ≡ one-pass batch recompute bit-for-bit, epoch
     grouping be damned. The directory listing runs on the driver against
     the state location (swap for a table-format catalog in production).
+
+    ``state_fn``/``merge_fn`` swap in any other mergeable-state monoid —
+    e.g. ``histogram_state``/``merge_histogram_states`` (E42, integer
+    bin counts) — with the same versioned-snapshot idempotence;
+    ``state_fn`` takes the batch frame, ``merge_fn`` a list of states.
+    Defaults are the E41 rollup pair.
     """
     import os
 
@@ -216,8 +224,14 @@ def run_stream_incremental_rollup(
         rollup_state,
     )
 
+    if state_fn is None:
+        def state_fn(batch_df):
+            return rollup_state(batch_df, key_cols, value_col)
+    if merge_fn is None:
+        merge_fn = merge_rollup_states
+
     def write_batch(batch_df, batch_id: int) -> None:
-        delta = rollup_state(batch_df, key_cols, value_col)
+        delta = state_fn(batch_df)
         prior = (
             [
                 int(d[1:])
@@ -231,7 +245,7 @@ def run_stream_incremental_rollup(
             prev = batch_df.sparkSession.read.parquet(
                 os.path.join(state_dir, f"v{max(prior)}")
             )
-            delta = merge_rollup_states([prev, delta])
+            delta = merge_fn([prev, delta])
         delta.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{batch_id}")
         )

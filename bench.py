@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "privacy_audit",
     "anomaly_scan",
     "incremental_rollup",
+    "histogram_state",
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as
@@ -142,6 +143,7 @@ def _extra_oracles() -> dict[str, str]:
     )
     from audience_finder_pro_spark.queries.llm import (
         _ANOMALY_ORACLE,
+        _HISTOGRAM_ORACLE,
         _INCREMENTAL_ORACLE,
         _PRIVACY_ORACLE,
     )
@@ -153,6 +155,7 @@ def _extra_oracles() -> dict[str, str]:
         "privacy_audit": _PRIVACY_ORACLE,
         "anomaly_scan": _ANOMALY_ORACLE,
         "incremental_rollup": _INCREMENTAL_ORACLE,
+        "histogram_state": _HISTOGRAM_ORACLE,
         "repeated_passages": _PASSAGE_ORACLE,
         "gopher_quality": _GOPHER_ORACLE,
         "c4_clean": _C4_ORACLE,

@@ -2388,6 +2388,91 @@ def test_rollup_state_merge_algebra(spark):
         assert float(got[k].sum_value) == sum(vals[k])  # quarters: exact in decimal AND float
 
 
+# -------------------------------------------- E42 mergeable histogram state
+def test_histogram_state_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. The oracle bins
+    the full table in one pass while the query merges three disjoint
+    slice states, so the hash match IS the distribution-monoid proof.
+    Verified at sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _HISTOGRAM_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["histogram_state"](spark, sf_dir), _HISTOGRAM_ORACLE,
+            sf_dir, name="histogram_state")
+
+
+def test_histogram_state_semantics_and_quantiles(spark):
+    """Planted values pin the contract: (1) bin edges land by
+    floor((v-lo)/w) with lower-edge-inclusive bins; (2) out-of-range
+    values clamp into the edge bins; (3) NULLs are dropped; (4) merging
+    any slicing in any order equals the one-pass state exactly (integer
+    counts); (5) quantiles_from_state returns the upper edge of the
+    first bin whose cumulative count reaches q*total — checked against
+    a hand-walked CDF."""
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.incremental import (
+        histogram_state,
+        merge_histogram_states,
+        quantiles_from_state,
+    )
+
+    vals = [-5.0, 0.0, 9.99, 10.0, 25.0, 77.0, 99.99, 100.0, 140.0, None]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v double")
+    state = histogram_state(df, [], "v", lo=0.0, hi=100.0, n_bins=10)
+    got = {r.bin: r.bin_n for r in state.collect()}
+    # -5 and 0 and 9.99 -> bin 0 (clamp + inclusive lower edge); 10 -> 1;
+    # 25 -> 2; 77 -> 7; 99.99, 100, 140 -> bin 9 (clamp); NULL dropped
+    assert got == {0: 3, 1: 1, 2: 1, 7: 1, 9: 3}
+    assert sum(got.values()) == 9
+
+    slices = [df.filter(F.col("id") % 3 == i) for i in range(3)]
+    states = [histogram_state(s, [], "v", lo=0.0, hi=100.0, n_bins=10) for s in slices]
+
+    def rows(frame):
+        return sorted(tuple(r) for r in frame.collect())
+
+    assert rows(merge_histogram_states(states)) == rows(state)
+    assert rows(merge_histogram_states(states[::-1])) == rows(state)   # commutative
+    assert rows(
+        merge_histogram_states([merge_histogram_states(states[:2]), states[2]])
+    ) == rows(state)                                                   # associative
+
+    # CDF walk: counts per bin [3,1,1,0,0,0,0,1,0,3], total 9.
+    # q=0.5 -> 4.5: cum 3(b0),4(b1),5(b2) -> bin 2 -> edge 30.0
+    # q=0.1 -> 0.9: bin 0 -> 10.0;  q=1.0 -> 9: bin 9 -> 100.0
+    qs = {
+        r.q: r.quantile
+        for r in quantiles_from_state(
+            state, [], [0.1, 0.5, 1.0], lo=0.0, hi=100.0, n_bins=10
+        ).collect()
+    }
+    assert qs == {0.1: 10.0, 0.5: 30.0, 1.0: 100.0}
+
+
+def test_histogram_state_grouped_keys(spark):
+    """Per-key states stay independent: two keys with disjoint value
+    ranges produce disjoint bins, and a merged two-slice state matches
+    the one-pass state per key."""
+    from audience_finder_pro_spark.operators.incremental import (
+        histogram_state,
+        merge_histogram_states,
+    )
+
+    rows = [("a", float(v)) for v in range(10)] + [("b", 90.0 + v) for v in range(10)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    state = histogram_state(df, ["k"], "v", lo=0.0, hi=100.0, n_bins=10)
+    got = {(r.k, r.bin): r.bin_n for r in state.collect()}
+    assert got == {("a", 0): 10, ("b", 9): 10}
+    halves = [df.filter("v < 50"), df.filter("v >= 50")]
+    merged = merge_histogram_states(
+        [histogram_state(h, ["k"], "v", lo=0.0, hi=100.0, n_bins=10) for h in halves]
+    )
+    assert {(r.k, r.bin): r.bin_n for r in merged.collect()} == got
+
+
 # ---------------------------------------- E37/E38 randomized differentials
 def test_rrf_fuse_matches_python_reference_on_random_lists(spark):
     """Seeded-random ranked lists (3 legs, missing docs, k_rrf=40) vs a

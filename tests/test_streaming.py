@@ -322,6 +322,56 @@ def test_incremental_rollup_stream_equals_batch_recompute(spark, sf_smoke, tmp_p
     assert state_rows(latest_rollup_state(spark, state)) == want
 
 
+def test_incremental_histogram_stream_equals_batch_recompute(spark, sf_smoke, tmp_path):
+    """The E42 histogram monoid through the same foreachBatch seam:
+    per-epoch histogram deltas merged by count addition equal the
+    one-pass batch binning exactly (integer counts — no float caveat
+    at all)."""
+    from audience_finder_pro_spark.operators.incremental import (
+        histogram_state,
+        merge_histogram_states,
+    )
+    from audience_finder_pro_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        latest_rollup_state,
+        run_stream_incremental_rollup,
+    )
+
+    src = tmp_path / "src"
+    state = str(tmp_path / "state")
+    src.mkdir()
+    base = load_table(spark, sf_smoke, "events")
+    base.repartition(3).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_stream_incremental_rollup(
+        stream,
+        ["event_type"],
+        "value",
+        state,
+        str(tmp_path / "ck"),
+        state_fn=lambda b: histogram_state(
+            b, ["event_type"], "value", lo=0.0, hi=500.0, n_bins=20
+        ),
+        merge_fn=merge_histogram_states,
+    )
+    got = sorted(
+        (r["event_type"], r["bin"], r["bin_n"])
+        for r in latest_rollup_state(spark, state).collect()
+    )
+    want = sorted(
+        (r["event_type"], r["bin"], r["bin_n"])
+        for r in histogram_state(
+            base, ["event_type"], "value", lo=0.0, hi=500.0, n_bins=20
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_quality_gate_stream_equals_batch(spark, sf_smoke, tmp_path):
     """The curation gate is stateless, so the streamed result must equal
     the batch result row-for-row on the same files."""
