@@ -3043,6 +3043,59 @@ def histogram_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_histogram_states(states)
 
 
+# ------------------------------------------- E43 per-source score calibration
+# The oracle replays the quality expression (the proven
+# _QUALITY_EXPR_SQL fragment), the (score, id) total order, and the
+# exact integer-rank bin formula. NULL-quality docs (zero tokens) are
+# filtered BEFORE ranking in both engines — Spark sorts NULLs first,
+# DuckDB last, so the un-scoreable rows must never enter the window.
+_CALIBRATION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS tok
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, round({_QUALITY_EXPR_SQL.replace("{tok}", "tok")}, 4) AS quality
+  FROM toks
+),
+ranked AS (
+  SELECT source, quality,
+         CAST(floor(CAST((row_number() OVER (PARTITION BY source
+                              ORDER BY quality, doc_id) - 1) * 10 AS DOUBLE)
+                    / count(*) OVER (PARTITION BY source)) AS INT) AS bin
+  FROM scored WHERE quality IS NOT NULL
+)
+SELECT source, bin, count(*) AS n_docs,
+       round(min(quality), 4) AS lo, round(max(quality), 4) AS hi
+FROM ranked GROUP BY 1, 2
+"""
+
+
+@_q("score_calibration", None)  # declared past the 50-slot cap; standalone gate
+def score_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score calibration map (E43,
+    operators/calibrate.calibration_map): equal-population decile table
+    (source, bin, n_docs, lo, hi) over the documents quality score —
+    the per-dump quantile-normalization artifact that makes "top 20% of
+    every source" one comparable predicate when sources have different
+    score baselines (the multi-source generalization of the reference's
+    single global score sort, app.py:93-149). Un-scoreable zero-token
+    docs are excluded before ranking (NULL-order differs across
+    engines). ``_CALIBRATION_ORACLE`` is the standalone DuckDB
+    comparator (pytest hash gate + bench _extra_oracles entry)."""
+    from audience_finder_pro_spark.operators.calibrate import calibration_map
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "source", *_quality_cols("text")).filter(
+        F.col("quality").isNotNull()
+    )
+    return calibration_map(
+        scored, "source", "quality", id_col="doc_id", n_bins=10
+    )
+
+
 # ------------------------------------------------ merge #24: events-analytics carrier
 # The `gapfill_rollup` driver row becomes a tagged 3-leg carrier over
 # the SAME events table — 'gapfill' (E18 plain form), 'anomaly' (E40),
@@ -3184,16 +3237,18 @@ FROM ({_LINKAGE_ORACLE})
 # engines.
 @_q("validate_corpus", None)  # oracle attached below (needs all three bodies)
 def validate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged data-audit carrier (merge #26 + r10 merge #27): declarative
-    constraint suite + k-anonymity/l-diversity audit + mergeable
-    histogram state (E42 — the distribution leg of the same audit
-    story: what does this corpus/stream look like, per key), one frame,
-    one driver hash. The hist leg's bin id rides k2 as a string AND f1
-    as the int (both lossless); bin_lo/bin_hi are derivable constants
-    (lo + bin·w) and deliberately not carried — the standalone
-    ``_HISTOGRAM_ORACLE`` gate checks the full frame. See
-    validate_plain_q / privacy_audit_q / histogram_state_q for the
-    constituent stories."""
+    """Tagged data-audit carrier (merge #26 + r10 merges #27/#28):
+    declarative constraint suite + k-anonymity/l-diversity audit +
+    mergeable histogram state (E42) + per-source calibration map (E43)
+    — four legs of one audit story (what does this corpus look like,
+    per key / per source), one frame, one driver hash. The hist/calib
+    legs' bin ids ride k2 as strings AND f1 as ints (both lossless);
+    the hist bin edges are derivable constants (lo + bin·w) and the
+    calib lo/hi score ranges are deliberately not carried — the
+    standalone ``_HISTOGRAM_ORACLE`` / ``_CALIBRATION_ORACLE`` gates
+    check the full frames. See validate_plain_q / privacy_audit_q /
+    histogram_state_q / score_calibration_q for the constituent
+    stories."""
     v = validate_plain_q(spark, sf_dir).select(
         F.lit("validate").alias("op"),
         F.col("rule").alias("k1"),
@@ -3224,7 +3279,17 @@ def validate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin").alias("f1"),
         F.lit(None).cast("int").alias("f2"),
     )
-    return v.unionByName(p).unionByName(h)
+    c = score_calibration_q(spark, sf_dir).select(
+        F.lit("calib").alias("op"),
+        F.col("source").alias("k1"),
+        F.col("bin").cast("string").alias("k2"),
+        F.lit("quality").alias("k3"),
+        F.col("n_docs").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.col("bin").alias("f1"),
+        F.lit(None).cast("int").alias("f2"),
+    )
+    return v.unionByName(p).unionByName(h).unionByName(c)
 
 
 ORACLES["validate_corpus"] = f"""
@@ -3240,4 +3305,8 @@ UNION ALL
 SELECT 'hist', key, CAST(bin AS VARCHAR), 'value',
        bin_n, CAST(NULL AS BIGINT), bin, CAST(NULL AS INT)
 FROM ({_HISTOGRAM_ORACLE})
+UNION ALL
+SELECT 'calib', source, CAST(bin AS VARCHAR), 'quality',
+       n_docs, CAST(NULL AS BIGINT), bin, CAST(NULL AS INT)
+FROM ({_CALIBRATION_ORACLE})
 """

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "anomaly_scan",
     "incremental_rollup",
     "histogram_state",
+    "score_calibration",
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as
@@ -143,6 +144,7 @@ def _extra_oracles() -> dict[str, str]:
     )
     from audience_finder_pro_spark.queries.llm import (
         _ANOMALY_ORACLE,
+        _CALIBRATION_ORACLE,
         _HISTOGRAM_ORACLE,
         _INCREMENTAL_ORACLE,
         _PRIVACY_ORACLE,
@@ -156,6 +158,7 @@ def _extra_oracles() -> dict[str, str]:
         "anomaly_scan": _ANOMALY_ORACLE,
         "incremental_rollup": _INCREMENTAL_ORACLE,
         "histogram_state": _HISTOGRAM_ORACLE,
+        "score_calibration": _CALIBRATION_ORACLE,
         "repeated_passages": _PASSAGE_ORACLE,
         "gopher_quality": _GOPHER_ORACLE,
         "c4_clean": _C4_ORACLE,

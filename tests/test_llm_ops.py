@@ -2473,6 +2473,91 @@ def test_histogram_state_grouped_keys(spark):
     assert {(r.k, r.bin): r.bin_n for r in merged.collect()} == got
 
 
+# -------------------------------------------- E43 per-source calibration
+def test_score_calibration_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _CALIBRATION_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["score_calibration"](spark, sf_dir), _CALIBRATION_ORACLE,
+            sf_dir, name="score_calibration")
+
+
+def test_calibration_semantics(spark):
+    """Planted groups pin the contract: (1) calibrate_scores is
+    percent_rank — 0 at each group's min, 1 at its max, ties share a
+    value, single-row groups get 0; (2) a score that is high in a
+    low-baseline group and low in a high-baseline group calibrates
+    accordingly (the cross-source comparability the operator exists
+    for); (3) calibration_map bins are equal-population by the integer
+    rank formula with remainders in the later bins, and lo/hi cover the
+    group's range."""
+    from audience_finder_pro_spark.operators.calibrate import (
+        calibrate_scores,
+        calibration_map,
+    )
+
+    rows = (
+        [("low", i, float(i)) for i in range(5)]            # scores 0..4
+        + [("high", 10 + i, 100.0 + i) for i in range(5)]   # scores 100..104
+        + [("tied", 20, 7.0), ("tied", 21, 7.0), ("tied", 22, 9.0)]
+        + [("solo", 30, 42.0)]
+    )
+    df = spark.createDataFrame(rows, "src string, doc_id long, score double")
+    cal = {(r.src, r.doc_id): r.calibrated
+           for r in calibrate_scores(df, "src", "score").collect()}
+    assert cal[("low", 0)] == 0.0 and cal[("low", 4)] == 1.0
+    assert cal[("high", 10)] == 0.0 and cal[("high", 14)] == 1.0
+    # 102.0 is LOW within 'high' (0.5) even though globally huge;
+    # 4.0 is the TOP of 'low' — calibration makes them comparable
+    assert cal[("high", 12)] == 0.5 and cal[("high", 12)] < cal[("low", 4)]
+    assert cal[("tied", 20)] == cal[("tied", 21)] == 0.0   # ties share
+    assert cal[("tied", 22)] == 1.0
+    assert cal[("solo", 30)] == 0.0                        # single row -> 0
+
+    m = {(r.src, r.bin): r for r in calibration_map(
+        df.filter("src = 'low'"), "src", "score", id_col="doc_id", n_bins=2
+    ).collect()}
+    # 5 rows into 2 bins: floor((rn-1)*2/5) -> rn 1-3 bin 0, rn 4-5 bin 1
+    assert m[("low", 0)].n_docs == 3 and m[("low", 1)].n_docs == 2
+    assert m[("low", 0)].lo == 0.0 and m[("low", 0)].hi == 2.0
+    assert m[("low", 1)].lo == 3.0 and m[("low", 1)].hi == 4.0
+
+
+def test_calibrate_scores_matches_duckdb_percent_rank(spark):
+    """Cross-engine differential for the per-doc form (the map's gate
+    covers the binned form): seeded-random scores with planted ties,
+    Spark percent_rank vs DuckDB percent_rank on the same frame."""
+    import random
+
+    import duckdb
+
+    from audience_finder_pro_spark.operators.calibrate import calibrate_scores
+
+    rng = random.Random(7)
+    rows = [
+        (f"s{i % 4}", i, round(rng.uniform(0, 10) if i % 5 else 5.0, 2))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, score double")
+    got = {(r.src, r.doc_id): r.calibrated
+           for r in calibrate_scores(df, "src", "score").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (src VARCHAR, doc_id BIGINT, score DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = {
+        (s, d): c
+        for s, d, c in con.execute(
+            "SELECT src, doc_id, round(percent_rank() OVER "
+            "(PARTITION BY src ORDER BY score), 4) FROM t"
+        ).fetchall()
+    }
+    assert got == want
+
+
 # ---------------------------------------- E37/E38 randomized differentials
 def test_rrf_fuse_matches_python_reference_on_random_lists(spark):
     """Seeded-random ranked lists (3 legs, missing docs, k_rrf=40) vs a
