@@ -3096,6 +3096,53 @@ def score_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- E44 feature-hashing embedder
+# The oracle replays tokenize → md5-hex-digit component/sign → signed
+# integer tf sums. Every value is an integer; md5 hex is byte-identical
+# across engines; instr/substr agree — the hash match is exact with no
+# float discipline needed at all.
+_HASHED_EMB_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> length(x) > 0)) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, md5(tok) AS hx FROM tf),
+c AS (
+  SELECT doc_id, tf,
+         CAST(((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(hx, 3, 1)) - 1)) % 64 AS INT)
+           AS component,
+         CASE WHEN (instr('0123456789abcdef', substr(hx, 4, 1)) - 1) % 2 = 0
+              THEN 1 ELSE -1 END AS sign
+  FROM h
+)
+SELECT doc_id, component, sum(sign * tf) AS val
+FROM c GROUP BY 1, 2
+"""
+
+
+@_q("hashed_embedding", None)  # declared past the 50-slot cap; standalone gate
+def hashed_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embedder (E44,
+    operators/embedding.hashed_embedding_long): dim-64 hashing-trick
+    vectors over the documents corpus in sparse (doc, component, val)
+    form — the model-free, vocabulary-free bridge from raw text into
+    the similarity tier (the 100 TB shape: one tokenize pass, no vocab
+    join, no driver state; the dense array form is tested equal and
+    feeds cosine/ANN directly). All-integer output; component/sign from
+    md5 hex digits — byte-identical across engines.
+    ``_HASHED_EMB_ORACLE`` is the standalone DuckDB comparator (pytest
+    hash gate + bench _extra_oracles entry)."""
+    from audience_finder_pro_spark.operators.embedding import hashed_embedding_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_embedding_long(docs, dim=64)
+
+
 # ------------------------------------------------ merge #24: events-analytics carrier
 # The `gapfill_rollup` driver row becomes a tagged 3-leg carrier over
 # the SAME events table — 'gapfill' (E18 plain form), 'anomaly' (E40),

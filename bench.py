@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "incremental_rollup",
     "histogram_state",
     "score_calibration",
+    "hashed_embedding",
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as
@@ -145,6 +146,7 @@ def _extra_oracles() -> dict[str, str]:
     from audience_finder_pro_spark.queries.llm import (
         _ANOMALY_ORACLE,
         _CALIBRATION_ORACLE,
+        _HASHED_EMB_ORACLE,
         _HISTOGRAM_ORACLE,
         _INCREMENTAL_ORACLE,
         _PRIVACY_ORACLE,
@@ -159,6 +161,7 @@ def _extra_oracles() -> dict[str, str]:
         "incremental_rollup": _INCREMENTAL_ORACLE,
         "histogram_state": _HISTOGRAM_ORACLE,
         "score_calibration": _CALIBRATION_ORACLE,
+        "hashed_embedding": _HASHED_EMB_ORACLE,
         "repeated_passages": _PASSAGE_ORACLE,
         "gopher_quality": _GOPHER_ORACLE,
         "c4_clean": _C4_ORACLE,

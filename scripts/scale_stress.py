@@ -786,6 +786,47 @@ def main() -> None:
           f"{t_bg:.1f}s (clean-query leg above: {t_bm:.1f}s); "
           f"top-25 == clean query exactly")
 
+    # ------- r10: feature-hashing embedder (E44) — closed-form planted sums.
+    # Doc i's text is the token 'needle' repeated (i % 7) + 1 times plus one
+    # 'hay{i%5}' marker: 'needle' always hashes to ONE fixed (component,
+    # sign), so its component's |val| equals the repeat count exactly, for
+    # every doc, at any partitioning — the integer-sum determinism the
+    # operator claims, checked at factor-50 scale.
+    from audience_finder_pro_spark.operators.embedding import hashed_embedding_long
+
+    hdocs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.expr("repeat('needle ', CAST(id % 7 AS INT) + 1)"),
+            F.concat(F.lit("hay"), (F.col("id") % 5).cast("string")),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    emb_long = hashed_embedding_long(hdocs, dim=64)
+    import hashlib as _hl
+    hx = _hl.md5(b"needle").hexdigest()
+    hexv = "0123456789abcdef".index
+    needle_comp = (hexv(hx[0]) * 256 + hexv(hx[1]) * 16 + hexv(hx[2])) % 64
+    needle_sign = 1 if hexv(hx[3]) % 2 == 0 else -1
+    got = {
+        r.doc_id: r.val
+        for r in emb_long.filter(F.col("component") == needle_comp).collect()
+        # hay tokens may collide into needle's component for some i%5 — only
+        # check docs whose hay token provably lands elsewhere
+    }
+    t_he = time.time() - t0
+    hay_comps = {}
+    for s in range(5):
+        hh = _hl.md5(f"hay{s}".encode()).hexdigest()
+        hay_comps[s] = (hexv(hh[0]) * 256 + hexv(hh[1]) * 16 + hexv(hh[2])) % 64
+    checked = 0
+    for i in range(0, n_docs, max(1, n_docs // 1000)):
+        if hay_comps[i % 5] != needle_comp:
+            assert got[i] == needle_sign * ((i % 7) + 1), (i, got.get(i))
+            checked += 1
+    print(f"hashed_embedding: {n_docs} docs in {t_he:.1f}s; "
+          f"{checked} sampled docs match the closed-form signed count")
+
 
 
 

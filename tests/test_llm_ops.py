@@ -2558,6 +2558,92 @@ def test_calibrate_scores_matches_duckdb_percent_rank(spark):
     assert got == want
 
 
+# -------------------------------------------- E44 feature-hashing embedder
+def test_hashed_embedding_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. All-integer
+    output (no float discipline needed). Verified at sf0.1 too on
+    landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _HASHED_EMB_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["hashed_embedding"](spark, sf_dir), _HASHED_EMB_ORACLE,
+            sf_dir, name="hashed_embedding")
+
+
+def test_hashed_embedding_semantics_and_dense_form(spark):
+    """Planted docs pin the contract: (1) the same token always lands on
+    the same (component, sign) — identical docs embed identically; (2)
+    the dense form equals the long form component-for-component with
+    zeros elsewhere; (3) a zero-token doc gets the all-zero vector; (4)
+    vectors feed the similarity tier: a near-duplicate doc lands at
+    high cosine to its original, a disjoint-vocabulary doc does not."""
+    from audience_finder_pro_spark.operators.embedding import (
+        hashed_embedding,
+        hashed_embedding_long,
+    )
+
+    rows = [
+        (1, "spark shuffles data across executors for wide joins"),
+        (2, "spark shuffles data across executors for wide joins"),   # exact dup
+        (3, "spark shuffles data across executors for wide merges"),  # near dup
+        (4, "zebra quagga okapi wildebeest gnu antelope"),            # disjoint
+        (5, ""),                                                      # zero tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    long = hashed_embedding_long(df, dim=64)
+    by_doc: dict = {}
+    for r in long.collect():
+        by_doc.setdefault(r.doc_id, {})[r.component] = r.val
+    assert by_doc[1] == by_doc[2]          # determinism: same text, same sparse map
+    assert 5 not in by_doc                 # zero-token doc has no occupied component
+
+    dense = {r.doc_id: list(r.embedding) for r in hashed_embedding(df, dim=64).collect()}
+    assert set(dense) == {1, 2, 3, 4, 5}
+    for doc, comps in by_doc.items():
+        for i in range(64):
+            assert dense[doc][i] == float(comps.get(i, 0)), (doc, i)
+    assert dense[5] == [0.0] * 64
+
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(y * y for y in b))
+        return num / (na * nb) if na and nb else 0.0
+
+    assert abs(cos(dense[1], dense[2]) - 1.0) < 1e-12
+    assert cos(dense[1], dense[3]) > 0.8       # one-token change stays close
+    assert cos(dense[1], dense[4]) < 0.5       # disjoint vocab stays far
+
+
+def test_hashed_embedding_feeds_ann_tier(spark):
+    """Composition: hashed_embedding output drives brute_force_topk
+    unchanged — each doc's nearest neighbor (excluding itself) is its
+    planted near-duplicate."""
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.embedding import hashed_embedding
+    from audience_finder_pro_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        (1, "gradient descent updates model weights iteratively"),
+        (2, "gradient descent updates model weights repeatedly"),
+        (3, "tokenizers split raw text into subword units"),
+        (4, "tokenizers split raw text into subword pieces"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hashed_embedding(df, dim=64).withColumnRenamed("doc_id", "vec_id")
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = brute_force_topk(emb, queries, k=2).filter("query_id != vec_id")
+    nn = {r.query_id: r.vec_id for r in top.filter("rnk <= 2").collect()
+          if r.query_id != r.vec_id}
+    assert nn[1] == 2 and nn[2] == 1 and nn[3] == 4 and nn[4] == 3
+
+
 # ---------------------------------------- E37/E38 randomized differentials
 def test_rrf_fuse_matches_python_reference_on_random_lists(spark):
     """Seeded-random ranked lists (3 legs, missing docs, k_rrf=40) vs a
