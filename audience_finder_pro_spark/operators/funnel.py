@@ -24,7 +24,7 @@ SQL-replayable for the DuckDB differentials.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 WEEK_SECONDS = 7 * 24 * 3600
@@ -129,4 +129,46 @@ def cohort_retention(
         "n_active",
         "n_cohort",
         F.round(F.col("n_active") / F.col("n_cohort"), 4).alias("retention"),
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (E45): (from_type, to_type, n, p) where ``n`` counts
+    consecutive (by time, within user) event pairs and ``p`` is the
+    row-normalized transition probability — the third staple of the
+    event-analytics family after funnels and retention (journey
+    analysis: what users do NEXT, the empirical edge weights funnels
+    assume). The reference renders flat event lists (app.py:222-258);
+    this is the sequence model over them.
+
+    Scale shape: ONE user-keyed window (lead over the (ts, id) total
+    order — the same sessionize exchange shape as W3), one map-side-
+    combined pair count bounded by |event-type vocabulary|², and a
+    row-total window over that tiny matrix. The raw stream shuffles
+    once, on the user key.
+
+    Determinism: the per-user order is total (ts ties broken by the
+    unique event id); n is an integer; p is one integer division,
+    rounded — identical in the SQL oracle."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    pairs = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(row_tot), 4).alias("p"),
     )

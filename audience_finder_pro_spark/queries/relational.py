@@ -1415,6 +1415,40 @@ def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(events)
 
 
+# ------------------------------------------- E45 event transition matrix
+_TRANSITION_ORACLE = r"""
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 4) AS p
+FROM counts
+"""
+
+
+@_q("transition_matrix", None)  # declared past the 50-slot cap; standalone gate
+def transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix (E45,
+    operators/funnel.transition_matrix) over per-user event sequences:
+    what users do NEXT — the empirical edge weights the funnel steps
+    assume, third leg of the event-analytics family (funnel, cohort,
+    transitions). One user-keyed window + a vocabulary²-bounded count.
+    ``_TRANSITION_ORACLE`` is the standalone DuckDB comparator (pytest
+    hash gate + bench _extra_oracles entry)."""
+    from audience_finder_pro_spark.operators.funnel import transition_matrix
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_matrix(ev)
+
+
 @_q(
     "funnel_cohort",
     f"""
@@ -1425,15 +1459,22 @@ def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'cohort', CAST(cohort_week AS VARCHAR), week_offset,
            n_active, retention, CAST(n_cohort AS DOUBLE)
     FROM ({_COHORT_ORACLE})
+    UNION ALL
+    SELECT 'transition', from_type || '>' || to_type, CAST(NULL AS BIGINT),
+           n, p, CAST(NULL AS DOUBLE)
+    FROM ({_TRANSITION_ORACLE})
     """,
 )
 def funnel_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both event-analytics operators (E35) in one tagged frame — the
-    judge-suggested events-analytics merge (r9): the strictly-ordered
-    funnel leg and the weekly cohort-retention triangle leg, padded to
-    (op, k, idx, n, v1, v2). Funds ONE driver slot that hash-verifies
-    both operators end-to-end; each constituent stays declared and
-    callable with its standalone oracle as a module constant."""
+    """The event-analytics family (E35 + E45) in one tagged frame —
+    the judge-suggested events-analytics merge (r9) plus the r10 merge
+    #29 transition leg: the strictly-ordered funnel leg, the weekly
+    cohort-retention triangle leg, and the Markov transition-matrix leg
+    (its (from, to) pair packed losslessly into k as 'from>to'; event
+    types contain no '>'), padded to (op, k, idx, n, v1, v2). Funds ONE
+    driver slot that hash-verifies all three operators end-to-end; each
+    constituent stays declared and callable with its standalone oracle
+    as a module constant."""
     pad = F.lit(None).cast("double")
     f_leg = funnel_steps(spark, sf_dir).select(
         F.lit("funnel").alias("op"),
@@ -1451,4 +1492,12 @@ def funnel_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("retention").alias("v1"),
         F.col("n_cohort").cast("double").alias("v2"),
     )
-    return f_leg.unionByName(c_leg)
+    t_leg = transition_matrix_q(spark, sf_dir).select(
+        F.lit("transition").alias("op"),
+        F.concat("from_type", F.lit(">"), "to_type").alias("k"),
+        F.lit(None).cast("bigint").alias("idx"),
+        F.col("n"),
+        F.col("p").alias("v1"),
+        pad.alias("v2"),
+    )
+    return f_leg.unionByName(c_leg).unionByName(t_leg)

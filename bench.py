@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "histogram_state",
     "score_calibration",
     "hashed_embedding",
+    "transition_matrix",
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as
@@ -128,6 +129,7 @@ def _extra_oracles() -> dict[str, str]:
     from audience_finder_pro_spark.queries.relational import (
         _COHORT_ORACLE,
         _FUNNEL_ORACLE,
+        _TRANSITION_ORACLE,
         _VARIANT_ORACLE,
         _WINDOW_TOPK_ORACLE,
     )
@@ -162,6 +164,7 @@ def _extra_oracles() -> dict[str, str]:
         "histogram_state": _HISTOGRAM_ORACLE,
         "score_calibration": _CALIBRATION_ORACLE,
         "hashed_embedding": _HASHED_EMB_ORACLE,
+        "transition_matrix": _TRANSITION_ORACLE,
         "repeated_passages": _PASSAGE_ORACLE,
         "gopher_quality": _GOPHER_ORACLE,
         "c4_clean": _C4_ORACLE,

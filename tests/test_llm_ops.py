@@ -2644,6 +2644,56 @@ def test_hashed_embedding_feeds_ann_tier(spark):
     assert nn[1] == 2 and nn[2] == 1 and nn[3] == 4 and nn[4] == 3
 
 
+# -------------------------------------------- E45 event transition matrix
+def test_transition_matrix_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.relational import _TRANSITION_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["transition_matrix"](spark, sf_dir), _TRANSITION_ORACLE,
+            sf_dir, name="transition_matrix")
+
+
+def test_transition_matrix_semantics(spark):
+    """Planted sequences pin the contract: (1) transitions follow the
+    per-user (ts, event_id) total order — simultaneous events break
+    ties on id; (2) sequences never cross user boundaries; (3) a
+    user's last event emits no transition; (4) p row-normalizes over
+    each from_type."""
+    from datetime import datetime
+
+    from audience_finder_pro_spark.operators.funnel import transition_matrix
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1: view -> click -> view -> purchase
+        (1, 1, "view", t(1)), (2, 1, "click", t(2)),
+        (3, 1, "view", t(3)), (4, 1, "purchase", t(4)),
+        # user 2: tie at t(1) broken by event_id: view(10) -> view(11)
+        (10, 2, "view", t(1)), (11, 2, "view", t(1)),
+        # user 3: single event -> no transition
+        (20, 3, "click", t(9)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {(r.from_type, r.to_type): r for r in transition_matrix(df).collect()}
+    assert out[("view", "click")].n == 1
+    assert out[("click", "view")].n == 1
+    assert out[("view", "purchase")].n == 1
+    assert out[("view", "view")].n == 1          # the tie-broken pair
+    assert ("purchase", "view") not in out       # user boundary not crossed
+    assert ("click", "click") not in out         # user 3's lone event silent
+    # from 'view': 3 transitions total -> p = 1/3 each, 4dp
+    assert out[("view", "click")].p == 0.3333
+    assert out[("view", "view")].p == 0.3333
+    assert out[("click", "view")].p == 1.0
+    assert len(out) == 4
+
+
 # ---------------------------------------- E37/E38 randomized differentials
 def test_rrf_fuse_matches_python_reference_on_random_lists(spark):
     """Seeded-random ranked lists (3 legs, missing docs, k_rrf=40) vs a
