@@ -149,6 +149,59 @@ def merge_histogram_states(states: list[DataFrame]) -> DataFrame:
     return merged.groupBy(*key_cols).agg(F.sum("bin_n").alias("bin_n"))
 
 
+def distinct_state(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable per-key distinct-count sketch state of one batch (E46):
+    (keys..., sketch binary) via Spark's Datasketches HLL aggregate —
+    the third leg of the incremental tier (E41 sums/extrema, E42
+    distributions, E46 cardinalities). Exact per-key COUNT(DISTINCT) at
+    100 TB pays a full expand shuffle EVERY day; the HLL sketch is the
+    industry answer: fixed ~2^lg_k-byte state per key, union-mergeable
+    across daily deltas, ~1.6% standard error at the default lg_k=12.
+
+    NO SQL oracle by taxonomy (DuckDB's approx sketch is a different
+    algorithm) — verified by error-bound, merge-algebra and streaming
+    replay tests instead (the minhash/xxhash precedent)."""
+    return df.groupBy(*key_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch")
+    )
+
+
+def merge_distinct_states(states: list[DataFrame]) -> DataFrame:
+    """Union-merge ``distinct_state`` frames. The merge contract is
+    BOUNDED, unlike the exact E41/E42 monoids: a fixed merge plan is
+    deterministic (same slicing + order → identical result, replayable),
+    but DIFFERENT merge orders/groupings may read back slightly
+    different estimates (measured ±~1% on a 500-cardinality key —
+    Datasketches sketch-mode promotion depends on insertion/merge
+    history), all within the sketch's error bound of the true count.
+    That is the approximate-sketch trade stated honestly; compare
+    states via ``distinct_from_state`` against the bound, never by
+    binary equality."""
+    if not states:
+        raise ValueError("merge_distinct_states needs at least one state frame")
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    key_cols = [c for c in merged.columns if c != "sketch"]
+    return merged.groupBy(*key_cols).agg(
+        F.hll_union_agg("sketch").alias("sketch")
+    )
+
+
+def distinct_from_state(state: DataFrame) -> DataFrame:
+    """Read the per-key cardinality estimates off a (possibly merged)
+    sketch state: (keys..., n_distinct)."""
+    key_cols = [c for c in state.columns if c != "sketch"]
+    return state.select(
+        *key_cols, F.hll_sketch_estimate("sketch").alias("n_distinct")
+    )
+
+
 def quantiles_from_state(
     state: DataFrame,
     key_cols: list[str],

@@ -3043,6 +3043,38 @@ def histogram_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_histogram_states(states)
 
 
+# --------------------------------------- E46 mergeable distinct-count sketch
+@_q("distinct_sketch", None)  # no SQL oracle by taxonomy (engine-specific sketch)
+def distinct_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketch state (E46,
+    operators/incremental.distinct_state): per-event-type distinct-user
+    cardinalities read from three event_id%3-sliced HLL states
+    union-merged — the cardinality leg of the incremental tier (exact
+    COUNT(DISTINCT) pays a full expand shuffle per refresh at 100 TB;
+    the sketch is fixed bytes per key, mergeable across daily deltas).
+    No SQL oracle by the sketch taxonomy (DuckDB's approx_distinct is a
+    different algorithm); gated by error-bound, bounded-merge-algebra
+    and foreachBatch streaming-replay tests in tests/test_llm_ops.py."""
+    from audience_finder_pro_spark.operators.incremental import (
+        distinct_from_state,
+        distinct_state,
+        merge_distinct_states,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"), F.col("user_id"), F.col("event_id")
+    )
+    states = [
+        distinct_state(
+            ev.filter(F.col("event_id") % 3 == i).drop("event_id"),
+            ["key"],
+            "user_id",
+        )
+        for i in range(3)
+    ]
+    return distinct_from_state(merge_distinct_states(states)).orderBy("key")
+
+
 # ------------------------------------------- E43 per-source score calibration
 # The oracle replays the quality expression (the proven
 # _QUALITY_EXPR_SQL fragment), the (score, id) total order, and the

