@@ -215,7 +215,12 @@ def quantiles_from_state(
     count reaches ``q × total`` (the conservative step-CDF read — error
     bounded by one bin width, the histogram's declared resolution).
     One window over ≤ n_bins rows per key + one aggregate; never
-    touches raw data. Returns (keys..., q, quantile)."""
+    touches raw data. Returns (keys..., q, quantile).
+
+    ``lo``/``hi``/``n_bins`` MUST be the values the state was built
+    with — they are the binning model, and the state frame does not
+    carry them (persist them alongside it, as any model registry
+    would); a mismatch reads back silently wrong edges."""
     w = (hi - lo) / n_bins
     cum = state.withColumn(
         "_cum",
