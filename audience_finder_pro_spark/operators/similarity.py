@@ -731,6 +731,57 @@ def _np_row_topk(s_row: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
     return cand[order][:k]
 
 
+def _np_topk_matrix(sims: np.ndarray, ids: np.ndarray, k: int):
+    """Exact (sim DESC, id ASC) top-k for EVERY row of a sims matrix at
+    once — the vectorized form of ``_np_row_topk`` (r10: the per-row
+    Python loop was the IVF/exact self-graph hot path — ~1M calls at
+    the 100k-vector stress). One axis-1 argpartition selects each row's
+    top-k by sim; rows where the k-th value TIES entries outside the
+    selection (the only case where argpartition's arbitrary tie choice
+    could differ from the id-ascending rule) are detected by an exact
+    float-equality count and re-done with the per-row reference — so
+    the result is bit-identical to looping ``_np_row_topk``.
+
+    Returns ``(sel, valid)``: sel[i] = column indices of row i's
+    winners in rank order (ranks are the positions of True entries in
+    valid[i], which is always a prefix — -inf entries sort last and are
+    marked invalid)."""
+    n, m = sims.shape
+    kk = min(k, m)
+    if kk == m:
+        part = np.broadcast_to(np.arange(m), (n, m)).copy()
+        part_s = sims
+    else:
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        part_s = np.take_along_axis(sims, part, axis=1)
+    kth = part_s.min(axis=1)
+    order = np.lexsort((ids[part], -part_s), axis=1)
+    sel = np.take_along_axis(part, order, axis=1)
+    valid = np.isfinite(np.take_along_axis(part_s, order, axis=1))
+    if kk < m:
+        # boundary ties: the kth value occurs in the row more often than
+        # in the selection -> the partition chose arbitrarily among ties
+        total_eq = (sims == kth[:, None]).sum(axis=1)
+        sel_eq = (part_s == kth[:, None]).sum(axis=1)
+        for i in np.nonzero(total_eq > sel_eq)[0]:
+            idx = _np_row_topk(sims[i], ids, k)
+            valid[i] = False
+            sel[i, : len(idx)] = idx
+            valid[i, : len(idx)] = True
+    return sel, valid
+
+
+def _np_topk_flat(sims: np.ndarray, ids: np.ndarray, k: int):
+    """``_np_topk_matrix`` flattened to output-ready arrays:
+    (row_indices, nbr_ids, sims, ranks) over all rows' winners."""
+    sel, valid = _np_topk_matrix(sims, ids, k)
+    cnt = valid.sum(axis=1)
+    rows = np.repeat(np.arange(sims.shape[0]), cnt)
+    cols = sel[valid]
+    ranks = (np.arange(valid.shape[1]) + 1)[None, :].repeat(valid.shape[0], 0)[valid]
+    return rows, ids[cols], sims[rows, cols], ranks.astype("int32")
+
+
 def knn_graph(
     df: DataFrame,
     k: int = 10,
@@ -835,12 +886,11 @@ def knn_graph(
                     pos = np.searchsorted(ids_a, qids[s:e])
                     ok = (pos < len(ids_a)) & (ids_a[np.clip(pos, 0, len(ids_a) - 1)] == qids[s:e])
                     sims[np.arange(e - s)[ok], pos[ok]] = -np.inf
-                    for i in range(e - s):
-                        idx = _np_row_topk(sims[i], ids_a, k)
-                        o_q.append(np.full(len(idx), qids[s + i]))
-                        o_n.append(ids_a[idx])
-                        o_s.append(sims[i][idx])
-                        o_r.append(np.arange(1, len(idx) + 1))
+                    r_i, nb, sv, rk = _np_topk_flat(sims, ids_a, k)
+                    o_q.append(qids[s:e][r_i])
+                    o_n.append(nb)
+                    o_s.append(sv)
+                    o_r.append(rk)
                 if o_q:
                     yield pd.DataFrame(
                         {
@@ -921,20 +971,15 @@ def knn_graph(
         pos = np.searchsorted(h_ids, q_ids)
         ok = (pos < len(h_ids)) & (h_ids[np.clip(pos, 0, len(h_ids) - 1)] == q_ids)
         sims[np.arange(len(q_ids))[ok], pos[ok]] = -np.inf
-        o_q, o_n, o_s = [], [], []
-        for i in range(len(q_ids)):
-            idx = _np_row_topk(sims[i], h_ids, k)
-            o_q.append(np.full(len(idx), q_ids[i]))
-            o_n.append(h_ids[idx])
-            o_s.append(sims[i][idx])
-        if not o_q:
-            return pd.DataFrame({id_col: [], "nbr_id": [], "cosine_sim": [], "rnk": []})
+        r_i, nb, sv, _rk = _np_topk_flat(sims, h_ids, k)
         return pd.DataFrame(
             {
-                id_col: np.concatenate(o_q),
-                "nbr_id": np.concatenate(o_n),
-                "cosine_sim": np.concatenate(o_s),
-                "rnk": np.zeros(sum(len(x) for x in o_q), dtype="int32"),
+                id_col: q_ids[r_i],
+                "nbr_id": nb,
+                "cosine_sim": sv,
+                # per-list rank is meaningless across probes — the global
+                # window below recomputes it; keep the column shape only
+                "rnk": np.zeros(len(r_i), dtype="int32"),
             }
         )
 
