@@ -238,3 +238,41 @@ def gumbel_topk(
         .limit(k)
         .withColumn("gumbel_key", F.round("gumbel_key", 4))
     )
+
+
+def split_leakage_audit(
+    split_df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Cross-split near-duplicate leakage audit (E47): the benchmark-
+    hygiene check every train/val/test split needs — a near-duplicate
+    pair STRADDLING splits means eval rows leak into training (the
+    within-corpus counterpart of E7's benchmark decontamination; the
+    deterministic split alone, E4, cannot see content duplication).
+
+    ``split_df`` carries (id, split) — e.g. ``hash_split``'s output;
+    ``pairs`` is near-dup evidence (id_a, id_b) from any dedup tier
+    (ngram-Jaccard for SQL replay; MinHash-LSH at 100 TB). Returns
+    (split_a, split_b, n_pairs, is_leak) with the split pair in
+    canonical (least, greatest) order so pair orientation can't split
+    a group.
+
+    Scale shape: two id-keyed shuffle equi-joins of the (bounded)
+    verified-pair set against the narrow (id, split) projection, one
+    map-side-combined count over ≤ |splits|² groups — the same
+    pair-remnant economics as source_overlap."""
+    a = split_df.select(F.col(id_col).alias("id_a"), F.col(split_col).alias("_sa"))
+    b = split_df.select(F.col(id_col).alias("id_b"), F.col(split_col).alias("_sb"))
+    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    return (
+        joined.groupBy(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn(
+            "is_leak", (F.col("split_a") != F.col("split_b")).cast("int")
+        )
+    )

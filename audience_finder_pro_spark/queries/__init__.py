@@ -39,6 +39,8 @@ _STATEFUL_PLANS = {
     "dedup_ngram_jaccard",
     "dedup_cc_clusters",
     "quarantine_report",
+    "split_leakage",  # builds ngram_jaccard_pairs (checkpointed shingle index)
+    "validate_corpus",  # carries the split_leakage leg since r10 merge #30
 }
 
 

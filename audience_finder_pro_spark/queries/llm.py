@@ -3043,6 +3043,56 @@ def histogram_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_histogram_states(states)
 
 
+# ------------------------------------------------ E47 split-leakage audit
+# The oracle composes the two proven SQL bodies: the jaccard pair CTEs
+# (dedup_ngram_jaccard's exact pruned-universe pairs) and the salted-md5
+# split CASE (mixture_split's oracle), then classifies each pair by its
+# endpoints' splits in canonical (least, greatest) order.
+def _leakage_audit_oracle() -> str:
+    from audience_finder_pro_spark.operators.sampling import hash_bucket_sql
+
+    return f"""
+    WITH {_JACCARD_CTES},
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {hash_bucket_sql("doc_id", "split")} < 9000 THEN 'train'
+                  WHEN {hash_bucket_sql("doc_id", "split")} < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split_a, split_b, count(*) AS n_pairs,
+           CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS is_leak
+    FROM (
+      SELECT least(sa.split, sb.split) AS split_a,
+             greatest(sa.split, sb.split) AS split_b
+      FROM jpairs
+      JOIN sp sa ON sa.doc_id = id_a
+      JOIN sp sb ON sb.doc_id = id_b
+    )
+    GROUP BY 1, 2
+    """
+
+
+@_q("split_leakage", None)  # declared past the 50-slot cap; standalone gate
+def split_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-duplicate leakage audit (E47,
+    operators/sampling.split_leakage_audit): hash-split the corpus
+    90/5/5, then classify every verified ngram-Jaccard near-dup pair by
+    the splits of its endpoints — a pair straddling splits is eval
+    leakage into training, the benchmark-hygiene check the
+    deterministic split (E4) alone cannot perform. The DuckDB oracle
+    composes the proven jaccard-pair and salted-split SQL bodies
+    (pytest hash gate + bench _extra_oracles entry)."""
+    from audience_finder_pro_spark.operators.sampling import (
+        hash_split,
+        split_leakage_audit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, df_cap_frac=0.05)
+    return split_leakage_audit(hash_split(docs), pairs)
+
+
 # --------------------------------------- E46 mergeable distinct-count sketch
 @_q("distinct_sketch", None)  # no SQL oracle by taxonomy (engine-specific sketch)
 def distinct_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3316,17 +3366,18 @@ FROM ({_LINKAGE_ORACLE})
 # engines.
 @_q("validate_corpus", None)  # oracle attached below (needs all three bodies)
 def validate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged data-audit carrier (merge #26 + r10 merges #27/#28):
+    """Tagged data-audit carrier (merge #26 + r10 merges #27/#28/#30):
     declarative constraint suite + k-anonymity/l-diversity audit +
     mergeable histogram state (E42) + per-source calibration map (E43)
-    — four legs of one audit story (what does this corpus look like,
-    per key / per source), one frame, one driver hash. The hist/calib
-    legs' bin ids ride k2 as strings AND f1 as ints (both lossless);
-    the hist bin edges are derivable constants (lo + bin·w) and the
-    calib lo/hi score ranges are deliberately not carried — the
-    standalone ``_HISTOGRAM_ORACLE`` / ``_CALIBRATION_ORACLE`` gates
-    check the full frames. See validate_plain_q / privacy_audit_q /
-    histogram_state_q / score_calibration_q for the constituent
+    + split-leakage audit (E47) — five legs of one audit story (what
+    does this corpus look like, and is it safe to train on), one
+    frame, one driver hash. The hist/calib legs' bin ids ride k2 as
+    strings AND f1 as ints (both lossless); the hist bin edges are
+    derivable constants (lo + bin·w) and the calib lo/hi score ranges
+    are deliberately not carried — the standalone ``_HISTOGRAM_ORACLE``
+    / ``_CALIBRATION_ORACLE`` gates check the full frames. See
+    validate_plain_q / privacy_audit_q / histogram_state_q /
+    score_calibration_q / split_leakage_q for the constituent
     stories."""
     v = validate_plain_q(spark, sf_dir).select(
         F.lit("validate").alias("op"),
@@ -3368,7 +3419,17 @@ def validate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin").alias("f1"),
         F.lit(None).cast("int").alias("f2"),
     )
-    return v.unionByName(p).unionByName(h).unionByName(c)
+    lk = split_leakage_q(spark, sf_dir).select(
+        F.lit("leak").alias("op"),
+        F.col("split_a").alias("k1"),
+        F.col("split_b").alias("k2"),
+        F.lit("ngram_jaccard").alias("k3"),
+        F.col("n_pairs").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.col("is_leak").alias("f1"),
+        F.lit(None).cast("int").alias("f2"),
+    )
+    return v.unionByName(p).unionByName(h).unionByName(c).unionByName(lk)
 
 
 ORACLES["validate_corpus"] = f"""
@@ -3388,4 +3449,8 @@ UNION ALL
 SELECT 'calib', source, CAST(bin AS VARCHAR), 'quality',
        n_docs, CAST(NULL AS BIGINT), bin, CAST(NULL AS INT)
 FROM ({_CALIBRATION_ORACLE})
+UNION ALL
+SELECT 'leak', split_a, split_b, 'ngram_jaccard',
+       n_pairs, CAST(NULL AS BIGINT), is_leak, CAST(NULL AS INT)
+FROM ({_leakage_audit_oracle()})
 """

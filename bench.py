@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "hashed_embedding",
     "transition_matrix",
     "distinct_sketch",  # Spark-only stage (sketch taxonomy - no comparator)
+    "split_leakage",
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as
@@ -147,6 +148,9 @@ def _extra_oracles() -> dict[str, str]:
         _RRF_ORACLE,
     )
     from audience_finder_pro_spark.queries.llm import (
+        _leakage_audit_oracle,
+    )
+    from audience_finder_pro_spark.queries.llm import (
         _ANOMALY_ORACLE,
         _CALIBRATION_ORACLE,
         _HASHED_EMB_ORACLE,
@@ -166,6 +170,7 @@ def _extra_oracles() -> dict[str, str]:
         "score_calibration": _CALIBRATION_ORACLE,
         "hashed_embedding": _HASHED_EMB_ORACLE,
         "transition_matrix": _TRANSITION_ORACLE,
+        "split_leakage": _leakage_audit_oracle(),
         "repeated_passages": _PASSAGE_ORACLE,
         "gopher_quality": _GOPHER_ORACLE,
         "c4_clean": _C4_ORACLE,

@@ -2810,6 +2810,44 @@ def test_distinct_state_streams_through_foreachbatch(spark, sf_smoke, tmp_path):
         assert abs(got[k] - n) / max(n, 1) < 0.05, (k, n, got[k])
 
 
+# ---------------------------------------------- E47 split-leakage audit
+def test_split_leakage_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. The oracle
+    composes the proven jaccard-pair and salted-split SQL bodies.
+    Verified at sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _leakage_audit_oracle
+    from tests.oracle import compare
+
+    compare(QUERIES["split_leakage"](spark, sf_dir), _leakage_audit_oracle(),
+            sf_dir, name="split_leakage")
+
+
+def test_split_leakage_audit_semantics(spark):
+    """Planted pairs pin the contract: (1) a near-dup pair straddling
+    splits is a leak, same-split pairs are not; (2) the split pair is
+    canonical (least, greatest) so orientation can't split a group;
+    (3) counts aggregate over pairs, not docs."""
+    from audience_finder_pro_spark.operators.sampling import split_leakage_audit
+
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "train"), (5, "val")],
+        "doc_id long, split string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 1), (2, 5)], "id_a long, id_b long"
+    )
+    out = {(r.split_a, r.split_b): r for r in split_leakage_audit(
+        splits, pairs
+    ).collect()}
+    assert out[("test", "train")].n_pairs == 1 and out[("test", "train")].is_leak == 1
+    assert out[("train", "train")].n_pairs == 1 and out[("train", "train")].is_leak == 0
+    assert out[("train", "val")].n_pairs == 1   # (5,1) canonicalized
+    assert out[("test", "val")].n_pairs == 1    # (2,5) canonicalized
+    assert len(out) == 4
+
+
 # ---------------------------------------- E37/E38 randomized differentials
 def test_rrf_fuse_matches_python_reference_on_random_lists(spark):
     """Seeded-random ranked lists (3 legs, missing docs, k_rrf=40) vs a
