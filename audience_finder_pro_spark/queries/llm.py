@@ -3125,6 +3125,68 @@ def distinct_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_from_state(merge_distinct_states(states)).orderBy("key")
 
 
+# ------------------------------------------------ E48 theta audience overlap
+# The oracle computes the EXACT pairwise distinct-user overlap (one
+# distinct expansion + a self-join on user) — the Spark side reads the
+# same integers off theta sketches built per event_id%3 slice and
+# union-merged, so the hash match proves the sketch tier's exact-mode
+# contract AND its merge algebra in one gate. The jaccard division is
+# one IEEE op over integers (deterministic cross-engine), rounded 4dp.
+_OVERLAP_ORACLE = r"""
+WITH peru AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, count(*) AS n FROM peru GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS group_a, b.event_type AS group_b, count(*) AS n_overlap
+  FROM peru a JOIN peru b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT sa.event_type AS group_a, sb.event_type AS group_b,
+       sa.n AS n_a, sb.n AS n_b,
+       coalesce(i.n_overlap, 0) AS n_overlap,
+       round(coalesce(i.n_overlap, 0)
+             / CAST(sa.n + sb.n - coalesce(i.n_overlap, 0) AS DOUBLE), 4) AS jaccard
+FROM sizes sa
+JOIN sizes sb ON sa.event_type < sb.event_type
+LEFT JOIN inter i ON i.group_a = sa.event_type AND i.group_b = sb.event_type
+"""
+
+
+@_q("audience_overlap", None)  # declared past the 50-slot cap; standalone gate
+def audience_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap via theta-sketch set algebra (E48,
+    operators/incremental.theta_state/overlap_from_state): distinct-user
+    intersection and Jaccard between every event-type pair, read from
+    three event_id%3-sliced theta states union-merged — the set-ALGEBRA
+    leg of the incremental tier (E46's HLL counts distincts; theta
+    additionally intersects/differences them — "users who did A and B"
+    is the reference's audience question, app.py's tag-overlap loop).
+    The sketches run in exact mode at every checked SF (<=1,500
+    users/type vs 2^14 nominal), so ``_OVERLAP_ORACLE``'s exact SQL
+    intersection counts hash-match the sketch reads — the gate proves
+    exact-mode semantics and merge algebra at once; the sampled regime
+    is covered by the factor-50 stress leg's error bound."""
+    from audience_finder_pro_spark.operators.incremental import (
+        merge_theta_states,
+        overlap_from_state,
+        theta_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type"), F.col("user_id"), F.col("event_id")
+    )
+    states = [
+        theta_state(
+            ev.filter(F.col("event_id") % 3 == i).drop("event_id"),
+            ["event_type"],
+            "user_id",
+            lg_k=14,
+        )
+        for i in range(3)
+    ]
+    merged = merge_theta_states(states, lg_k=14)
+    return overlap_from_state(merged)
+
+
 # ------------------------------------------- E43 per-source score calibration
 # The oracle replays the quality expression (the proven
 # _QUALITY_EXPR_SQL fragment), the (score, id) total order, and the

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "transition_matrix",
     "distinct_sketch",  # Spark-only stage (sketch taxonomy - no comparator)
     "split_leakage",
+    "audience_overlap",
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as
@@ -156,6 +157,7 @@ def _extra_oracles() -> dict[str, str]:
         _HASHED_EMB_ORACLE,
         _HISTOGRAM_ORACLE,
         _INCREMENTAL_ORACLE,
+        _OVERLAP_ORACLE,
         _PRIVACY_ORACLE,
     )
 
@@ -171,6 +173,7 @@ def _extra_oracles() -> dict[str, str]:
         "hashed_embedding": _HASHED_EMB_ORACLE,
         "transition_matrix": _TRANSITION_ORACLE,
         "split_leakage": _leakage_audit_oracle(),
+        "audience_overlap": _OVERLAP_ORACLE,
         "repeated_passages": _PASSAGE_ORACLE,
         "gopher_quality": _GOPHER_ORACLE,
         "c4_clean": _C4_ORACLE,

@@ -2974,3 +2974,151 @@ def test_merge_rollup_states_random_slicings(spark):
             for i in range(n_slices)
         ]
         assert canon(merge_rollup_states(states)) == direct, n_slices
+
+
+# -------------------------------------- E48 theta set-algebra audience overlap
+def test_audience_overlap_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. The oracle
+    computes the EXACT pairwise distinct-user intersections (distinct
+    expansion + self-join); the query reads the same integers off
+    event_id%3-sliced theta states union-merged, so the hash match
+    proves exact-mode sketch semantics AND the merge algebra at once.
+    Verified at sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _OVERLAP_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["audience_overlap"](spark, sf_dir), _OVERLAP_ORACLE,
+            sf_dir, name="audience_overlap")
+
+
+def test_theta_state_exact_mode_set_algebra(spark):
+    """Planted sets pin the E48 contract: (1) estimates are EXACT while
+    per-key distincts stay <= 2^lg_k nominal; (2) intersections of
+    exact sketches are exact; (3) theta_difference of exact sketches is
+    exact (the new-vs-returning-audience read); (4) merging slice
+    states in any order/grouping reads back the identical exact values;
+    (5) the Jaccard read uses inclusion-exclusion, NEVER theta_union —
+    the union operator re-gates at its own nominal size and downsamples
+    exact inputs (measured: true 9,000 read 8,934 through the default
+    gate); (6) overlap_from_state rejects multi-key states."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.incremental import (
+        audience_overlap,
+        merge_theta_states,
+        overlap_from_state,
+        theta_estimate,
+        theta_state,
+    )
+
+    # groups: a = [0, 6000), b = [3000, 9000), c = [0, 1000) — known algebra
+    df = (
+        spark.range(6000).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+        .unionByName(
+            spark.range(3000, 9000).select(
+                F.lit("b").alias("g"), F.col("id").alias("v"))
+        )
+        .unionByName(
+            spark.range(1000).select(F.lit("c").alias("g"), F.col("id").alias("v"))
+        )
+    )
+    ov = {
+        (r.group_a, r.group_b): r
+        for r in audience_overlap(df, "g", "v", lg_k=14).collect()
+    }
+    ab, ac, bc = ov[("a", "b")], ov[("a", "c")], ov[("b", "c")]
+    assert (ab.n_a, ab.n_b, ab.n_overlap) == (6000, 6000, 3000)
+    assert ab.jaccard == round(3000 / 9000, 4)
+    assert (ac.n_overlap, ac.jaccard) == (1000, round(1000 / 6000, 4))
+    assert bc.n_overlap == 0 and bc.jaccard == 0.0
+
+    # merge algebra: any slicing/grouping reads back the same exact values
+    slices = [df.filter(F.col("v") % 3 == i) for i in range(3)]
+    states = [theta_state(s, ["g"], "v", lg_k=14) for s in slices]
+    reads = lambda st: sorted(
+        (r.g, r.n_distinct) for r in theta_estimate(st).collect()
+    )
+    expect = [("a", 6000), ("b", 6000), ("c", 1000)]
+    assert reads(merge_theta_states(states, lg_k=14)) == expect
+    assert reads(merge_theta_states(states[::-1], lg_k=14)) == expect
+    assert reads(
+        merge_theta_states(
+            [merge_theta_states(states[:2], lg_k=14), states[2]], lg_k=14
+        )
+    ) == expect
+
+    # difference of exact sketches is exact: a \ b = [0, 3000) -> 3000
+    sk = {r.g: r.sketch for r in theta_state(df, ["g"], "v", lg_k=14).collect()}
+    diff = spark.createDataFrame(
+        [(sk["a"], sk["b"])], "sa binary, sb binary"
+    ).select(
+        F.theta_sketch_estimate(F.theta_difference("sa", "sb"))
+        .cast("long")
+        .alias("d")
+    ).collect()[0].d
+    assert diff == 3000
+
+    with pytest.raises(ValueError):
+        overlap_from_state(theta_state(df, ["g"], "v").withColumn("k2", F.lit(1)))
+
+
+def test_theta_state_streams_through_foreachbatch(spark, sf_smoke, tmp_path):
+    """E48 through the generalized incremental-rollup seam: per-epoch
+    theta deltas union-merged across 3 epochs read back the events
+    table's per-type distinct users EXACTLY (fixture cardinalities sit
+    in exact mode), and the pairwise overlap read off the streamed
+    state equals the batch audience_overlap."""
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.incremental import (
+        audience_overlap,
+        merge_theta_states,
+        overlap_from_state,
+        theta_estimate,
+        theta_state,
+    )
+    from audience_finder_pro_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        latest_rollup_state,
+        run_stream_incremental_rollup,
+    )
+
+    src = tmp_path / "src"
+    state = str(tmp_path / "state")
+    src.mkdir()
+    base = load_table(spark, sf_smoke, "events")
+    base.repartition(3).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_stream_incremental_rollup(
+        stream,
+        ["event_type"],
+        "user_id",
+        state,
+        str(tmp_path / "ck"),
+        state_fn=lambda b: theta_state(b, ["event_type"], "user_id", lg_k=14),
+        merge_fn=lambda states: merge_theta_states(states, lg_k=14),
+    )
+    streamed = latest_rollup_state(spark, state)
+    got = {r.event_type: r.n_distinct for r in theta_estimate(streamed).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in base.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact  # exact mode: sketch reads equal COUNT(DISTINCT)
+    stream_ov = sorted(
+        tuple(r) for r in overlap_from_state(streamed).collect()
+    )
+    batch_ov = sorted(
+        tuple(r) for r in audience_overlap(base, "event_type", "user_id",
+                                           lg_k=14).collect()
+    )
+    assert stream_ov == batch_ov
