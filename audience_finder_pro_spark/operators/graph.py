@@ -315,3 +315,73 @@ def pagerank(
             prev_ckpt = new
         ranks = new
     return ranks.select("node", F.round("rank", 4).alias("pagerank"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 3,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (E52) — community
+    detection over an undirected edge list, the third leg of the graph
+    tier: connected_components answers REACHABILITY, pagerank answers
+    CENTRALITY, label propagation answers COMMUNITY (densely linked
+    subsets — near-dup families inside one CC component, topic pockets
+    in a knn graph).
+
+    Semantics (Raghavan et al. 2007, made engine-replayable):
+      label_0(v)   = v
+      label_{t+1}(v) = the label holding the MOST neighbor votes at t,
+                       ties to the SMALLEST label; isolated nodes (and
+                       nodes whose neighbors cast no votes) keep label_t.
+    Edges are symmetrized + deduplicated first (undirected voting).
+    Exactly ``n_iter`` sweeps — a fixed count, not a convergence test,
+    so the result is deterministic and the DuckDB oracle unrolls the
+    identical recurrence (synchronous LP can oscillate on bipartite
+    structures; a fixed horizon makes even that replayable).
+
+    Scale shape (the pagerank discipline): the symmetric edge table is
+    built ONCE and localCheckpoint'ed; each sweep is one shuffle join
+    (labels onto edges by src) + a two-level aggregate — the
+    (dst, label) vote count, then the per-dst argmax via max_by. All
+    integer counts and integer labels: no float anywhere, so the
+    result is partition-order independent BIT-exactly. Label lineage
+    truncates every ``checkpoint_every`` sweeps (the CC lesson).
+
+    Returns (node, community) — community is a node id, the classic
+    LP labeling."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    prev_ckpt = None
+    for it in range(n_iter):
+        votes = (
+            e.join(labels, e["src"] == labels["node"])
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        won = votes.groupBy("dst").agg(
+            F.max_by("label", F.struct(F.col("c"), -F.col("label"))).alias("won")
+        )
+        new = labels.join(won, labels["node"] == won["dst"], "left").select(
+            "node", F.coalesce("won", "label").alias("label")
+        )
+        if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
+            new = new.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                _free_checkpoint(prev_ckpt)
+            prev_ckpt = new
+        labels = new
+    return labels.select("node", F.col("label").alias("community"))

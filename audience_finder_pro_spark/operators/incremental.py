@@ -377,3 +377,77 @@ def overlap_from_state(state: DataFrame) -> DataFrame:
             4,
         ).alias("jaccard"),
     )
+
+
+def kll_state(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 800,
+) -> DataFrame:
+    """Mergeable per-key quantile sketch state (E51): (keys..., sketch)
+    via Spark's Datasketches KLL aggregate — the UNBOUNDED-range
+    complement to E42's equi-width histogram. histogram_state needs a
+    declared [lo, hi) binning model up front and clamps outliers into
+    edge bins; KLL needs no range at all and bounds RANK error (~0.6%
+    at k=800) wherever the distribution lands — the right state when
+    tomorrow's delta can shift the support (latency spikes, new score
+    regimes). Fixed ~k-value state per key, union-mergeable across
+    daily deltas. Values are cast to double (the sketch's element
+    type); NULLs are dropped by the aggregate.
+
+    NO SQL oracle by taxonomy (engine-specific sketch binary) —
+    verified by rank-error-bound, bounded-merge-algebra and streaming
+    replay tests (the E46 precedent). The exact-answer alternative for
+    discrete measures is operators/skew.exact_group_quantiles."""
+    return df.groupBy(*key_cols).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)).alias(
+            "sketch"
+        )
+    )
+
+
+def merge_kll_states(states: list[DataFrame], k: int = 800) -> DataFrame:
+    """Union-merge ``kll_state`` frames per key. The merge contract is
+    BOUNDED, like E46's HLL and unlike the exact E41/E42 monoids: a
+    fixed merge plan is replay-deterministic, but different slicings
+    may read back slightly different estimates (compaction history
+    differs), all within the sketch's rank-error bound — compare via
+    ``kll_quantiles_from_state`` against the bound, never by binary
+    equality. ``k`` must be >= the inputs' k (the theta lg_k rule)."""
+    if not states:
+        raise ValueError("merge_kll_states needs at least one state frame")
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    key_cols = [c for c in merged.columns if c != "sketch"]
+    return merged.groupBy(*key_cols).agg(
+        F.kll_merge_agg_double("sketch", F.lit(k)).alias("sketch")
+    )
+
+
+def kll_quantiles_from_state(
+    state: DataFrame,
+    qs: list[float],
+) -> DataFrame:
+    """Per-key quantile reads off a (possibly merged) KLL state:
+    (keys..., q, quantile, n) — n is the exact retained-stream count
+    (KLL tracks it losslessly, a free sanity column)."""
+    if not qs:
+        raise ValueError("kll_quantiles_from_state needs at least one q")
+    key_cols = [c for c in state.columns if c != "sketch"]
+    legs = [
+        state.select(
+            *key_cols,
+            F.lit(float(q)).alias("q"),
+            F.kll_sketch_get_quantile_double("sketch", F.lit(float(q))).alias(
+                "quantile"
+            ),
+            F.kll_sketch_get_n_double("sketch").alias("n"),
+        )
+        for q in qs
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -3125,6 +3125,114 @@ def distinct_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_from_state(merge_distinct_states(states)).orderBy("key")
 
 
+# ------------------------------------------- E52 label-propagation communities
+# The oracle unrolls the EXACT recurrence the operator runs: three
+# synchronous sweeps where each node adopts the most-voted neighbor
+# label (ties to the smallest), over the proven jaccard-pair CTEs.
+# All-integer votes and labels — bit-exact cross-engine.
+def _lp_oracle() -> str:
+    sweep = """
+    v{i} AS (
+      SELECT e.dst AS node, l.label, count(*) AS c
+      FROM edges e JOIN l{p} l ON l.node = e.src GROUP BY 1, 2
+    ),
+    w{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+        FROM v{i}
+      ) WHERE rn = 1
+    ),
+    l{i} AS (
+      SELECT l.node, coalesce(w.label, l.label) AS label
+      FROM l{p} l LEFT JOIN w{i} w ON w.node = l.node
+    )"""
+    sweeps = ",".join(sweep.format(i=i, p=i - 1) for i in (1, 2, 3))
+    return f"""
+    WITH {_JACCARD_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jpairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM jpairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {sweeps}
+    SELECT node, label AS community FROM l3
+    """
+
+
+@_q("doc_communities", None)  # declared past the 50-slot cap; standalone gate
+def doc_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the near-dup evidence graph
+    (E52, operators/graph.label_propagation): three fixed synchronous
+    sweeps of most-voted-neighbor-label (ties to smallest) over the
+    jaccard pairs — the COMMUNITY leg of the graph tier (CC answers
+    reachability, pagerank centrality). The oracle unrolls the
+    identical recurrence in SQL, so the hash match proves every sweep,
+    tie-break and isolated-node rule at once."""
+    from audience_finder_pro_spark.operators.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, df_cap_frac=0.05)
+    return label_propagation(pairs, src_col="id_a", dst_col="id_b", n_iter=3)
+
+
+@_q("kll_quantiles", None)  # no SQL oracle by taxonomy (engine-specific sketch)
+def kll_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile-sketch state (E51,
+    operators/incremental.kll_state): per-event-type value p25/p50/p90
+    read from three event_id%3-sliced KLL states union-merged — the
+    unbounded-range complement to E42's fixed-[lo,hi) histogram (no
+    binning model to declare; rank error bounded wherever the support
+    lands). No SQL oracle by the sketch taxonomy; gated by
+    rank-error-bound, bounded-merge-algebra and foreachBatch
+    streaming-replay tests in tests/test_llm_ops.py."""
+    from audience_finder_pro_spark.operators.incremental import (
+        kll_quantiles_from_state,
+        kll_state,
+        merge_kll_states,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"), F.col("value"), F.col("event_id")
+    )
+    states = [
+        kll_state(
+            ev.filter(F.col("event_id") % 3 == i).drop("event_id"), ["key"], "value"
+        )
+        for i in range(3)
+    ]
+    merged = merge_kll_states(states)
+    return kll_quantiles_from_state(merged, [0.25, 0.5, 0.9]).orderBy("key", "q")
+
+
+@_q("pq_search", None)  # no SQL oracle by taxonomy (trained quantizer + Arrow path)
+def pq_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN with exact rerank (E49, operators/pq):
+    fit per-subspace codebooks on the bounded lowest-id sample, encode
+    the embeddings table to 8-byte codes (32x compression of the
+    dim-64 float column), ADC-scan the codes for the 20 lowest-id
+    queries, rerank the 5x candidate pool with exact cosine. The
+    compressed half of the production IVF-PQ stack — the path that
+    makes a 100 TB embedding store scannable at memory bandwidth. No
+    SQL oracle by the trained-model taxonomy (BPE/IVF precedent);
+    gated by planted-recall, determinism, reconstruction-monotonicity
+    and compression tests plus the 1M-vector scale datapoint."""
+    from audience_finder_pro_spark.operators.pq import pq_encode, pq_fit, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, dim=64, m=8, n_codes=64, sample_n=10_000, iters=6)
+    codes = pq_encode(emb, books)
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(20)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    return pq_topk(
+        codes, queries, books, k=10, refine_with=emb, refine_factor=5, dim=64
+    )
+
+
 # ------------------------------------------------ E48 theta audience overlap
 # The oracle computes the EXACT pairwise distinct-user overlap (one
 # distinct expansion + a self-join on user) — the Spark side reads the

@@ -1501,3 +1501,44 @@ def funnel_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         pad.alias("v2"),
     )
     return f_leg.unionByName(c_leg).unionByName(t_leg)
+
+
+# --------------------------------------------- E50 exact group quantiles
+# The oracle is DuckDB's own exact quantile_disc — the Spark side never
+# sorts a key's rows to one task (distinct-value count frame + window),
+# so the hash match proves the two-phase rank selection equals the
+# sort-based exact answer. q values are exact binary fractions (the
+# ceil(q*n) rank multiplies exactly in IEEE — cross-engine stable).
+_QUANTILE_ORACLE = r"""
+SELECT l_returnflag, l_linestatus, CAST(0.25 AS DOUBLE) AS q,
+       quantile_disc(l_quantity, 0.25) AS quantile
+FROM lineitem GROUP BY 1, 2
+UNION ALL
+SELECT l_returnflag, l_linestatus, CAST(0.5 AS DOUBLE) AS q,
+       quantile_disc(l_quantity, 0.5) AS quantile
+FROM lineitem GROUP BY 1, 2
+UNION ALL
+SELECT l_returnflag, l_linestatus, CAST(0.75 AS DOUBLE) AS q,
+       quantile_disc(l_quantity, 0.75) AS quantile
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+@_q("exact_quantiles", None)  # declared past the 50-slot cap; standalone gate
+def exact_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-key discrete quantiles without a per-key sort (E50,
+    operators/skew.exact_group_quantiles): p25/p50/p75 of lineitem
+    quantity per (returnflag, linestatus) — the holistic aggregate
+    salted_agg's algebraic family can't express, computed over the
+    distinct-value count frame so no key ever lands its row volume on
+    one task. ``_QUANTILE_ORACLE`` (DuckDB's sort-based quantile_disc)
+    is the standalone comparator (pytest hash gate + bench
+    _extra_oracles entry)."""
+    from audience_finder_pro_spark.operators.skew import exact_group_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    return exact_group_quantiles(
+        li, ["l_returnflag", "l_linestatus"], "l_quantity", [0.25, 0.5, 0.75]
+    )

@@ -107,6 +107,10 @@ BENCH_QUERIES = [
     "distinct_sketch",  # Spark-only stage (sketch taxonomy - no comparator)
     "split_leakage",
     "audience_overlap",
+    "pq_search",  # Spark-only stage (trained quantizer - no comparator)
+    "exact_quantiles",
+    "kll_quantiles",  # Spark-only stage (sketch taxonomy - no comparator)
+    "doc_communities",
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as
@@ -132,6 +136,7 @@ def _extra_oracles() -> dict[str, str]:
     from audience_finder_pro_spark.queries.relational import (
         _COHORT_ORACLE,
         _FUNNEL_ORACLE,
+        _QUANTILE_ORACLE,
         _TRANSITION_ORACLE,
         _VARIANT_ORACLE,
         _WINDOW_TOPK_ORACLE,
@@ -150,6 +155,7 @@ def _extra_oracles() -> dict[str, str]:
     )
     from audience_finder_pro_spark.queries.llm import (
         _leakage_audit_oracle,
+        _lp_oracle,
     )
     from audience_finder_pro_spark.queries.llm import (
         _ANOMALY_ORACLE,
@@ -174,6 +180,8 @@ def _extra_oracles() -> dict[str, str]:
         "transition_matrix": _TRANSITION_ORACLE,
         "split_leakage": _leakage_audit_oracle(),
         "audience_overlap": _OVERLAP_ORACLE,
+        "exact_quantiles": _QUANTILE_ORACLE,
+        "doc_communities": _lp_oracle(),
         "repeated_passages": _PASSAGE_ORACLE,
         "gopher_quality": _GOPHER_ORACLE,
         "c4_clean": _C4_ORACLE,

@@ -151,6 +151,50 @@ def main() -> None:
         f"(recall@10={recall_big:.3f}) — ivf speedup {t_bf / t_iv:.1f}x"
     )
 
+    # PQ (E49): the compressed-corpus path, at two geometry points. This
+    # corpus is PQ's hard regime — every query's true top-10 live among
+    # ~15,625 near-identical within-cluster neighbors, so the quantizer
+    # must resolve the NOISE, not the cluster structure. Measured sweep
+    # (this script, 2026-08): m=8 (32x compression) rf=5 recall 0.24 and
+    # rf=50 still under 0.85 — candidate generation only; m=16 rf=50
+    # 0.82; m=32 (8x compression) rf=20 recall 1.000. The gated point is
+    # m=32; the m=8 line prints as the declared compression-heavy
+    # datapoint (no gate) so the trade stays measured, not guessed.
+    from audience_finder_pro_spark.operators.pq import pq_encode, pq_fit, pq_topk
+
+    for m_sub, rf, gated in ((8, 5, False), (32, 20, True)):
+        t0 = time.perf_counter()
+        books = pq_fit(corpus, dim=DIM, m=m_sub, n_codes=256, sample_n=10_000, iters=8)
+        t_fit = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        codes = pq_encode(corpus, books).persist()
+        n_codes_rows = codes.count()
+        t_enc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        approx_pq = {
+            (r.query_id, r.vec_id)
+            for r in pq_topk(
+                codes, queries, books, k=10, refine_with=corpus,
+                refine_factor=rf, dim=DIM,
+            ).collect()
+        }
+        t_pq = time.perf_counter() - t0
+        recall_pq = len(exact & approx_pq) / len(exact)
+        flag = (
+            ("PASS" if recall_pq >= 0.9 else "MISS")
+            if gated
+            else "info: candidate-generation point, ungated"
+        )
+        print(
+            f"pq m={m_sub} codes=256 (+rerank x{rf}): fit {t_fit:.1f}s, "
+            f"encode {n_codes_rows} rows {t_enc:.1f}s, 20-query scan {t_pq:.1f}s, "
+            f"recall@10={recall_pq:.3f} [{flag}] — codes are {DIM * 4 // m_sub}x "
+            f"smaller than the float32 column"
+        )
+        if gated:
+            assert recall_pq >= 0.9, f"gated PQ point under recall bar: {recall_pq}"
+        codes.unpersist()
+
 
 if __name__ == "__main__":
     main()

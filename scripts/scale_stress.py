@@ -1068,6 +1068,72 @@ def main() -> None:
     print(f"audience_overlap: 3 groups over {n_ids + n_ids + n_ids // 10:,} ids "
           f"in {t_ov:.1f}s; sampled-regime estimates within 2% of closed form")
 
+    # ------- r10: exact group quantiles (E50) — the engineered hot key:
+    # 95% of rows (38 of 40 id residues) land on ONE key, the shape that
+    # parks a sort-based median on a single task. v=(id//40)%100+1 is
+    # INDEPENDENT of the id%40 key residue and n is a multiple of 4000,
+    # so every key sees exactly uniform counts over 1..100 and
+    # quantile_disc(q) = 100q in closed form; the distinct-value frame
+    # the operator shuffles is 100 rows per key regardless of volume.
+    from audience_finder_pro_spark.operators.skew import exact_group_quantiles
+
+    n_rows = 40_000 * factor  # 2M at factor 50; multiple of 4000 by construction
+    qdf = (
+        spark.range(n_rows)
+        .select(
+            F.when(F.col("id") % 40 < 38, F.lit("hot"))
+            .otherwise(F.concat(F.lit("cold"), (F.col("id") % 40 - 38).cast("string")))
+            .alias("k"),
+            ((F.col("id") / 40).cast("long") % 100 + 1).cast("int").alias("v"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+    )
+    t0 = time.time()
+    qs_got = {
+        (r.k, r.q): r.quantile
+        for r in exact_group_quantiles(qdf, ["k"], "v", [0.25, 0.5, 0.75]).collect()
+    }
+    t_q = time.time() - t0
+    for k in ("hot", "cold0", "cold1"):
+        for q in (0.25, 0.5, 0.75):
+            assert qs_got[(k, q)] == int(100 * q), (k, q, qs_got[(k, q)])
+    print(f"exact_quantiles: {n_rows:,} rows, 95% on one hot key, in {t_q:.1f}s; "
+          f"all 9 quantiles closed-form exact")
+
+    # ------- r10: label propagation (E52) — 3M planted edges (factor-50):
+    # disjoint 4-cliques, whose synchronous-LP fixed point is the clique
+    # min by sweep 2 (hand-walk in tests/test_llm_ops.py), so every one
+    # of the 2M labels is closed-form checkable after 3 sweeps.
+    from audience_finder_pro_spark.operators.graph import label_propagation
+
+    n_cliques = 10_000 * factor  # 500k cliques / 2M nodes / 3M edges at 50
+    pair_offsets = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    lp_edges = (
+        spark.range(n_cliques)
+        .select(
+            F.explode(
+                F.array(*[F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+                          for i, j in pair_offsets])
+            ).alias("p"),
+            F.col("id"),
+        )
+        .select(
+            (F.col("id") * 4 + F.col("p.i")).alias("src"),
+            (F.col("id") * 4 + F.col("p.j")).alias("dst"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+    )
+    t0 = time.time()
+    bad = (
+        label_propagation(lp_edges, n_iter=3)
+        .filter(F.col("community") != (F.col("node") - F.col("node") % 4))
+        .count()
+    )
+    t_lp = time.time() - t0
+    assert bad == 0, f"{bad} nodes off the closed-form clique-min label"
+    print(f"label_propagation: {n_cliques * 6:,} edges / {n_cliques * 4:,} nodes, "
+          f"3 sweeps in {t_lp:.1f}s; every label == clique min (closed form)")
+
 
 if __name__ == "__main__":
     main()

