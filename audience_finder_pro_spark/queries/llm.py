@@ -3240,7 +3240,7 @@ def pq_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # union-merged, so the hash match proves the sketch tier's exact-mode
 # contract AND its merge algebra in one gate. The jaccard division is
 # one IEEE op over integers (deterministic cross-engine), rounded 4dp.
-_OVERLAP_ORACLE = r"""
+_AUDIENCE_OVERLAP_ORACLE = r"""
 WITH peru AS (SELECT DISTINCT event_type, user_id FROM events),
 sizes AS (SELECT event_type, count(*) AS n FROM peru GROUP BY 1),
 inter AS (
@@ -3269,7 +3269,7 @@ def audience_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally intersects/differences them — "users who did A and B"
     is the reference's audience question, app.py's tag-overlap loop).
     The sketches run in exact mode at every checked SF (<=1,500
-    users/type vs 2^14 nominal), so ``_OVERLAP_ORACLE``'s exact SQL
+    users/type vs 2^14 nominal), so ``_AUDIENCE_OVERLAP_ORACLE``'s exact SQL
     intersection counts hash-match the sketch reads — the gate proves
     exact-mode semantics and merge algebra at once; the sampled regime
     is covered by the factor-50 stress leg's error bound."""

@@ -163,7 +163,7 @@ def _extra_oracles() -> dict[str, str]:
         _HASHED_EMB_ORACLE,
         _HISTOGRAM_ORACLE,
         _INCREMENTAL_ORACLE,
-        _OVERLAP_ORACLE,
+        _AUDIENCE_OVERLAP_ORACLE,
         _PRIVACY_ORACLE,
     )
 
@@ -179,7 +179,7 @@ def _extra_oracles() -> dict[str, str]:
         "hashed_embedding": _HASHED_EMB_ORACLE,
         "transition_matrix": _TRANSITION_ORACLE,
         "split_leakage": _leakage_audit_oracle(),
-        "audience_overlap": _OVERLAP_ORACLE,
+        "audience_overlap": _AUDIENCE_OVERLAP_ORACLE,
         "exact_quantiles": _QUANTILE_ORACLE,
         "doc_communities": _lp_oracle(),
         "repeated_passages": _PASSAGE_ORACLE,

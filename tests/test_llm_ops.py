@@ -2986,10 +2986,10 @@ def test_audience_overlap_matches_sql_oracle(spark, sf_dir):
     proves exact-mode sketch semantics AND the merge algebra at once.
     Verified at sf0.1 too on landing (NOTES audit rule)."""
     from audience_finder_pro_spark.queries import QUERIES
-    from audience_finder_pro_spark.queries.llm import _OVERLAP_ORACLE
+    from audience_finder_pro_spark.queries.llm import _AUDIENCE_OVERLAP_ORACLE
     from tests.oracle import compare
 
-    compare(QUERIES["audience_overlap"](spark, sf_dir), _OVERLAP_ORACLE,
+    compare(QUERIES["audience_overlap"](spark, sf_dir), _AUDIENCE_OVERLAP_ORACLE,
             sf_dir, name="audience_overlap")
 
 
