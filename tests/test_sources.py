@@ -167,3 +167,86 @@ def test_write_training_shards_per_source(spark, tmp_path):
     assert sorted(d for d in os.listdir(out) if d.startswith("source=")) == [
         "source=0", "source=1", "source=2",
     ]
+
+
+# ------------------------------------------------- E53 Z-order layout writer
+def test_zorder_layout_prunes_boxes_and_preserves_rows(spark, tmp_path):
+    """E53's gates (sink taxonomy — pytest-verified like S5/S11/S13):
+    (1) the written layout holds exactly the input rows; (2) the Morton
+    key is the hand-computed bit interleave on planted values; (3)
+    MEASURED pruning: for a square box predicate over a uniform 2-D
+    grid, the fraction of files whose per-file (min,max) bounding box
+    overlaps the probe is far lower under the Z-curve layout than under
+    a single-column sort of the same data into the same file count —
+    per-file min/max is exactly the stat parquet scan pruning consumes;
+    (4) bounds/geometry validation raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.sources.warehouse import (
+        write_zordered,
+        zorder_key,
+    )
+
+    # (2) hand-computed interleave: 2 cols, 2 bits, bounds [0,4) -> bin=v
+    tiny = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    z = zorder_key(tiny, ["x", "y"], {"x": (0, 4), "y": (0, 4)}, n_bits=2)
+    # x=1 -> bits 01, y=2 -> bits 10; interleave LSB-first (x bit b ->
+    # position 2b, y bit b -> 2b+1): bit0(x)=1 -> pos0; bit1(y)=1 -> pos3
+    assert z.collect()[0]["_zorder"] == 0b1001
+
+    # uniform 64x64 grid, 4096 rows
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.col("id") / 64).cast("long").cast("double").alias("y"),
+    )
+    bounds = {"x": (0.0, 64.0), "y": (0.0, 64.0)}
+    zpath, spath = str(tmp_path / "zorder"), str(tmp_path / "sorted")
+    write_zordered(grid, zpath, ["x", "y"], bounds, n_files=16, n_bits=6)
+    (
+        grid.repartitionByRange(16, F.col("x"), F.col("y"))
+        .sortWithinPartitions("x", "y")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    # (1) row preservation
+    zread = spark.read.parquet(zpath)
+    assert sorted((r.x, r.y) for r in zread.collect()) == sorted(
+        (r.x, r.y) for r in grid.collect()
+    )
+
+    def files_overlapping_box(path, x0, x1, y0, y1):
+        boxes = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+                F.min("y").alias("y_min"), F.max("y").alias("y_max"),
+            )
+        )
+        total = boxes.count()
+        hit = boxes.filter(
+            (F.col("x_max") >= x0) & (F.col("x_min") <= x1)
+            & (F.col("y_max") >= y0) & (F.col("y_min") <= y1)
+        ).count()
+        return hit, total
+
+    # (3) an 8x8 probe box in the interior
+    z_hit, z_total = files_overlapping_box(zpath, 24, 31, 24, 31)
+    s_hit, s_total = files_overlapping_box(spath, 24, 31, 24, 31)
+    assert z_total == 16 and s_total == 16
+    # x-major sort: y min/max span the full range in every mid file ->
+    # ~every x-overlapping file hits; the curve layout keeps boxes local
+    assert z_hit < s_hit, (z_hit, s_hit)
+    assert z_hit <= 4, (z_hit, s_hit)  # 8x8 of 64x64 = 1/64 of area
+
+    # (4) validation
+    with pytest.raises(ValueError):
+        zorder_key(grid, ["x"], bounds)
+    with pytest.raises(ValueError):
+        zorder_key(grid, ["x", "y"], {"x": (0, 64)})
+    with pytest.raises(ValueError):
+        zorder_key(grid, ["x", "y"], {"x": (0, 0), "y": (0, 64)})
+    with pytest.raises(ValueError):
+        zorder_key(grid, ["x", "y"], bounds, n_bits=40)
