@@ -384,4 +384,9 @@ def label_propagation(
                 _free_checkpoint(prev_ckpt)
             prev_ckpt = new
         labels = new
+    # the final sweep's eager checkpoint is now the only data source the
+    # result needs — release the static edge/node blocks (the CC rule;
+    # without this they leak until the ContextCleaner gets around to them)
+    _free_checkpoint(e)
+    _free_checkpoint(nodes)
     return labels.select("node", F.col("label").alias("community"))

@@ -154,3 +154,77 @@ def rolling_anomaly(
         .when(ok, 0)
         .alias("is_anomaly"),
     )
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    key_col: str = "key",
+    bucket_col: str = "bucket",
+    value_col: str = "n",
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (E54) of a DENSE
+    per-key integer series: value = trend + seasonal + residual — the
+    moving-average STL-lite every metrics pipeline runs on its daily
+    counts (is Monday always low, or is today actually anomalous?).
+    Feed it ``gapfill_rollup`` output (or any gap-free spine); gaps
+    would silently shift the centered window.
+
+    Per (key, bucket): trend is the centered ``period``-wide moving
+    average (NULL where the window is incomplete at the edges);
+    seasonal is the per-position mean deviation from trend
+    (position = 0-based rank within key, mod period); residual is the
+    remainder. rank-based positions make the contract purely ordinal —
+    no calendar assumptions beyond the spine's own spacing.
+
+    Cross-engine float discipline (the E40 rule): every AGGREGATE here
+    is an integer sum — the centered window sum, and the seasonal
+    numerator sum of ``period*value - window_sum`` (an integer by
+    construction: the detrended deviation scaled by period). Floats
+    appear only in per-row divisions of those exact integers, in a
+    fixed expression shape, so the DuckDB oracle reproduces every
+    trend/seasonal/residual bit before the final round(4). One window
+    + one bounded aggregate (keys x period rows) + one broadcast
+    join-back; raw rows shuffle once for the window.
+
+    Returns (key_col, bucket_col, pos, value, trend, seasonal,
+    residual), trend/seasonal/residual rounded 4dp, NULL where trend
+    is undefined."""
+    if period < 2 or period % 2 == 0:
+        raise ValueError("seasonal_decompose needs an odd period >= 3")
+    half = period // 2
+    wk = Window.partitionBy(key_col).orderBy(bucket_col)
+    w = wk.rowsBetween(-half, half)
+    v = F.col(value_col).cast("long")
+    base = series.select(
+        F.col(key_col),
+        F.col(bucket_col),
+        v.alias("value"),
+        (F.row_number().over(wk) - 1).alias("_rk"),
+        F.when(F.count(value_col).over(w) == period, F.sum(v).over(w)).alias(
+            "_wsum"
+        ),
+    ).withColumn("pos", F.col("_rk") % period)
+    # integer detrended deviation, scaled by period: period*v - sum_p
+    base = base.withColumn(
+        "_d", F.lit(period) * F.col("value") - F.col("_wsum")
+    )
+    seas = base.groupBy(key_col, "pos").agg(
+        F.sum("_d").alias("_s_num"),
+        (F.lit(period) * F.count("_d")).alias("_s_den"),
+    )
+    out = base.join(F.broadcast(seas), [key_col, "pos"])
+    trend = F.col("_wsum") / F.lit(float(period))
+    seasonal = F.when(
+        F.col("_s_den") > 0, F.col("_s_num") / F.col("_s_den").cast("double")
+    )
+    residual = F.col("value") - trend - seasonal
+    return out.select(
+        key_col,
+        bucket_col,
+        "pos",
+        "value",
+        F.round(trend, 4).alias("trend"),
+        F.round(seasonal, 4).alias("seasonal"),
+        F.round(residual, 4).alias("residual"),
+    )

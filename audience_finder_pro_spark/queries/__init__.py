@@ -41,6 +41,7 @@ _STATEFUL_PLANS = {
     "quarantine_report",
     "split_leakage",  # builds ngram_jaccard_pairs (checkpointed shingle index)
     "validate_corpus",  # carries the split_leakage leg since r10 merge #30
+    "doc_communities",  # jaccard pairs + LP's own eager label checkpoints
 }
 
 

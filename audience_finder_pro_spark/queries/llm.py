@@ -3536,12 +3536,13 @@ FROM ({_LINKAGE_ORACLE})
 # engines.
 @_q("validate_corpus", None)  # oracle attached below (needs all three bodies)
 def validate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged data-audit carrier (merge #26 + r10 merges #27/#28/#30):
+    """Tagged data-audit carrier (merge #26 + r10 merges #27/#28/#30/#32):
     declarative constraint suite + k-anonymity/l-diversity audit +
     mergeable histogram state (E42) + per-source calibration map (E43)
-    + split-leakage audit (E47) — five legs of one audit story (what
-    does this corpus look like, and is it safe to train on), one
-    frame, one driver hash. The hist/calib legs' bin ids ride k2 as
+    + split-leakage audit (E47) + theta audience overlap (E48, jaccard
+    carrier-dropped — derivable from n1/n2/f1 and still standalone-
+    gated) — six legs of one audit story (what does this corpus look
+    like, and is it safe to train on), one frame, one driver hash. The hist/calib legs' bin ids ride k2 as
     strings AND f1 as ints (both lossless); the hist bin edges are
     derivable constants (lo + bin·w) and the calib lo/hi score ranges
     are deliberately not carried — the standalone ``_HISTOGRAM_ORACLE``
@@ -3599,7 +3600,23 @@ def validate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_leak").alias("f1"),
         F.lit(None).cast("int").alias("f2"),
     )
-    return v.unionByName(p).unionByName(h).unionByName(c).unionByName(lk)
+    ov = audience_overlap_q(spark, sf_dir).select(
+        F.lit("overlap").alias("op"),
+        F.col("group_a").alias("k1"),
+        F.col("group_b").alias("k2"),
+        F.lit("user_id").alias("k3"),
+        F.col("n_a").alias("n1"),
+        F.col("n_b").alias("n2"),
+        F.col("n_overlap").cast("int").alias("f1"),
+        F.lit(None).cast("int").alias("f2"),
+    )
+    return (
+        v.unionByName(p)
+        .unionByName(h)
+        .unionByName(c)
+        .unionByName(lk)
+        .unionByName(ov)
+    )
 
 
 ORACLES["validate_corpus"] = f"""
@@ -3623,4 +3640,8 @@ UNION ALL
 SELECT 'leak', split_a, split_b, 'ngram_jaccard',
        n_pairs, CAST(NULL AS BIGINT), is_leak, CAST(NULL AS INT)
 FROM ({_leakage_audit_oracle()})
+UNION ALL
+SELECT 'overlap', group_a, group_b, 'user_id',
+       n_a, n_b, CAST(n_overlap AS INT), CAST(NULL AS INT)
+FROM ({_AUDIENCE_OVERLAP_ORACLE})
 """

@@ -611,6 +611,18 @@ def q12_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(o_totalprice), 4) AS val, count(*) AS n
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY CUBE (c_mktsegment, o_orderpriority)
+    UNION ALL
+    SELECT 'quantile' AS op, l_returnflag AS k1, l_linestatus AS k2,
+           quantile_disc(l_quantity, 0.25) AS val, CAST(25 AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    UNION ALL
+    SELECT 'quantile' AS op, l_returnflag AS k1, l_linestatus AS k2,
+           quantile_disc(l_quantity, 0.5) AS val, CAST(50 AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    UNION ALL
+    SELECT 'quantile' AS op, l_returnflag AS k1, l_linestatus AS k2,
+           quantile_disc(l_quantity, 0.75) AS val, CAST(75 AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
 )
 def q13_rollup_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,7 +630,13 @@ def q13_rollup_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     result: ROLLUP hierarchy + explicit GROUPING SETS + the former q26
     pivot/unpivot leg (merged r6, funded ``decontaminate_docs``) + the
     former q14 CUBE over orders x customer (merged r7-prep, funded
-    ``vocab_topk``'s oracle slot)."""
+    ``vocab_topk``'s oracle slot) + the r10 merge-#31 'quantile' leg
+    (E50 exact_group_quantiles over the same lineitem keys — q rides n
+    as the integer percentage, losslessly; the oracle leg is DuckDB's
+    sort-based quantile_disc, so the carrier hash now also proves the
+    two-phase exact-quantile selection). ``exact_quantiles`` stays
+    declared and callable with ``_QUANTILE_ORACLE`` as its pytest
+    gate."""
     li = load_table(spark, sf_dir, "lineitem")
     roll = (
         li.rollup("l_returnflag", "l_linestatus")
@@ -677,7 +695,19 @@ def q13_rollup_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return roll.unionByName(gsets).unionByName(pivot_leg).unionByName(cube_leg)
+    q_leg = exact_quantiles_q(spark, sf_dir).select(
+        F.lit("quantile").alias("op"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("quantile").cast("double").alias("val"),
+        (F.col("q") * 100).cast("long").alias("n"),
+    )
+    return (
+        roll.unionByName(gsets)
+        .unionByName(pivot_leg)
+        .unionByName(cube_leg)
+        .unionByName(q_leg)
+    )
 
 
 # ---------------------------------------------------------------- U3 intersect+except
@@ -1542,3 +1572,79 @@ def exact_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_group_quantiles(
         li, ["l_returnflag", "l_linestatus"], "l_quantity", [0.25, 0.5, 0.75]
     )
+
+
+# ------------------------------------------- E54 seasonal decomposition
+# The oracle mirrors the operator expression-for-expression: integer
+# window sums and integer seasonal numerators (exact in any engine),
+# floats only in per-row divisions of those integers in the identical
+# shape — the E40/E50 cross-engine float discipline.
+_SEASONAL_ORACLE = r"""
+WITH c AS (
+  SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+sp AS (
+  SELECT key, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                          CAST(hi AS TIMESTAMP),
+                                          INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT key, min(day) AS lo, max(day) AS hi FROM c GROUP BY 1)
+),
+d AS (
+  SELECT sp.key, sp.day, coalesce(c.n, 0) AS value
+  FROM sp LEFT JOIN c ON c.key = sp.key AND c.day = sp.day
+),
+b AS (
+  SELECT key, day, value,
+         row_number() OVER (PARTITION BY key ORDER BY day) - 1 AS _rk,
+         CASE WHEN count(*) OVER w = 7 THEN sum(value) OVER w END AS _wsum
+  FROM d
+  WINDOW w AS (PARTITION BY key ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+b2 AS (SELECT *, _rk % 7 AS pos, 7 * value - _wsum AS _d FROM b),
+s AS (
+  SELECT key, pos, sum(_d) AS _s_num, 7 * count(_d) AS _s_den
+  FROM b2 GROUP BY 1, 2
+)
+SELECT b2.key, b2.day, b2.pos, b2.value,
+       round(_wsum / 7.0, 4) AS trend,
+       round(CASE WHEN _s_den > 0 THEN _s_num / CAST(_s_den AS DOUBLE) END, 4)
+         AS seasonal,
+       round(value - (_wsum / 7.0)
+             - (CASE WHEN _s_den > 0 THEN _s_num / CAST(_s_den AS DOUBLE) END),
+             4) AS residual
+FROM b2 JOIN s ON s.key = b2.key AND s.pos = b2.pos
+"""
+
+
+@_q("seasonal_trend", None)  # declared past the 50-slot cap; standalone gate
+def seasonal_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily event counts (E54,
+    operators/timeseries.seasonal_decompose): per-event-type dense
+    daily series (zero-filled spine) split into trend + weekly
+    seasonal + residual — the is-Monday-always-low baseline E40's
+    anomaly z-scores sit on top of. ``_SEASONAL_ORACLE`` is the
+    standalone DuckDB comparator (pytest hash gate + bench
+    _extra_oracles entry)."""
+    from audience_finder_pro_spark.operators.timeseries import seasonal_decompose
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"), F.to_date("ts").alias("day")
+    )
+    counts = ev.groupBy("key", "day").agg(F.count(F.lit(1)).alias("n"))
+    spine = (
+        counts.groupBy("key")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    dense = spine.join(counts, ["key", "day"], "left").select(
+        "key", "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    return seasonal_decompose(dense, "key", "day", "n", period=7)

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "exact_quantiles",
     "kll_quantiles",  # Spark-only stage (sketch taxonomy - no comparator)
     "doc_communities",
+    "seasonal_trend",
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as
@@ -137,6 +138,7 @@ def _extra_oracles() -> dict[str, str]:
         _COHORT_ORACLE,
         _FUNNEL_ORACLE,
         _QUANTILE_ORACLE,
+        _SEASONAL_ORACLE,
         _TRANSITION_ORACLE,
         _VARIANT_ORACLE,
         _WINDOW_TOPK_ORACLE,
@@ -182,6 +184,7 @@ def _extra_oracles() -> dict[str, str]:
         "audience_overlap": _AUDIENCE_OVERLAP_ORACLE,
         "exact_quantiles": _QUANTILE_ORACLE,
         "doc_communities": _lp_oracle(),
+        "seasonal_trend": _SEASONAL_ORACLE,
         "repeated_passages": _PASSAGE_ORACLE,
         "gopher_quality": _GOPHER_ORACLE,
         "c4_clean": _C4_ORACLE,

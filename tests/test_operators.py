@@ -1383,3 +1383,47 @@ def test_exact_group_quantiles_semantics(spark):
         exact_group_quantiles(df, ["k"], "v", [])
     with pytest.raises(ValueError):
         exact_group_quantiles(df, ["k"], "v", [1.5])
+
+
+# ------------------------------------------- E54 seasonal decomposition
+def test_seasonal_trend_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.relational import _SEASONAL_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["seasonal_trend"](spark, sf_dir), _SEASONAL_ORACLE,
+            sf_dir, name="seasonal_trend")
+
+
+def test_seasonal_decompose_semantics(spark):
+    """A planted pure-period-3 series pins the contract: value(t) =
+    10 + [0, 3, 6][t % 3] over 9 buckets. (1) every complete centered
+    window sums to 3*13 so trend == 13 exactly; (2) the seasonal
+    means recover the per-position deviations from trend (-3, 0, +3
+    in trend-centered terms); (3) residuals are 0 everywhere the
+    trend is defined; (4) edges (first/last bucket) have NULL
+    trend/residual but still a pos and value; (5) even periods
+    raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.timeseries import seasonal_decompose
+
+    rows = [("a", i, 10 + 3 * (i % 3)) for i in range(9)]
+    df = spark.createDataFrame(rows, "key string, bucket int, n int")
+    got = {r.bucket: r for r in seasonal_decompose(
+        df, "key", "bucket", "n", period=3).collect()}
+    assert len(got) == 9
+    for t in range(1, 8):  # complete windows
+        assert got[t].trend == 13.0, got[t]
+        assert got[t].seasonal == {0: -3.0, 1: 0.0, 2: 3.0}[t % 3], got[t]
+        assert got[t].residual == 0.0, got[t]
+        assert got[t].pos == t % 3 and got[t].value == 10 + 3 * (t % 3)
+    assert got[0].trend is None and got[0].residual is None
+    assert got[8].trend is None and got[8].residual is None
+
+    with pytest.raises(ValueError):
+        seasonal_decompose(df, "key", "bucket", "n", period=4)
