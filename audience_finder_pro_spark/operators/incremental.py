@@ -353,9 +353,18 @@ def overlap_from_state(state: DataFrame) -> DataFrame:
     if len(key_cols) != 1:
         raise ValueError("overlap_from_state needs exactly one key column")
     group_col = key_cols[0]
-    sk = state
-    a = sk.select(F.col(group_col).alias("group_a"), F.col("sketch").alias("_sa"))
-    b = sk.select(F.col(group_col).alias("group_b"), F.col("sketch").alias("_sb"))
+    # The state frame feeds BOTH sides of the pair join; left lazy, the
+    # sketch aggregate's whole upstream plan would execute once per side
+    # (the shuffle and broadcast exchanges don't unify under
+    # ReuseExchange). The frame is bounded model state — |groups| rows
+    # of <= 2^lg_k-byte sketches — so collect it once and re-plan both
+    # sides from the local relation (the IVF-centroid precedent): raw
+    # data is scanned exactly once however many sides read the state.
+    spark = state.sparkSession
+    proj = state.select(F.col(group_col).alias("g"), "sketch")
+    sk = spark.createDataFrame(proj.collect(), proj.schema)
+    a = sk.select(F.col("g").alias("group_a"), F.col("sketch").alias("_sa"))
+    b = sk.select(F.col("g").alias("group_b"), F.col("sketch").alias("_sb"))
     pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
     est = F.theta_sketch_estimate
     counted = pairs.select(

@@ -146,3 +146,71 @@ def exact_group_quantiles(
         ),
     )
     return picked.select(*keys, F.expr(stack_expr))
+
+
+def grouped_mad(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    z_thresh: float = 3.5,
+) -> DataFrame:
+    """Robust per-key outlier profile via median absolute deviation
+    (E55): (keys..., n, median, mad, n_outliers) — the
+    Iglewicz-Hoaglin modified z-score rule (|0.6745*(v-median)/MAD| >
+    3.5), the outlier detector that, unlike E40's mean/std z-scores,
+    a few extreme values cannot drag (median and MAD have 50%
+    breakdown; one bad ingest day can't hide itself by inflating the
+    baseline it's judged against).
+
+    Built on ``exact_group_quantiles``' two-phase machinery — both
+    medians are PICKED VALUES, never float aggregates, and the modified
+    z is per-row IEEE arithmetic in a fixed shape, so every count is
+    reproducible bit-for-bit by the SQL oracle. Two passes over the
+    input (median, then deviation median) by necessity; each shuffles
+    only the distinct-value frame, and the per-key model frames join
+    back broadcast. Same scale contract as E50: priced by DISTINCT
+    values per key. MAD=0 (a majority-constant key) yields
+    n_outliers=0 and NULL-free output — the degenerate case is pinned
+    in tests, not left to 1/0."""
+    v = F.col(value_col)
+    clean = df.filter(v.isNotNull())
+    spark = df.sparkSession
+
+    def _as_model(frame):
+        # the per-key quantile frames are bounded model state (|keys|
+        # rows). Left lazy, every downstream branch referencing them
+        # re-executes their full upstream scan — collect once and
+        # re-plan from the local relation (the IVF-centroid
+        # precedent), so the input is scanned exactly 3 times total
+        # (median pass, MAD pass, scoring pass — the textbook minimum
+        # for exact MAD), not once per plan branch.
+        return spark.createDataFrame(frame.collect(), frame.schema)
+
+    med = _as_model(
+        exact_group_quantiles(clean, keys, value_col, [0.5]).select(
+            *keys, F.col("quantile").alias("_med")
+        )
+    )
+    dev = clean.join(F.broadcast(med), keys).withColumn(
+        "_ad", F.abs(v - F.col("_med"))
+    )
+    mad = _as_model(
+        exact_group_quantiles(dev, keys, "_ad", [0.5]).select(
+            *keys, F.col("quantile").alias("_mad")
+        )
+    )
+    scored = dev.join(F.broadcast(mad), keys).withColumn(
+        "_m",
+        F.when(
+            F.col("_mad") > 0,
+            F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad"),
+        ),
+    )
+    return scored.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("_med"), 4).alias("median"),
+        F.round(F.min("_mad"), 4).alias("mad"),
+        F.sum(
+            F.when(F.abs(F.col("_m")) > F.lit(float(z_thresh)), 1).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    )

@@ -42,6 +42,15 @@ _STATEFUL_PLANS = {
     "split_leakage",  # builds ngram_jaccard_pairs (checkpointed shingle index)
     "validate_corpus",  # carries the split_leakage leg since r10 merge #30
     "doc_communities",  # jaccard pairs + LP's own eager label checkpoints
+    # the three below collect bounded model state at BUILD time (sketch
+    # frames / quantile frames / PQ codebooks — the IVF-centroid
+    # precedent); memoized, passes 2+ would time only the tail of the
+    # pipeline and the bench row would be a fiction (the doc_communities
+    # 0.018s lesson)
+    "audience_overlap",
+    "mad_outliers",
+    "pq_search",
+    "funnel_cohort",  # carries the mad leg (model-state collect) since #34
 }
 
 

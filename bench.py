@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "kll_quantiles",  # Spark-only stage (sketch taxonomy - no comparator)
     "doc_communities",
     "seasonal_trend",
+    "mad_outliers",
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as
@@ -137,6 +138,7 @@ def _extra_oracles() -> dict[str, str]:
     from audience_finder_pro_spark.queries.relational import (
         _COHORT_ORACLE,
         _FUNNEL_ORACLE,
+        _MAD_ORACLE,
         _QUANTILE_ORACLE,
         _SEASONAL_ORACLE,
         _TRANSITION_ORACLE,
@@ -185,6 +187,7 @@ def _extra_oracles() -> dict[str, str]:
         "exact_quantiles": _QUANTILE_ORACLE,
         "doc_communities": _lp_oracle(),
         "seasonal_trend": _SEASONAL_ORACLE,
+        "mad_outliers": _MAD_ORACLE,
         "repeated_passages": _PASSAGE_ORACLE,
         "gopher_quality": _GOPHER_ORACLE,
         "c4_clean": _C4_ORACLE,

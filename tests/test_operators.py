@@ -1427,3 +1427,45 @@ def test_seasonal_decompose_semantics(spark):
 
     with pytest.raises(ValueError):
         seasonal_decompose(df, "key", "bucket", "n", period=4)
+
+
+# ------------------------------------------- E55 robust MAD outlier profile
+def test_mad_outliers_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.relational import _MAD_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["mad_outliers"](spark, sf_dir), _MAD_ORACLE,
+            sf_dir, name="mad_outliers")
+
+
+def test_grouped_mad_semantics(spark):
+    """Planted series pin the contract: (1) hand-computed median/MAD on
+    a small asymmetric series; (2) a single extreme spike IS flagged
+    while the robust baseline ignores it (the same spike dragged into a
+    mean/std baseline would need z over the same threshold — the
+    breakdown property); (3) MAD=0 on a majority-constant key yields
+    zero outliers, not a division blowup; (4) NULLs are dropped."""
+    from audience_finder_pro_spark.operators.skew import grouped_mad
+
+    rows = (
+        # key 'a': 1..9 plus a 1000 spike; median 5 (ranks: n=11 ->
+        # ceil(.5*11)=6 -> 6th of [1..9,1000, plus one more value 6]?)
+        [("a", float(v)) for v in range(1, 10)] + [("a", 1000.0), ("a", 5.0)]
+        # key 'b': constant 7 except one 8 -> median 7, MAD 0
+        + [("b", 7.0)] * 6 + [("b", 8.0)]
+        + [("a", None)]
+    )
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r.k: r for r in grouped_mad(df, ["k"], "v").collect()}
+    # key a sorted: [1,2,3,4,5,5,6,7,8,9,1000] n=11 -> rank 6 -> 5.0
+    assert got["a"].n == 11 and got["a"].median == 5.0
+    # deviations sorted: [0,0,1,1,2,2,3,3,4,4,995] -> rank 6 -> 2.0
+    assert got["a"].mad == 2.0
+    # modified z of the spike: .6745*995/2 = 335 >> 3.5; of 9: .6745*4/2=1.35
+    assert got["a"].n_outliers == 1
+    assert got["b"].n == 7 and got["b"].median == 7.0 and got["b"].mad == 0.0
+    assert got["b"].n_outliers == 0
