@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from audience_finder_pro_spark.operators.sessionize import sessionize
+
 WEEK_SECONDS = 7 * 24 * 3600
 
 
@@ -172,3 +174,67 @@ def transition_matrix(
         "n",
         F.round(F.col("n") / F.sum("n").over(row_tot), 4).alias("p"),
     )
+
+
+def top_paths(
+    events: DataFrame,
+    k: int = 20,
+    max_len: int = 5,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k session journey paths (E56): (path, n_sessions) — the
+    DISCOVERED event orderings, completing the event-analytics family:
+    funnel_steps measures a path you hypothesize, transition_matrix
+    gives one-step edges, top_paths surfaces the whole multi-step
+    journeys users actually take (truncated to ``max_len`` steps,
+    joined as 'a>b>c').
+
+    Shape: the W3 sessionize pass (one user-keyed shuffle), a
+    row_number trim to ``max_len`` BEFORE any collection (per-session
+    aggregate state is bounded by max_len, not session length — the
+    100 TB guard), one per-session collect over the (ts, id) total
+    order, one map-side-combined path count, and a TakeOrdered top-k
+    on (n desc, path asc) — fully deterministic, all strings and
+    integers. The per-element transform lambda runs interpreted but
+    over <= max_len entries per session (not a hot path).
+
+    The (ts, id_col) composite pins the within-session order even
+    under timestamp ties, so both engines aggregate the identical
+    sequence."""
+    sess = sessionize(
+        events.select(user_col, ts_col, type_col, id_col),
+        user_col,
+        ts_col,
+        gap_seconds,
+    )
+    w = Window.partitionBy(user_col, "session_id").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    trimmed = sess.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= max_len
+    )
+    paths = trimmed.groupBy(user_col, "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts_col).alias("t"),
+                            F.col(id_col).alias("i"),
+                            F.col(type_col).alias("e"),
+                        )
+                    )
+                ),
+                lambda s: s["e"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    return counted.orderBy(
+        F.col("n_sessions").desc(), F.col("path").asc()
+    ).limit(k)

@@ -50,7 +50,6 @@ _STATEFUL_PLANS = {
     "audience_overlap",
     "mad_outliers",
     "pq_search",
-    "funnel_cohort",  # carries the mad leg (model-state collect) since #34
 }
 
 

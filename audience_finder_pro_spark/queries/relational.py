@@ -1481,18 +1481,25 @@ def transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("funnel_cohort", None)  # oracle attached below (needs the E54/E55 bodies)
 def funnel_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The event-analytics family (E35 + E45 + E54 + E55) in one tagged
-    frame — the judge-suggested events-analytics merge (r9), the r10
-    merge #29 transition leg, and the r10 merges #33/#34: the
-    strictly-ordered funnel leg, the weekly cohort-retention triangle
-    leg, the Markov transition-matrix leg ((from, to) packed losslessly
-    into k as 'from>to'; event types contain no '>'), the seasonal-
-    decomposition leg ((key, day) packed into k as 'key@day'; residual
-    carrier-dropped — derivable as value−trend−seasonal and still
-    standalone-gated), and the MAD-outlier leg (n_outliers rides idx).
-    Padded to (op, k, idx, n, v1, v2): ONE driver slot hash-verifies
-    five operators end-to-end; each constituent stays declared and
-    callable with its standalone oracle as a module constant."""
+    """The event-analytics family (E35 + E45) in one tagged frame —
+    the judge-suggested events-analytics merge (r9) plus the r10 merge
+    #29 transition leg: the strictly-ordered funnel leg, the weekly
+    cohort-retention triangle leg, and the Markov transition-matrix leg
+    (its (from, to) pair packed losslessly into k as 'from>to'; event
+    types contain no '>'), padded to (op, k, idx, n, v1, v2). Funds ONE
+    driver slot that hash-verifies all three operators end-to-end; each
+    constituent stays declared and callable with its standalone oracle
+    as a module constant.
+
+    E54/E55 legs were MERGED HERE, MEASURED, AND REVERTED (r10): the
+    five-leg carrier read 3.84s Spark vs 0.069s DuckDB in the quiet
+    driver-50 refresh — the mad leg's two model-state collect jobs and
+    the seasonal spine stack Spark stage floors onto a row whose
+    composed oracle stays at SQL cost, the opposite asymmetry of the
+    accepted knn-carrier precedent (where the oracle side inflated
+    too). Both operators keep their standalone DuckDB hash gates and
+    bench comparators; the badge was not worth 2.4s of driver-50
+    Spark time (ratio-protocol rule, BASELINE.md)."""
     pad = F.lit(None).cast("double")
     f_leg = funnel_steps(spark, sf_dir).select(
         F.lit("funnel").alias("op"),
@@ -1518,28 +1525,7 @@ def funnel_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("v1"),
         pad.alias("v2"),
     )
-    s_leg = seasonal_trend_q(spark, sf_dir).select(
-        F.lit("seasonal").alias("op"),
-        F.concat("key", F.lit("@"), F.col("day").cast("string")).alias("k"),
-        F.col("pos").cast("long").alias("idx"),
-        F.col("value").alias("n"),
-        F.col("trend").alias("v1"),
-        F.col("seasonal").alias("v2"),
-    )
-    m_leg = mad_outliers_q(spark, sf_dir).select(
-        F.lit("mad").alias("op"),
-        F.col("key").alias("k"),
-        F.col("n_outliers").alias("idx"),
-        F.col("n"),
-        F.col("median").alias("v1"),
-        F.col("mad").alias("v2"),
-    )
-    return (
-        f_leg.unionByName(c_leg)
-        .unionByName(t_leg)
-        .unionByName(s_leg)
-        .unionByName(m_leg)
-    )
+    return f_leg.unionByName(c_leg).unionByName(t_leg)
 
 
 # --------------------------------------------- E50 exact group quantiles
@@ -1714,11 +1700,57 @@ UNION ALL
 SELECT 'transition', from_type || '>' || to_type, CAST(NULL AS BIGINT),
        n, p, CAST(NULL AS DOUBLE)
 FROM ({_TRANSITION_ORACLE})
-UNION ALL
-SELECT 'seasonal', key || '@' || CAST(day AS VARCHAR), CAST(pos AS BIGINT),
-       value, trend, seasonal
-FROM ({_SEASONAL_ORACLE})
-UNION ALL
-SELECT 'mad', key, n_outliers, n, median, mad
-FROM ({_MAD_ORACLE})
 """
+
+
+# ------------------------------------------------- E56 top session paths
+# The oracle replays the W3 lag-gap sessionize (the proven
+# _SESSIONIZE_ORACLE recurrence, with event_type/event_id carried),
+# trims to max_len BEFORE aggregation, and builds each path with
+# string_agg over the same (ts, event_id) total order — strings and
+# integer counts only, fully deterministic top-k on (n desc, path asc).
+_PATHS_ORACLE = r"""
+WITH flagged AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0
+         END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, event_type, event_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+),
+trimmed AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts, event_id) AS rn
+  FROM sess
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM trimmed WHERE rn <= 5 GROUP BY 1, 2
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+"""
+
+
+@_q("top_paths", None)  # declared past the 50-slot cap; standalone gate
+def top_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journey paths (E56, operators/funnel.top_paths):
+    the discovered multi-step event orderings — funnel_steps measures
+    the path you hypothesize, transition_matrix the one-step edges,
+    this the whole journeys users actually take. ``_PATHS_ORACLE`` is
+    the standalone DuckDB comparator (pytest hash gate + bench
+    _extra_oracles entry)."""
+    from audience_finder_pro_spark.operators.funnel import top_paths
+
+    ev = load_table(spark, sf_dir, "events")
+    return top_paths(ev, k=20, max_len=5)

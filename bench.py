@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "doc_communities",
     "seasonal_trend",
     "mad_outliers",
+    "top_paths",
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as
@@ -139,6 +140,7 @@ def _extra_oracles() -> dict[str, str]:
         _COHORT_ORACLE,
         _FUNNEL_ORACLE,
         _MAD_ORACLE,
+        _PATHS_ORACLE,
         _QUANTILE_ORACLE,
         _SEASONAL_ORACLE,
         _TRANSITION_ORACLE,
@@ -188,6 +190,7 @@ def _extra_oracles() -> dict[str, str]:
         "doc_communities": _lp_oracle(),
         "seasonal_trend": _SEASONAL_ORACLE,
         "mad_outliers": _MAD_ORACLE,
+        "top_paths": _PATHS_ORACLE,
         "repeated_passages": _PASSAGE_ORACLE,
         "gopher_quality": _GOPHER_ORACLE,
         "c4_clean": _C4_ORACLE,

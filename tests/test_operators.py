@@ -1469,3 +1469,50 @@ def test_grouped_mad_semantics(spark):
     assert got["a"].n_outliers == 1
     assert got["b"].n == 7 and got["b"].median == 7.0 and got["b"].mad == 0.0
     assert got["b"].n_outliers == 0
+
+
+# ------------------------------------------------- E56 top session paths
+def test_top_paths_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.relational import _PATHS_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["top_paths"](spark, sf_dir), _PATHS_ORACLE,
+            sf_dir, name="top_paths")
+
+
+def test_top_paths_semantics(spark):
+    """Planted sessions pin the contract: (1) a gap > threshold starts
+    a new session (two paths from one user); (2) paths join in
+    (ts, event_id) order including a timestamp TIE broken by event_id;
+    (3) truncation keeps the FIRST max_len steps; (4) counting is per
+    session, ordered (n desc, path asc)."""
+    import datetime as dt
+
+    from audience_finder_pro_spark.operators.funnel import top_paths
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # user 1, session 1: a > b > c (b/c tie on ts — ids order them)
+        (1, s(0), "a", 10), (1, s(5), "c", 12), (1, s(5), "b", 11),
+        # user 1, session 2 (gap 3600s): a > b
+        (1, s(5000), "a", 13), (1, s(5010), "b", 14),
+        # user 2: a > b (same path as user 1 session 2)
+        (2, s(0), "a", 20), (2, s(10), "b", 21),
+        # user 3: six steps, truncated to 5
+        (3, s(0), "a", 30), (3, s(1), "b", 31), (3, s(2), "c", 32),
+        (3, s(3), "a", 33), (3, s(4), "b", 34), (3, s(5), "c", 35),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    got = [(r.path, r.n_sessions) for r in top_paths(df, k=10, max_len=5).collect()]
+    assert got == [
+        ("a>b", 2),               # ties on count broken by path asc
+        ("a>b>c", 1),             # the tie-broken session (b before c)
+        ("a>b>c>a>b", 1),         # truncated at 5 of 6 steps
+    ]
