@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["pq_fit", "pq_encode", "pq_topk", "pq_reconstruction_mse"]
+__all__ = ["pq_fit", "pq_encode", "pq_topk", "pq_reconstruction_mse", "ivfpq_topk"]
 
 
 def _normalize_rows(mat: np.ndarray) -> np.ndarray:
@@ -343,3 +343,182 @@ def pq_reconstruction_mse(
         .first()
     )
     return float(agg["sse"]) / max(int(agg["n"]), 1)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 256,
+    sample_n: int = 10_000,
+    iters: int = 8,
+    refine_factor: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-PQ (E57): centroid routing x compressed scan x exact rerank —
+    the composition production ANN stacks actually deploy (FAISS
+    IndexIVFPQ): IVF cuts WHICH fraction of the corpus a query touches
+    (~n_probe/n_lists), PQ cuts how BIG each touched vector is (m bytes),
+    and the rerank restores exact cosine on the bounded candidate pool.
+    At 100 TB the three multiply: a 25 TB embedding column becomes
+    ~0.8 TB of codes of which each query scans a quarter-list fraction.
+
+    Build: IVF centroids + assignment reuse `similarity`'s deterministic
+    seeded machinery; PQ codebooks fit on the bounded lowest-id sample;
+    the corpus encodes ONCE into (id, cent_id, codes) — no shuffle, the
+    codes stay where their rows are. Search: queries probe their
+    n_probe nearest centroids exactly (broadcast centroid table), and
+    the ADC scan masks each Arrow batch to rows whose cent_id is in the
+    probing query's list set — the same zero-shuffle whole-corpus-codes
+    pass as `pq_topk`, but each query scores only its probed fraction.
+    Rerank as in `pq_topk` (exact cosine over k x refine_factor ids).
+
+    Codes quantize the (normalized) vectors directly, not IVF
+    residuals — the rerank absorbs the accuracy difference and keeps
+    one codebook for the whole corpus (single-LUT scan); residual
+    codebooks are the known refinement if rerank bandwidth ever becomes
+    the constraint. Returns (query_id, vec_id, approx_sim, rank)."""
+    from audience_finder_pro_spark.operators.similarity import (
+        _assign,
+        _centroid_rows,
+    )
+    from pyspark.sql import Window
+
+    sub_dim = _check_geometry(
+        dim if dim is not None else len(
+            corpus.select(vec_col).first()[0]
+        ),
+        m,
+        n_codes,
+    )
+    full_dim = m * sub_dim
+
+    cents = (
+        _centroid_rows(corpus, id_col, vec_col, n_lists)
+        .withColumn("cent_id", F.row_number().over(Window.orderBy("cent_seed")) - 1)
+        .select("cent_id", "cvec")
+    )
+    assigned = _assign(corpus.select(id_col, vec_col), cents, vec_col, dim=full_dim)
+
+    books = pq_fit(
+        corpus, dim=full_dim, m=m, n_codes=n_codes,
+        sample_n=sample_n, iters=iters, id_col=id_col, vec_col=vec_col,
+    )
+    enc = pq_encode(
+        corpus.select(id_col, vec_col), books, id_col=id_col, vec_col=vec_col
+    )
+    codes = enc.join(assigned.select(id_col, "cent_id"), id_col)
+
+    # exact per-query probe list (broadcast centroids — n_lists rows)
+    from audience_finder_pro_spark.functions.vectors import cosine_similarity
+
+    qscored = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", cosine_similarity(F.col(query_vec_col), F.col("cvec"), dim=full_dim)
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("_sim").desc(), F.col("cent_id")
+    )
+    probes = (
+        qscored.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select(query_id_col, "cent_id")
+        .collect()
+    )
+    probe_lists: dict = {}
+    for r in probes:
+        probe_lists.setdefault(r[0], set()).add(int(r[1]))
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        raise ValueError("ivfpq_topk: empty query set")
+    qids = [r[0] for r in qrows]
+    qmat = _normalize_rows(np.array([r[1] for r in qrows], dtype=np.float64))
+    lut = np.empty((len(qids), m, n_codes), dtype=np.float64)
+    for j in range(m):
+        qx = qmat[:, j * sub_dim : (j + 1) * sub_dim]
+        lut[:, j, :] = (
+            (qx * qx).sum(axis=1, keepdims=True)
+            - 2.0 * (qx @ books[j].T)
+            + (books[j] * books[j]).sum(axis=1)
+        )
+
+    adc_k = k * refine_factor
+    id_field = codes.select(id_col).schema.fields[0]
+    qid_field = queries.select(query_id_col).schema.fields[0]
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, qid_field.dataType),
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("_d2", T.DoubleType()),
+        ]
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            cmat = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            cent = pdf["cent_id"].to_numpy()
+            for qi, qid in enumerate(qids):
+                mask = np.isin(cent, list(probe_lists.get(qid, ())))
+                if not mask.any():
+                    continue
+                rows_d2 = lut[qi, np.arange(m), cmat[mask]].sum(axis=1)
+                mids = ids[mask]
+                top = min(adc_k, len(mids))
+                part = np.argpartition(rows_d2, top - 1)[:top]
+                order = part[np.lexsort((mids[part], rows_d2[part]))]
+                yield pd.DataFrame(
+                    {
+                        query_id_col: [qid] * top,
+                        id_col: mids[order],
+                        "_d2": rows_d2[order],
+                    }
+                )
+
+    partial = codes.mapInPandas(scan, schema=out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_d2").asc(), F.col(id_col).asc()
+    )
+    adc_top = partial.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= adc_k
+    )
+
+    from audience_finder_pro_spark.operators.similarity import (
+        _exact_topk,
+        _pair_cosine,
+        _with_norm,
+    )
+
+    cand = adc_top.select(query_id_col, id_col).join(
+        corpus.select(id_col, vec_col), id_col
+    )
+    qn = _with_norm(
+        queries.select(query_id_col, query_vec_col), query_vec_col, "_qn", dim
+    )
+    scored = _with_norm(
+        cand.join(F.broadcast(qn), query_id_col), vec_col, "_cn", dim
+    ).select(
+        query_id_col,
+        id_col,
+        _pair_cosine(
+            F.col(query_vec_col), F.col(vec_col), "_qn", "_cn", dim
+        ).alias("cosine_sim"),
+    )
+    reranked = _exact_topk(scored, k, query_id_col, id_col)
+    return reranked.select(
+        query_id_col,
+        id_col,
+        F.col("cosine_sim").alias("approx_sim"),
+        F.col("rnk").alias("rank"),
+    )

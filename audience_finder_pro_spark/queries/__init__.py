@@ -50,6 +50,7 @@ _STATEFUL_PLANS = {
     "audience_overlap",
     "mad_outliers",
     "pq_search",
+    "ivfpq_search",
 }
 
 

@@ -3206,6 +3206,33 @@ def kll_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kll_quantiles_from_state(merged, [0.25, 0.5, 0.9]).orderBy("key", "q")
 
 
+@_q("ivfpq_search", None)  # no SQL oracle by taxonomy (trained quantizer + Arrow path)
+def ivfpq_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition search (E57, operators/pq.ivfpq_topk):
+    centroid routing x compressed ADC scan x exact rerank over the
+    embeddings table — each query's scan touches ~n_probe/n_lists of
+    the 8-byte-per-vector code table. The production ANN shape at
+    100 TB; trained-model taxonomy (no SQL oracle), gated by
+    planted-cluster perfect-recall, probe-bounded floor and
+    determinism tests plus the 1M-vector gated datapoint."""
+    from audience_finder_pro_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if emb.limit(64).count() < 64:
+        return spark.createDataFrame(
+            [], "query_id bigint, vec_id bigint, approx_sim double, rank int"
+        )
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(20)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    return ivfpq_topk(
+        emb, queries, k=10, n_lists=8, n_probe=4, m=8, n_codes=64,
+        refine_factor=5, dim=64,
+    )
+
+
 @_q("pq_search", None)  # no SQL oracle by taxonomy (trained quantizer + Arrow path)
 def pq_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN with exact rerank (E49, operators/pq):

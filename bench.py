@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "seasonal_trend",
     "mad_outliers",
     "top_paths",
+    "ivfpq_search",  # Spark-only stage (trained quantizer - no comparator)
 ]
 
 # Declared-but-past-the-driver-cap queries whose standalone oracles live as
