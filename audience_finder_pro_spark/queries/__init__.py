@@ -40,7 +40,9 @@ _STATEFUL_PLANS = {
     "dedup_cc_clusters",
     "quarantine_report",
     "split_leakage",  # builds ngram_jaccard_pairs (checkpointed shingle index)
-    "validate_corpus",  # carries the split_leakage leg since r10 merge #30
+    # validate_corpus left this set in r11: the 'leak' leg (and its
+    # checkpointed jaccard build) was demoted by the carrier-economics
+    # rule, so the carrier is a pure 4-leg plan again
     "doc_communities",  # jaccard pairs + LP's own eager label checkpoints
     # the three below collect bounded model state at BUILD time (sketch
     # frames / quantile frames / PQ codebooks — the IVF-centroid

@@ -3559,7 +3559,7 @@ FROM ({_LINKAGE_ORACLE})
 
 
 # ------------------------------------------------ merge #26: audit carrier
-# The `validate_corpus` driver row becomes a tagged 2-leg data-audit
+# The `validate_corpus` driver row becomes a tagged data-audit
 # carrier — 'validate' (E33 constraint suite over orders) + 'privacy'
 # (E39 k-anonymity/l-diversity over customer) — on an
 # (op, k1, k2, k3, n1, n2, f1, f2) frame, driver-badging the privacy
@@ -3570,20 +3570,36 @@ FROM ({_LINKAGE_ORACLE})
 # engines.
 @_q("validate_corpus", None)  # oracle attached below (needs all three bodies)
 def validate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged data-audit carrier (merge #26 + r10 merges #27/#28/#30/#32):
+    """Tagged data-audit carrier (merge #26 + r10 merges #27/#28):
     declarative constraint suite + k-anonymity/l-diversity audit +
     mergeable histogram state (E42) + per-source calibration map (E43)
-    + split-leakage audit (E47) + theta audience overlap (E48, jaccard
-    carrier-dropped — derivable from n1/n2/f1 and still standalone-
-    gated) — six legs of one audit story (what does this corpus look
-    like, and is it safe to train on), one frame, one driver hash. The hist/calib legs' bin ids ride k2 as
+    — four legs of one audit story (what does this corpus look like,
+    and is it safe to train on), one frame, one driver hash.
+
+    r11 carrier-economics demotion (VERDICT r10 #1, measured quiet-
+    window A/B per the #33/#34 protocol): the r10 'leak' (E47) and
+    'overlap' (E48) legs were DEMOTED — leak's jaccard pair build reads
+    ~2.2s Spark while its oracle leg is the only expensive part of the
+    composed SQL (0.81s standalone), and overlap is a pure stage-floor
+    leg (0.74s single-pass Spark vs 0.017s SQL, ratio 43×) — exactly
+    the asymmetry the extracted carrier rule rejects. Both keep their
+    declared standalone queries and DuckDB hash gates
+    (`split_leakage`, `audience_overlap`). 'calib' stays (oracle
+    inflates comparably: 1.22s vs 0.54s = 2.3×, the knn precedent);
+    'hist' stays but the LEG computes the identical frame in ONE pass
+    (0.16s vs the 3-slice merge demo's 0.41s) — one-pass ≡ merged-
+    slices is precisely the exact-monoid theorem the standalone
+    3-slice ``_HISTOGRAM_ORACLE`` gate keeps proving (measured
+    identical row sets at sf0.1). Six-leg carrier read 4.79s Spark /
+    0.82s DuckDB in the same window; this form ~1.5s / ~0.44s.
+
+    The hist/calib legs' bin ids ride k2 as
     strings AND f1 as ints (both lossless); the hist bin edges are
     derivable constants (lo + bin·w) and the calib lo/hi score ranges
     are deliberately not carried — the standalone ``_HISTOGRAM_ORACLE``
     / ``_CALIBRATION_ORACLE`` gates check the full frames. See
     validate_plain_q / privacy_audit_q / histogram_state_q /
-    score_calibration_q / split_leakage_q for the constituent
-    stories."""
+    score_calibration_q for the constituent stories."""
     v = validate_plain_q(spark, sf_dir).select(
         F.lit("validate").alias("op"),
         F.col("rule").alias("k1"),
@@ -3604,7 +3620,12 @@ def validate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("risky").alias("f1"),
         F.col("diverse").alias("f2"),
     )
-    h = histogram_state_q(spark, sf_dir).select(
+    from audience_finder_pro_spark.operators.incremental import histogram_state
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"), F.col("value")
+    )
+    h = histogram_state(ev, ["key"], "value", lo=0.0, hi=500.0, n_bins=20).select(
         F.lit("hist").alias("op"),
         F.col("key").alias("k1"),
         F.col("bin").cast("string").alias("k2"),
@@ -3624,33 +3645,7 @@ def validate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin").alias("f1"),
         F.lit(None).cast("int").alias("f2"),
     )
-    lk = split_leakage_q(spark, sf_dir).select(
-        F.lit("leak").alias("op"),
-        F.col("split_a").alias("k1"),
-        F.col("split_b").alias("k2"),
-        F.lit("ngram_jaccard").alias("k3"),
-        F.col("n_pairs").alias("n1"),
-        F.lit(None).cast("bigint").alias("n2"),
-        F.col("is_leak").alias("f1"),
-        F.lit(None).cast("int").alias("f2"),
-    )
-    ov = audience_overlap_q(spark, sf_dir).select(
-        F.lit("overlap").alias("op"),
-        F.col("group_a").alias("k1"),
-        F.col("group_b").alias("k2"),
-        F.lit("user_id").alias("k3"),
-        F.col("n_a").alias("n1"),
-        F.col("n_b").alias("n2"),
-        F.col("n_overlap").cast("int").alias("f1"),
-        F.lit(None).cast("int").alias("f2"),
-    )
-    return (
-        v.unionByName(p)
-        .unionByName(h)
-        .unionByName(c)
-        .unionByName(lk)
-        .unionByName(ov)
-    )
+    return v.unionByName(p).unionByName(h).unionByName(c)
 
 
 ORACLES["validate_corpus"] = f"""
@@ -3670,12 +3665,4 @@ UNION ALL
 SELECT 'calib', source, CAST(bin AS VARCHAR), 'quality',
        n_docs, CAST(NULL AS BIGINT), bin, CAST(NULL AS INT)
 FROM ({_CALIBRATION_ORACLE})
-UNION ALL
-SELECT 'leak', split_a, split_b, 'ngram_jaccard',
-       n_pairs, CAST(NULL AS BIGINT), is_leak, CAST(NULL AS INT)
-FROM ({_leakage_audit_oracle()})
-UNION ALL
-SELECT 'overlap', group_a, group_b, 'user_id',
-       n_a, n_b, CAST(n_overlap AS INT), CAST(NULL AS INT)
-FROM ({_AUDIENCE_OVERLAP_ORACLE})
 """

@@ -135,7 +135,6 @@ def _extra_oracles() -> dict[str, str]:
         _EVAL_SAMPLE_ORACLE,
         _IVF_PROBE_ORACLE,
         _SNAPSHOT_DIFF_ORACLE,
-        _VALIDATE_ORACLE,
     )
     from audience_finder_pro_spark.queries.relational import (
         _COHORT_ORACLE,
@@ -202,7 +201,6 @@ def _extra_oracles() -> dict[str, str]:
         "q12_sessionize": _SESSIONIZE_ORACLE,
         "ann_ivf_probe": _IVF_PROBE_ORACLE,
         "eval_sample": _EVAL_SAMPLE_ORACLE,
-        "validate_corpus": _VALIDATE_ORACLE,
         "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
         "q31_variant_funcs": _VARIANT_ORACLE,
         "funnel_steps": _FUNNEL_ORACLE,
