@@ -50,6 +50,7 @@ _STATEFUL_PLANS = {
     # pipeline and the bench row would be a fiction (the doc_communities
     # 0.018s lesson)
     "audience_overlap",
+    "audience_retention",  # collects the per-period sketch state at build
     "mad_outliers",
     "pq_search",
     "ivfpq_search",

@@ -3329,6 +3329,86 @@ def audience_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overlap_from_state(merged)
 
 
+# ------------------------------------------- E58 audience retention (theta diff)
+# The oracle is the exact set-difference form: weekly distinct audiences
+# paired by lag, returning = EXISTS (semi), new = NOT EXISTS on prev
+# (curr EXCEPT prev), churned = NOT EXISTS on curr (prev EXCEPT curr) —
+# every count an integer, so theta_difference/intersection reads in
+# exact mode must hash-match it with no float discipline at all.
+_RETENTION_ORACLE = """
+WITH wa AS (
+  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS period, user_id
+  FROM events
+),
+per AS (
+  SELECT period, lag(period) OVER (ORDER BY period) AS prev_period
+  FROM (SELECT DISTINCT period FROM wa) d
+),
+pp AS (SELECT period, prev_period FROM per WHERE prev_period IS NOT NULL),
+curr AS (
+  SELECT pp.period, pp.prev_period, wa.user_id
+  FROM pp JOIN wa ON wa.period = pp.period
+),
+prev AS (
+  SELECT pp.period, wa.user_id
+  FROM pp JOIN wa ON wa.period = pp.prev_period
+),
+pn AS (SELECT period, count(*) AS n_prev FROM prev GROUP BY 1),
+cn AS (SELECT period, count(*) AS n_curr FROM curr GROUP BY 1),
+retc AS (
+  SELECT period, count(*) AS n_returning FROM curr c
+  WHERE EXISTS (SELECT 1 FROM prev p
+                WHERE p.period = c.period AND p.user_id = c.user_id)
+  GROUP BY 1
+),
+newc AS (
+  SELECT period, count(*) AS n_new FROM curr c
+  WHERE NOT EXISTS (SELECT 1 FROM prev p
+                    WHERE p.period = c.period AND p.user_id = c.user_id)
+  GROUP BY 1
+),
+chc AS (
+  SELECT period, count(*) AS n_churned FROM prev p
+  WHERE NOT EXISTS (SELECT 1 FROM curr c
+                    WHERE c.period = p.period AND c.user_id = p.user_id)
+  GROUP BY 1
+)
+SELECT pp.period, pp.prev_period, pn.n_prev, cn.n_curr,
+       coalesce(retc.n_returning, 0) AS n_returning,
+       coalesce(newc.n_new, 0) AS n_new,
+       coalesce(chc.n_churned, 0) AS n_churned
+FROM pp
+JOIN pn USING (period) JOIN cn USING (period)
+LEFT JOIN retc USING (period) LEFT JOIN newc USING (period)
+LEFT JOIN chc USING (period)
+"""
+
+
+@_q("audience_retention", None)  # declared past the 50-slot cap; standalone gate
+def audience_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week new-vs-returning audience (E58,
+    operators/incremental.audience_retention): one theta state per week
+    of the events stream, consecutive weeks paired on the bounded state
+    frame, and the retention read — n_returning (intersection), n_new
+    (curr\\prev difference), n_churned (prev\\curr difference) — via
+    theta set algebra. This is the DIFFERENCE read E48's tests cover
+    (the question HLL cannot answer) declared as a query: the weekly
+    "how many of today's users are actually new" audience-analytics
+    question, the period-sliced sibling of `audience_overlap`'s
+    same-time pairwise form (reference behavior generalized: app.py's
+    per-request audience recompute, 222-258). Exact mode at every
+    checked SF (<=1,500 users/week vs 2^14 nominal), so
+    ``_RETENTION_ORACLE``'s EXISTS/NOT-EXISTS set-difference SQL
+    hash-matches the sketch reads exactly — proving
+    theta_difference/intersection semantics AND the per-period state
+    slicing in one gate (pytest at sf0.01 and sf0.1 + bench
+    comparator)."""
+    from audience_finder_pro_spark.operators.incremental import audience_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return audience_retention(ev, "ts", "user_id", period="week", lg_k=14)
+
+
 # ------------------------------------------- E43 per-source score calibration
 # The oracle replays the quality expression (the proven
 # _QUALITY_EXPR_SQL fragment), the (score, id) total order, and the

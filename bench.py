@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "distinct_sketch",  # Spark-only stage (sketch taxonomy - no comparator)
     "split_leakage",
     "audience_overlap",
+    "audience_retention",
     "pq_search",  # Spark-only stage (trained quantizer - no comparator)
     "exact_quantiles",
     "kll_quantiles",  # Spark-only stage (sketch taxonomy - no comparator)
@@ -171,6 +172,7 @@ def _extra_oracles() -> dict[str, str]:
         _INCREMENTAL_ORACLE,
         _AUDIENCE_OVERLAP_ORACLE,
         _PRIVACY_ORACLE,
+        _RETENTION_ORACLE,
     )
 
     return {
@@ -186,6 +188,7 @@ def _extra_oracles() -> dict[str, str]:
         "transition_matrix": _TRANSITION_ORACLE,
         "split_leakage": _leakage_audit_oracle(),
         "audience_overlap": _AUDIENCE_OVERLAP_ORACLE,
+        "audience_retention": _RETENTION_ORACLE,
         "exact_quantiles": _QUANTILE_ORACLE,
         "doc_communities": _lp_oracle(),
         "seasonal_trend": _SEASONAL_ORACLE,

