@@ -201,6 +201,11 @@ def pq_topk(
     approaches exact while the corpus-wide scan still touches only
     codes (measured on the fixture: 0.46 ADC-only -> 0.98 at factor 5)."""
     m, n_codes, sub_dim = codebooks.shape
+    if dim is not None and dim != m * sub_dim:
+        raise ValueError(
+            f"pq_topk: dim={dim} disagrees with the codebooks' geometry "
+            f"m*sub_dim={m * sub_dim}"
+        )
     dim = m * sub_dim
     books = codebooks.copy()
     qrows = queries.select(query_id_col, query_vec_col).collect()
@@ -239,11 +244,18 @@ def pq_topk(
             for j in range(m):
                 d2 += lut[:, j, cmat[:, j]]
             top = min(adc_k, len(pdf))
-            # per-batch partial top-k with (d2, id) lexical tie-break
+            # per-batch partial top-k with (d2, id) lexical tie-break:
+            # argpartition splits exact-d2 ties at the cut arbitrarily
+            # (common in PQ — shared codes mean identical distances), so
+            # widen the selection to EVERY row at or under the boundary
+            # value before the lexical (d2, id) order truncates to top —
+            # otherwise a lower-id tied candidate can be pruned in favor
+            # of a higher-id one and the result depends on partitioning
             for qi, qid in enumerate(qids):
                 row = d2[qi]
-                part = np.argpartition(row, top - 1)[:top]
-                order = part[np.lexsort((ids[part], row[part]))]
+                cut = row[np.argpartition(row, top - 1)[:top]].max()
+                sel = np.flatnonzero(row <= cut)
+                order = sel[np.lexsort((ids[sel], row[sel]))][:top]
                 yield pd.DataFrame(
                     {
                         query_id_col: [qid] * top,
@@ -391,13 +403,15 @@ def ivfpq_topk(
     )
     from pyspark.sql import Window
 
-    sub_dim = _check_geometry(
-        dim if dim is not None else len(
-            corpus.select(vec_col).first()[0]
-        ),
-        m,
-        n_codes,
-    )
+    if dim is None:
+        first = corpus.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "ivfpq_topk: cannot infer dim from an empty corpus — "
+                "pass dim explicitly or provide a non-empty corpus"
+            )
+        dim = len(first[0])
+    sub_dim = _check_geometry(dim, m, n_codes)
     full_dim = m * sub_dim
 
     cents = (
@@ -476,8 +490,11 @@ def ivfpq_topk(
                 rows_d2 = lut[qi, np.arange(m), cmat[mask]].sum(axis=1)
                 mids = ids[mask]
                 top = min(adc_k, len(mids))
-                part = np.argpartition(rows_d2, top - 1)[:top]
-                order = part[np.lexsort((mids[part], rows_d2[part]))]
+                # widen past argpartition's arbitrary boundary-tie split
+                # before the (d2, id) lexical truncation (see pq_topk)
+                cut = rows_d2[np.argpartition(rows_d2, top - 1)[:top]].max()
+                sel = np.flatnonzero(rows_d2 <= cut)
+                order = sel[np.lexsort((mids[sel], rows_d2[sel]))][:top]
                 yield pd.DataFrame(
                     {
                         query_id_col: [qid] * top,
@@ -504,15 +521,15 @@ def ivfpq_topk(
         corpus.select(id_col, vec_col), id_col
     )
     qn = _with_norm(
-        queries.select(query_id_col, query_vec_col), query_vec_col, "_qn", dim
+        queries.select(query_id_col, query_vec_col), query_vec_col, "_qn", full_dim
     )
     scored = _with_norm(
-        cand.join(F.broadcast(qn), query_id_col), vec_col, "_cn", dim
+        cand.join(F.broadcast(qn), query_id_col), vec_col, "_cn", full_dim
     ).select(
         query_id_col,
         id_col,
         _pair_cosine(
-            F.col(query_vec_col), F.col(vec_col), "_qn", "_cn", dim
+            F.col(query_vec_col), F.col(vec_col), "_qn", "_cn", full_dim
         ).alias("cosine_sim"),
     )
     reranked = _exact_topk(scored, k, query_id_col, id_col)

@@ -3281,6 +3281,52 @@ def test_pq_recall_determinism_and_compression(spark, sf_smoke):
         pq_fit(df, dim=16, m=4, n_codes=256, sample_n=120)  # sample < codes
 
 
+def test_pq_tie_break_and_input_validation(spark):
+    """ADVICE r10 fixes pinned: (1) exact-d2 ties at the adc_k boundary
+    (the common PQ case — identical codes mean identical distances)
+    resolve to the LOWEST vec_id independent of partitioning:
+    argpartition's arbitrary tie split must be widened to the boundary
+    value before the lexical (d2, id) truncation; (2) pq_topk raises on
+    a dim that disagrees with the codebooks' geometry instead of
+    silently ignoring it; (3) ivfpq_topk on an empty corpus with
+    dim=None raises a clear ValueError, not a NoneType TypeError."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.pq import (
+        ivfpq_topk,
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    # 40 IDENTICAL vectors (ids 0..39) + a distinct far cluster: every
+    # identical vector shares codes, so ADC distances tie exactly and
+    # k=5 must read ids 0..4 whatever the partitioning
+    tied = [(i, [10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 10.0]) for i in range(40)]
+    far = [(100 + i, [0.0, 10.0, 10.0, 0.0, 0.0, 10.0, 10.0, 0.0]) for i in range(20)]
+    df = spark.createDataFrame(tied + far, "vec_id long, embedding array<float>")
+    books = pq_fit(df, dim=8, m=2, n_codes=2, sample_n=60, iters=4)
+    qs = spark.createDataFrame(
+        [(0, [10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 10.0])],
+        "query_id long, query_vec array<float>",
+    )
+    for parts in (1, 7):
+        codes = pq_encode(df.repartition(parts), books)
+        got = sorted(
+            r.vec_id for r in pq_topk(codes, qs, books, k=5).collect()
+        )
+        assert got == [0, 1, 2, 3, 4], (parts, got)
+
+    with pytest.raises(ValueError, match="disagrees"):
+        pq_topk(pq_encode(df, books), qs, books, k=5, dim=16)
+
+    empty = df.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty corpus"):
+        ivfpq_topk(empty, qs, n_lists=2, n_probe=1, m=2, n_codes=2)
+
+
 # ------------------------------------------ E51 mergeable KLL quantile state
 def test_kll_state_rank_error_and_merge_algebra(spark):
     """No SQL oracle by taxonomy (engine-specific sketch) — the gates:
