@@ -1754,3 +1754,100 @@ def top_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return top_paths(ev, k=20, max_len=5)
+
+
+# ------------------------------------------- S12 bucketed fact×fact join
+# The oracle is the PLAIN join over the raw parquet — physical layout
+# never changes semantics, so the exact same SQL verifies the bucketed
+# path (VERDICT r10 #5: put the 100 TB join-strategy rung under a
+# declared query, not just plan tests). All-integer outputs.
+_BUCKETED_CONV_ORACLE = """
+WITH a AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+),
+b AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT a.user_id, count(*) AS n_pairs,
+       count(DISTINCT b.event_id) AS n_purchases,
+       hour(max(b.ts)) AS last_hour
+FROM a JOIN b ON b.user_id = a.user_id
+              AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY 1
+"""
+
+# Build-once-join-many keyed by (applicationId, sf_dir) — the
+# ivf_probe precedent: the bucketed layout is persistent warehouse
+# state, so within a session the write runs only on first touch and
+# repeat invocations measure the serving path (the whole point of the
+# third join-strategy rung: pre-shuffle ONCE at write time).
+_BUCKETED_BUILT: dict = {}
+
+
+@_q("bucketed_conversions", None)  # declared past the 50-slot cap; standalone gate
+def bucketed_conversions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion attribution as a fact×fact self-join
+    over PRE-BUCKETED events (S12, sources/warehouse.write_bucketed):
+    every (click, purchase) pair by the same user within one hour,
+    aggregated per user — the join shape that at 100 TB is two
+    unbroadcastable fact sides, where the bucketed layout is the only
+    strategy that never shuffles (events×events co-located on user_id;
+    reference behavior generalized from app.py's per-community
+    sequential scans, SURVEY §2.1 S12).
+
+    Plan contract (asserted in tests/test_sources.py): both scans
+    report the bucket spec, the merge-hinted SortMergeJoin elides BOTH
+    shuffle exchanges AND the per-task sorts (sortBy covers the key),
+    and the per-user aggregate rides the same clustering — the whole
+    query runs with ZERO Exchange. The merge hint pins the fact×fact
+    strategy declaratively (at fixture scale Catalyst would broadcast
+    the filtered side, which proves nothing about the bucketing).
+
+    ``_BUCKETED_CONV_ORACLE`` replays the identical join off the RAW
+    parquet — layout changes plans, never answers (pytest hash gate at
+    sf0.01 and sf0.1 + bench comparator)."""
+    import os
+    import tempfile
+
+    from audience_finder_pro_spark.sources.warehouse import (
+        bucketed_table,
+        write_bucketed,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    # sf-tagged table name: a shared name would let the plan memo for one
+    # sf_dir silently read another sf's overwrite within a session
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    table = f"afp_events_bucketed_{tag}"
+    if _BUCKETED_BUILT.get(table) != key or not spark.catalog.tableExists(table):
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts", "event_id"
+        )
+        # external location + per-PID dir: the ivf_build_index rule
+        # (driver cwd may be unwritable; concurrent processes must not
+        # overwrite each other's live scans)
+        path = os.path.join(
+            tempfile.gettempdir(), f"afp_events_bucketed_{tag}_{os.getpid()}"
+        )
+        write_bucketed(
+            ev, table, "user_id", n_buckets=16, sort_cols="user_id", path=path
+        )
+        _BUCKETED_BUILT[table] = key  # a different session rebuilds
+    t = bucketed_table(spark, table)
+    a = t.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts")
+    )
+    b = t.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("b_ts"), F.col("event_id").alias("b_event")
+    )
+    joined = a.hint("merge").join(
+        b.hint("merge"),
+        (F.col("user_id") == F.col("a_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("b_event").alias("n_purchases"),
+        F.hour(F.max("b_ts")).alias("last_hour"),
+    )

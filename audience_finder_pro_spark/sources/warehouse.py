@@ -40,12 +40,17 @@ def write_bucketed(
     n_buckets: int = 16,
     sort_cols: list[str] | str | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a catalog table hash-bucketed on ``bucket_cols``.
 
     The pre-write ``repartition`` on the bucket columns makes each
     bucket one file (bucket pruning + co-located joins stay effective;
     without it every write task emits a file per bucket).
+
+    ``path`` makes it an EXTERNAL table at that location — for callers
+    whose session warehouse defaults to a non-writable cwd (the
+    ivf_build_index precedent in queries/llm.py).
     """
     if isinstance(bucket_cols, str):
         bucket_cols = [bucket_cols]
@@ -59,6 +64,8 @@ def write_bucketed(
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

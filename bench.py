@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "split_leakage",
     "audience_overlap",
     "audience_retention",
+    "bucketed_conversions",
     "pq_search",  # Spark-only stage (trained quantizer - no comparator)
     "exact_quantiles",
     "kll_quantiles",  # Spark-only stage (sketch taxonomy - no comparator)
@@ -138,6 +139,7 @@ def _extra_oracles() -> dict[str, str]:
         _SNAPSHOT_DIFF_ORACLE,
     )
     from audience_finder_pro_spark.queries.relational import (
+        _BUCKETED_CONV_ORACLE,
         _COHORT_ORACLE,
         _FUNNEL_ORACLE,
         _MAD_ORACLE,
@@ -189,6 +191,7 @@ def _extra_oracles() -> dict[str, str]:
         "split_leakage": _leakage_audit_oracle(),
         "audience_overlap": _AUDIENCE_OVERLAP_ORACLE,
         "audience_retention": _RETENTION_ORACLE,
+        "bucketed_conversions": _BUCKETED_CONV_ORACLE,
         "exact_quantiles": _QUANTILE_ORACLE,
         "doc_communities": _lp_oracle(),
         "seasonal_trend": _SEASONAL_ORACLE,

@@ -250,3 +250,20 @@ def test_zorder_layout_prunes_boxes_and_preserves_rows(spark, tmp_path):
         zorder_key(grid, ["x", "y"], {"x": (0, 0), "y": (0, 64)})
     with pytest.raises(ValueError):
         zorder_key(grid, ["x", "y"], bounds, n_bits=40)
+
+
+def test_bucketed_conversions_query_zero_exchange_and_oracle(spark, sf_dir):
+    """VERDICT r10 #5: the declared fact×fact query over pre-bucketed
+    events must (a) plan with ZERO shuffle Exchange end-to-end — both
+    bucketed scans feed the merge-hinted SMJ shuffle-free and the
+    per-user aggregate rides the same clustering — and (b) hash-match
+    the plain-join oracle off the raw parquet (layout changes plans,
+    never answers). Verified at sf0.1 too on landing (NOTES audit
+    rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.relational import _BUCKETED_CONV_ORACLE
+    from tests.oracle import compare
+
+    df = QUERIES["bucketed_conversions"](spark, sf_dir)
+    assert is_exchange_free_join(df)
+    compare(df, _BUCKETED_CONV_ORACLE, sf_dir, name="bucketed_conversions")
