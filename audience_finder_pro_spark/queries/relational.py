@@ -1851,3 +1851,71 @@ def bucketed_conversions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("b_event").alias("n_purchases"),
         F.hour(F.max("b_ts")).alias("last_hour"),
     )
+
+
+# ------------------------------------------- E53 Z-ordered layout scan
+# The oracle is the identical predicate+aggregate over the raw parquet —
+# like S12 above, layout changes which FILES a scan touches, never the
+# answer. sum(value) is a ~10%-selective slice (thousands of rows, not
+# hundreds of thousands), inside the float-sum safety bound (NOTES rule).
+_ZORDER_SCAN_ORACLE = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events
+WHERE value >= 100 AND value < 150 AND user_id BETWEEN 40 AND 90
+GROUP BY 1
+"""
+
+_ZORDER_BUILT: dict = {}
+
+
+@_q("zorder_scan", None)  # declared past the 50-slot cap; standalone gate
+def zorder_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive range scan over a Z-ORDERED layout (E53,
+    sources/warehouse.write_zordered): events rewritten along the
+    Morton curve of (value, user_id), then probed with the
+    two-dimensional range predicate that layout exists for — at 100 TB
+    the curve keeps each file a bounded box in BOTH dimensions, so this
+    scan touches a handful of files where a single-column sort reads
+    broadly (pruning fractions MEASURED in tests/test_sources.py's
+    bounding-box test; this query is the end-to-end read path). The
+    layout is written once per (session, sf) — like S12's bucketed
+    table, it is persistent warehouse state and repeat invocations
+    measure the serving scan. Bounds are declared model state (the E42
+    histogram rule): value [0, 500) is the fixture's generation range,
+    user_id [0, 20000] covers every checked SF with clamping.
+    ``_ZORDER_SCAN_ORACLE`` replays predicate+aggregate off the raw
+    parquet (pytest hash gate at sf0.01 and sf0.1 + bench
+    comparator)."""
+    import os
+    import tempfile
+
+    from audience_finder_pro_spark.sources.warehouse import write_zordered
+
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"afp_events_zorder_{tag}_{os.getpid()}")
+    if _ZORDER_BUILT.get(path) != key or not os.path.exists(path):
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "value"
+        )
+        write_zordered(
+            ev,
+            path,
+            ["value", "user_id"],
+            bounds={"value": (0.0, 500.0), "user_id": (0.0, 20000.0)},
+            n_files=16,
+        )
+        _ZORDER_BUILT[path] = key
+    z = spark.read.parquet(path)
+    return (
+        z.filter(
+            (F.col("value") >= 100)
+            & (F.col("value") < 150)
+            & F.col("user_id").between(40, 90)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )

@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "audience_overlap",
     "audience_retention",
     "bucketed_conversions",
+    "zorder_scan",
     "pq_search",  # Spark-only stage (trained quantizer - no comparator)
     "exact_quantiles",
     "kll_quantiles",  # Spark-only stage (sketch taxonomy - no comparator)
@@ -141,6 +142,7 @@ def _extra_oracles() -> dict[str, str]:
     from audience_finder_pro_spark.queries.relational import (
         _BUCKETED_CONV_ORACLE,
         _COHORT_ORACLE,
+        _ZORDER_SCAN_ORACLE,
         _FUNNEL_ORACLE,
         _MAD_ORACLE,
         _PATHS_ORACLE,
@@ -192,6 +194,7 @@ def _extra_oracles() -> dict[str, str]:
         "audience_overlap": _AUDIENCE_OVERLAP_ORACLE,
         "audience_retention": _RETENTION_ORACLE,
         "bucketed_conversions": _BUCKETED_CONV_ORACLE,
+        "zorder_scan": _ZORDER_SCAN_ORACLE,
         "exact_quantiles": _QUANTILE_ORACLE,
         "doc_communities": _lp_oracle(),
         "seasonal_trend": _SEASONAL_ORACLE,

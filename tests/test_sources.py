@@ -267,3 +267,45 @@ def test_bucketed_conversions_query_zero_exchange_and_oracle(spark, sf_dir):
     df = QUERIES["bucketed_conversions"](spark, sf_dir)
     assert is_exchange_free_join(df)
     compare(df, _BUCKETED_CONV_ORACLE, sf_dir, name="bucketed_conversions")
+
+
+def test_zorder_scan_query_matches_oracle_and_prunes(spark, sf_dir):
+    """The E53 end-to-end read path: the declared query's answer off the
+    Z-ordered rewrite hash-matches the raw-parquet oracle (layout never
+    changes answers), and the written layout is genuinely selective for
+    the query's own 2-D predicate — the probe's bounding box overlaps
+    at most half the files' (value, user_id) min/max boxes."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.relational import (
+        _ZORDER_SCAN_ORACLE,
+        _ZORDER_BUILT,
+    )
+    from tests.oracle import compare
+
+    df = QUERIES["zorder_scan"](spark, sf_dir)
+    compare(df, _ZORDER_SCAN_ORACLE, sf_dir, name="zorder_scan")
+
+    # the path the query wrote (single entry per (session, sf))
+    paths = [p for p in _ZORDER_BUILT if f"_{os.getpid()}" in p]
+    assert paths, _ZORDER_BUILT
+    path = paths[-1]
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    touched = 0
+    for f in files:
+        md = pq.read_metadata(os.path.join(path, f))
+        cols = {
+            md.row_group(0).column(j).path_in_schema: j
+            for j in range(md.row_group(0).num_columns)
+        }
+        vj, uj = cols["value"], cols["user_id"]
+        vlo = min(md.row_group(i).column(vj).statistics.min for i in range(md.num_row_groups))
+        vhi = max(md.row_group(i).column(vj).statistics.max for i in range(md.num_row_groups))
+        ulo = min(md.row_group(i).column(uj).statistics.min for i in range(md.num_row_groups))
+        uhi = max(md.row_group(i).column(uj).statistics.max for i in range(md.num_row_groups))
+        if vhi >= 100 and vlo < 150 and uhi >= 40 and ulo <= 90:
+            touched += 1
+    assert touched <= len(files) // 2, (touched, len(files))
