@@ -536,3 +536,149 @@ def kll_quantiles_from_state(
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+def topk_state(
+    df: DataFrame,
+    key_cols: list[str],
+    item_col: str,
+    capacity: int = 64,
+) -> DataFrame:
+    """Mergeable per-key heavy-hitters state of one batch (E59): the
+    Misra-Gries summary — the FOURTH leg of the incremental tier
+    (E41 sums/extrema, E42/E51 distributions, E46/E48 cardinalities &
+    sets, this one FREQUENT ITEMS: "which domains/tokens/users dominate
+    each source", absorbed daily without rescanning history).
+
+    State: (keys..., item, w, base) — at most ``capacity`` item rows
+    per key. ``w`` is the Misra-Gries counter, ``base`` the per-key
+    accumulated decrement (identical on every row of a key): the true
+    batch count of ANY item — present in the state or not — lies in
+    ``[w, w + base]`` (absent ⇒ w = 0). The summary is built FROM the
+    batch's exact (keys, item) counts (one map-side-combined groupBy —
+    the same per-batch aggregate every tier leg pays) by the standard
+    reduction: t = (capacity+1)-th largest count (0 when the key has
+    ≤ capacity distinct items), keep items with count > t at
+    w = count − t, base = t ≤ n_key/(capacity+1). What the tier buys is
+    the BOUNDED PERSISTED STATE — capacity rows per key per day instead
+    of the unbounded distinct-item frame.
+
+    Exactness contract (the theta_state precedent): while every key's
+    distinct-item count stays ≤ capacity at build AND through every
+    merge, base stays 0 and w IS the exact count — which is how the
+    declared `heavy_hitters` query is SQL-oracle-gated. Past capacity
+    the bounds degrade additively per merge (Agarwal et al. 2013,
+    "Mergeable Summaries": merged error ≤ Σ nᵢ/(capacity+1)), asserted
+    by the planted sampled-regime tests."""
+    if capacity < 1:
+        raise ValueError("topk_state needs capacity >= 1")
+    counts = (
+        df.filter(F.col(item_col).isNotNull())
+        .groupBy(*key_cols, F.col(item_col).alias("item"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w_rank = Window.partitionBy(*key_cols).orderBy(
+        F.col("_n").desc(), F.col("item").asc()
+    )
+    ranked = counts.withColumn("_r", F.row_number().over(w_rank))
+    # t = the (capacity+1)-th largest count per key (0 if none): the
+    # decrement that turns exact counts into a capacity-bounded summary
+    t_per_key = (
+        ranked.filter(F.col("_r") == capacity + 1)
+        .select(*key_cols, F.col("_n").alias("_t"))
+    )
+    joined = ranked.filter(F.col("_r") <= capacity).join(
+        F.broadcast(t_per_key), list(key_cols), "left"
+    )
+    return (
+        joined.withColumn("_tz", F.coalesce(F.col("_t"), F.lit(0)))
+        .filter(F.col("_n") > F.col("_tz"))
+        .select(
+            *key_cols,
+            "item",
+            (F.col("_n") - F.col("_tz")).alias("w"),
+            F.col("_tz").cast("bigint").alias("base"),
+        )
+    )
+
+
+def merge_topk_states(states: list[DataFrame], capacity: int = 64) -> DataFrame:
+    """Merge ``topk_state`` frames: per-(keys, item) counter addition,
+    per-key base addition (each input's base applies once per key —
+    frames are tagged with their list index so bases are never
+    double-counted through the union), then the same (capacity+1)-th-
+    largest reduction re-bounds the merged state. Exact-mode inputs
+    whose union stays ≤ capacity distinct items per key merge exactly
+    (base stays 0); past that, bases add — the documented mergeable-
+    summaries bound, honest like the theta/HLL contracts."""
+    if not states:
+        raise ValueError("merge_topk_states needs at least one state frame")
+    if capacity < 1:
+        raise ValueError("merge_topk_states needs capacity >= 1")
+    tagged = [
+        s.withColumn("_slice", F.lit(i)) for i, s in enumerate(states)
+    ]
+    merged = tagged[0]
+    for s in tagged[1:]:
+        merged = merged.unionByName(s)
+    key_cols = [
+        c for c in merged.columns if c not in ("item", "w", "base", "_slice")
+    ]
+    # per-key total base: one base value per (slice, key), summed across
+    # slices (max() collapses the per-row replication inside a slice)
+    bases = (
+        merged.groupBy(*key_cols, "_slice")
+        .agg(F.max("base").alias("_b"))
+        .groupBy(*key_cols)
+        .agg(F.sum("_b").alias("_base_in"))
+    )
+    sums = merged.groupBy(*key_cols, "item").agg(F.sum("w").alias("_w"))
+    w_rank = Window.partitionBy(*key_cols).orderBy(
+        F.col("_w").desc(), F.col("item").asc()
+    )
+    ranked = sums.withColumn("_r", F.row_number().over(w_rank))
+    t_per_key = (
+        ranked.filter(F.col("_r") == capacity + 1)
+        .select(*key_cols, F.col("_w").alias("_t"))
+    )
+    joined = (
+        ranked.filter(F.col("_r") <= capacity)
+        .join(F.broadcast(t_per_key), list(key_cols), "left")
+        .join(F.broadcast(bases), list(key_cols), "left")
+    )
+    return (
+        joined.withColumn("_tz", F.coalesce(F.col("_t"), F.lit(0)))
+        .filter(F.col("_w") > F.col("_tz"))
+        .select(
+            *key_cols,
+            "item",
+            (F.col("_w") - F.col("_tz")).alias("w"),
+            (F.coalesce(F.col("_base_in"), F.lit(0)) + F.col("_tz"))
+            .cast("bigint")
+            .alias("base"),
+        )
+    )
+
+
+def topk_from_state(state: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k heavy-hitter read off a (possibly merged) state:
+    (keys..., item, rank, n_lower, n_upper) — n_lower = w (guaranteed
+    floor), n_upper = w + base (ceiling; equal in exact mode).
+    Deterministic total order (w desc, item asc)."""
+    if k < 1:
+        raise ValueError("topk_from_state needs k >= 1")
+    key_cols = [c for c in state.columns if c not in ("item", "w", "base")]
+    w_rank = Window.partitionBy(*key_cols).orderBy(
+        F.col("w").desc(), F.col("item").asc()
+    )
+    return (
+        state.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            *key_cols,
+            "item",
+            "rank",
+            F.col("w").alias("n_lower"),
+            (F.col("w") + F.col("base")).alias("n_upper"),
+        )
+    )

@@ -107,6 +107,17 @@ def pq_fit(
     sample = _normalize_rows(
         np.array([r[1] for r in rows], dtype=np.float64)
     )
+    return _fit_codebooks(sample, m, n_codes, iters)
+
+
+def _fit_codebooks(
+    sample: np.ndarray, m: int, n_codes: int, iters: int
+) -> np.ndarray:
+    """Per-subspace Lloyd over an ALREADY-prepared sample matrix —
+    normalized vectors for plain PQ, (vector - centroid) residuals for
+    IVF-PQ residual codebooks. Deterministic: first-n seeds, fixed
+    iters, empty clusters keep their previous centroid."""
+    sub_dim = sample.shape[1] // m
     books = np.empty((m, n_codes, sub_dim), dtype=np.float64)
     for j in range(m):
         x = sample[:, j * sub_dim : (j + 1) * sub_dim]  # (n, sub_dim)
@@ -373,6 +384,7 @@ def ivfpq_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     dim: int | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ (E57): centroid routing x compressed scan x exact rerank —
     the composition production ANN stacks actually deploy (FAISS
@@ -392,11 +404,20 @@ def ivfpq_topk(
     pass as `pq_topk`, but each query scores only its probed fraction.
     Rerank as in `pq_topk` (exact cosine over k x refine_factor ids).
 
-    Codes quantize the (normalized) vectors directly, not IVF
-    residuals — the rerank absorbs the accuracy difference and keeps
-    one codebook for the whole corpus (single-LUT scan); residual
-    codebooks are the known refinement if rerank bandwidth ever becomes
-    the constraint. Returns (query_id, vec_id, approx_sim, rank)."""
+    By default codes quantize the (normalized) vectors directly — one
+    codebook, one LUT per query. ``residual=True`` is the FAISS-style
+    refinement: codes quantize (normalized vector − its list's
+    normalized centroid), whose norms are cluster-noise-sized, so the
+    same m bytes resolve much finer structure; the scan then builds one
+    LUT per (query, probed list) from (q̂ − ĉ_list), and
+    d2(q̂−ĉ, v̂−ĉ) = ||q̂ − v̂||² stays exactly the unit-sphere
+    quantity, so ``approx_sim = 1 − d2/2`` is unchanged. Cost: n_probe
+    LUTs per query instead of one (still bounded driver state) and a
+    centroid matrix in the encode closure. Use it when rerank bandwidth
+    binds at compression-heavy m (measured at 1M vectors, m=8, rerank
+    ×5: direct 0.24 recall@10 vs residual — see
+    scripts/ann_scale_stress.py's ledger datapoint).
+    Returns (query_id, vec_id, approx_sim, rank)."""
     from audience_finder_pro_spark.operators.similarity import (
         _assign,
         _centroid_rows,
@@ -421,14 +442,78 @@ def ivfpq_topk(
     )
     assigned = _assign(corpus.select(id_col, vec_col), cents, vec_col, dim=full_dim)
 
-    books = pq_fit(
-        corpus, dim=full_dim, m=m, n_codes=n_codes,
-        sample_n=sample_n, iters=iters, id_col=id_col, vec_col=vec_col,
-    )
-    enc = pq_encode(
-        corpus.select(id_col, vec_col), books, id_col=id_col, vec_col=vec_col
-    )
-    codes = enc.join(assigned.select(id_col, "cent_id"), id_col)
+    cmat = None
+    if residual:
+        # normalized centroid matrix: bounded model state (n_lists x dim)
+        crows = cents.orderBy("cent_id").collect()
+        cmat = _normalize_rows(
+            np.array([r["cvec"] for r in crows], dtype=np.float64)
+        )
+        # fit on lowest-id RESIDUALS (same bounded-sample rule as pq_fit)
+        srows = (
+            corpus.select(id_col, vec_col)
+            .join(assigned.select(id_col, "cent_id"), id_col)
+            .orderBy(id_col)
+            .limit(sample_n)
+            .collect()
+        )
+        if len(srows) < n_codes:
+            raise ValueError(
+                f"ivfpq_topk: sample has {len(srows)} rows < n_codes={n_codes}"
+            )
+        smat = _normalize_rows(
+            np.array([r[vec_col] for r in srows], dtype=np.float64)
+        ) - cmat[[int(r["cent_id"]) for r in srows]]
+        books = _fit_codebooks(smat, m, n_codes, iters)
+
+        # encode residuals in place: one argmin-matmul per subspace per
+        # Arrow batch, centroids + codebooks ride the closure (kilobytes)
+        id_field = corpus.select(id_col).schema.fields[0]
+        enc_schema = T.StructType(
+            [
+                id_field,
+                T.StructField("cent_id", T.IntegerType()),
+                T.StructField("codes", T.ArrayType(T.ShortType())),
+            ]
+        )
+        bnorm2 = (books * books).sum(axis=2)  # (m, n_codes)
+        C = cmat
+
+        def encode_res(batches):
+            for pdf in batches:
+                vecs = _normalize_rows(
+                    np.array(pdf[vec_col].tolist(), dtype=np.float64).reshape(
+                        len(pdf), full_dim
+                    )
+                )
+                cid = pdf["cent_id"].to_numpy().astype(np.int64)
+                res = vecs - C[cid]
+                out = np.empty((len(pdf), m), dtype=np.int16)
+                for j in range(m):
+                    x = res[:, j * sub_dim : (j + 1) * sub_dim]
+                    out[:, j] = (bnorm2[j] - 2.0 * (x @ books[j].T)).argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_field.name: pdf[id_col],
+                        "cent_id": cid.astype(np.int32),
+                        "codes": list(out),
+                    }
+                )
+
+        codes = (
+            corpus.select(id_col, vec_col)
+            .join(assigned.select(id_col, "cent_id"), id_col)
+            .mapInPandas(encode_res, schema=enc_schema)
+        )
+    else:
+        books = pq_fit(
+            corpus, dim=full_dim, m=m, n_codes=n_codes,
+            sample_n=sample_n, iters=iters, id_col=id_col, vec_col=vec_col,
+        )
+        enc = pq_encode(
+            corpus.select(id_col, vec_col), books, id_col=id_col, vec_col=vec_col
+        )
+        codes = enc.join(assigned.select(id_col, "cent_id"), id_col)
 
     # exact per-query probe list (broadcast centroids — n_lists rows)
     from audience_finder_pro_spark.functions.vectors import cosine_similarity
@@ -449,23 +534,36 @@ def ivfpq_topk(
     for r in probes:
         probe_lists.setdefault(r[0], set()).add(int(r[1]))
 
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
     qrows = queries.select(query_id_col, query_vec_col).collect()
     if not qrows:
         raise ValueError("ivfpq_topk: empty query set")
     qids = [r[0] for r in qrows]
     qmat = _normalize_rows(np.array([r[1] for r in qrows], dtype=np.float64))
-    lut = np.empty((len(qids), m, n_codes), dtype=np.float64)
-    for j in range(m):
-        qx = qmat[:, j * sub_dim : (j + 1) * sub_dim]
-        lut[:, j, :] = (
-            (qx * qx).sum(axis=1, keepdims=True)
-            - 2.0 * (qx @ books[j].T)
-            + (books[j] * books[j]).sum(axis=1)
-        )
+
+    def _lut_for(qx_mat: np.ndarray) -> np.ndarray:
+        out = np.empty((len(qx_mat), m, n_codes), dtype=np.float64)
+        for j in range(m):
+            qx = qx_mat[:, j * sub_dim : (j + 1) * sub_dim]
+            out[:, j, :] = (
+                (qx * qx).sum(axis=1, keepdims=True)
+                - 2.0 * (qx @ books[j].T)
+                + (books[j] * books[j]).sum(axis=1)
+            )
+        return out
+
+    if residual:
+        # one LUT per (query, probed list), from the query's residual
+        # against THAT list's centroid — bounded driver state
+        # (|queries| x n_probe x m x n_codes doubles)
+        lut_res: dict = {}
+        for qi, qid in enumerate(qids):
+            for l in sorted(probe_lists.get(qid, ())):
+                lut_res[(qi, l)] = _lut_for(
+                    (qmat[qi] - cmat[l])[None, :]
+                )[0]
+        lut = None
+    else:
+        lut = _lut_for(qmat)
 
     adc_k = k * refine_factor
     id_field = codes.select(id_col).schema.fields[0]
@@ -480,15 +578,33 @@ def ivfpq_topk(
 
     def scan(batches):
         for pdf in batches:
-            cmat = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            code_mat = np.array(pdf["codes"].tolist(), dtype=np.int64)
             ids = pdf[id_col].to_numpy()
             cent = pdf["cent_id"].to_numpy()
             for qi, qid in enumerate(qids):
-                mask = np.isin(cent, list(probe_lists.get(qid, ())))
-                if not mask.any():
-                    continue
-                rows_d2 = lut[qi, np.arange(m), cmat[mask]].sum(axis=1)
-                mids = ids[mask]
+                if residual:
+                    # per-list residual LUTs: score each probed list's
+                    # rows against (q̂ − ĉ_list), then pool
+                    parts_d2, parts_id = [], []
+                    for l in sorted(probe_lists.get(qid, ())):
+                        lmask = cent == l
+                        if not lmask.any():
+                            continue
+                        lt = lut_res[(qi, l)]
+                        parts_d2.append(
+                            lt[np.arange(m), code_mat[lmask]].sum(axis=1)
+                        )
+                        parts_id.append(ids[lmask])
+                    if not parts_d2:
+                        continue
+                    rows_d2 = np.concatenate(parts_d2)
+                    mids = np.concatenate(parts_id)
+                else:
+                    mask = np.isin(cent, list(probe_lists.get(qid, ())))
+                    if not mask.any():
+                        continue
+                    rows_d2 = lut[qi, np.arange(m), code_mat[mask]].sum(axis=1)
+                    mids = ids[mask]
                 top = min(adc_k, len(mids))
                 # widen past argpartition's arbitrary boundary-tie split
                 # before the (d2, id) lexical truncation (see pq_topk)

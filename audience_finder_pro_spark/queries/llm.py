@@ -2991,6 +2991,66 @@ def incremental_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_rollup_states(states)
 
 
+# ------------------------------------------------ E59 heavy-hitters state
+# Spark reads per-event-type top users off THREE event_id%3-sliced
+# Misra-Gries states merged at capacity 2000 — exact mode (≤1,500
+# distinct users/type at every checked SF), so every counter is the
+# exact count and n_lower = n_upper; the oracle is the one-pass exact
+# count + deterministic (n desc, user asc) top-k. The hash match proves
+# exact-mode summary semantics AND the counter-merge algebra at once
+# (the theta/audience_overlap gate pattern); the sampled regime is
+# covered by planted bound tests.
+_HEAVY_HITTERS_ORACLE = """
+WITH c AS (
+  SELECT event_type, user_id AS item, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, item, n,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY n DESC, item ASC) AS INT) AS rank
+  FROM c
+)
+SELECT event_type, item, rank, n AS n_lower, n AS n_upper
+FROM r WHERE rank <= 5
+"""
+
+
+@_q("heavy_hitters", None)  # declared past the 50-slot cap; standalone gate
+def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type heavy-hitter users from mergeable Misra-Gries
+    states (E59, operators/incremental.topk_state): three event_id%3
+    batch slices summarized at capacity 2000 and counter-merged — the
+    FREQUENT-ITEMS leg of the incremental tier (what E10's exact
+    vocab_topk recomputes from scratch, absorbed as bounded daily
+    state: capacity rows per key per day instead of the unbounded
+    distinct-item frame). Exact mode at every checked SF (≤1,500
+    distinct users/type vs capacity 2000), so ``_HEAVY_HITTERS_ORACLE``'s
+    exact top-5 hash-matches the state read — proving summary semantics
+    and merge algebra in one gate (pytest at sf0.01 and sf0.1 + bench
+    comparator); the sampled regime is bound-tested with planted
+    counts."""
+    from audience_finder_pro_spark.operators.incremental import (
+        merge_topk_states,
+        topk_from_state,
+        topk_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    states = [
+        topk_state(
+            ev.filter(F.col("event_id") % 3 == i).drop("event_id"),
+            ["event_type"],
+            "user_id",
+            capacity=2000,
+        )
+        for i in range(3)
+    ]
+    return topk_from_state(merge_topk_states(states, capacity=2000), k=5)
+
+
 # ------------------------------------------------ E42 mergeable histogram state
 # Spark computes the histogram the INCREMENTAL way — three disjoint
 # slice states (event_id % 3) merged by count addition — while the

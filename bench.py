@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "audience_retention",
     "bucketed_conversions",
     "zorder_scan",
+    "heavy_hitters",
     "pq_search",  # Spark-only stage (trained quantizer - no comparator)
     "exact_quantiles",
     "kll_quantiles",  # Spark-only stage (sketch taxonomy - no comparator)
@@ -175,6 +176,7 @@ def _extra_oracles() -> dict[str, str]:
         _HISTOGRAM_ORACLE,
         _INCREMENTAL_ORACLE,
         _AUDIENCE_OVERLAP_ORACLE,
+        _HEAVY_HITTERS_ORACLE,
         _PRIVACY_ORACLE,
         _RETENTION_ORACLE,
     )
@@ -195,6 +197,7 @@ def _extra_oracles() -> dict[str, str]:
         "audience_retention": _RETENTION_ORACLE,
         "bucketed_conversions": _BUCKETED_CONV_ORACLE,
         "zorder_scan": _ZORDER_SCAN_ORACLE,
+        "heavy_hitters": _HEAVY_HITTERS_ORACLE,
         "exact_quantiles": _QUANTILE_ORACLE,
         "doc_communities": _lp_oracle(),
         "seasonal_trend": _SEASONAL_ORACLE,

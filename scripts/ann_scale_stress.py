@@ -218,6 +218,29 @@ def main() -> None:
     )
     assert recall_ivfpq >= 0.9, f"ivfpq under recall bar: {recall_ivfpq}"
 
+    # Residual codebooks (VERDICT r10 #6): quantize (v̂ − ĉ_list) instead
+    # of v̂ at the compression-heavy m=8 point — the question is whether
+    # residual resolution recovers the recall direct m=8 loses (0.24 at
+    # rerank ×5 on this corpus), i.e. whether the refinement is worth
+    # deploying when rerank bandwidth binds. Same rerank budget both ways.
+    for res_mode in (False, True):
+        t0 = time.perf_counter()
+        approx_r = {
+            (r.query_id, r.vec_id)
+            for r in ivfpq_topk(
+                corpus, queries, k=10, n_lists=n_clusters, n_probe=4,
+                m=8, n_codes=256, refine_factor=5, dim=DIM,
+                residual=res_mode,
+            ).collect()
+        }
+        t_r = time.perf_counter() - t0
+        recall_r = len(exact & approx_r) / len(exact)
+        print(
+            f"ivfpq m=8 (32x compression) rerank x5 "
+            f"residual={res_mode}: {t_r:.1f}s end-to-end, "
+            f"recall@10={recall_r:.3f} [info: m=8 trade datapoint, ungated]"
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -3196,6 +3196,141 @@ def test_theta_state_streams_through_foreachbatch(spark, sf_smoke, tmp_path):
     assert stream_ov == batch_ov
 
 
+# ------------------------------------ E59 mergeable heavy-hitters state
+def test_heavy_hitters_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Exact mode
+    (distinct users/type ≤ capacity), so the sliced-merged Misra-Gries
+    read must hash-match the one-pass exact top-5 — proving summary
+    semantics AND counter-merge algebra at once. Verified at sf0.1 too
+    on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _HEAVY_HITTERS_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["heavy_hitters"](spark, sf_dir), _HEAVY_HITTERS_ORACLE,
+            sf_dir, name="heavy_hitters")
+
+
+def test_topk_state_bounds_and_merge_algebra(spark):
+    """Planted counts pin the E59 contract: (1) EXACT mode — keys with
+    ≤ capacity distinct items carry base 0 and w = exact count through
+    any slicing/merge order; (2) sampled regime — a capacity-3 summary
+    of planted counts x:10 y:8 z:5 u:3 v:2 decrements by the 4th-largest
+    count (t=3), keeping x:7 y:5 z:2 at base 3, and every true count
+    lies in [w, w+base] (absent ⇒ w=0); (3) merged states keep the
+    containment bound with bases ADDING (the mergeable-summaries
+    contract); (4) reads are deterministic with the (w desc, item asc)
+    tie rule; (5) validation raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.incremental import (
+        merge_topk_states,
+        topk_from_state,
+        topk_state,
+    )
+
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 8 + [("a", "z")] * 5
+        + [("a", "u")] * 3 + [("a", "v")] * 2
+        + [("b", "p")] * 4 + [("b", "q")] * 2  # exact-mode key
+    )
+    df = spark.createDataFrame(
+        [(k, it, i) for i, (k, it) in enumerate(rows)], "g string, it string, rid int"
+    )
+
+    # (2) single-batch sampled regime, capacity 3
+    st = topk_state(df.drop("rid"), ["g"], "it", capacity=3)
+    a_rows = {r.item: (r.w, r.base) for r in st.filter(F.col("g") == "a").collect()}
+    assert a_rows == {"x": (7, 3), "y": (5, 3), "z": (2, 3)}
+    b_rows = {r.item: (r.w, r.base) for r in st.filter(F.col("g") == "b").collect()}
+    assert b_rows == {"p": (4, 0), "q": (2, 0)}  # exact mode: base 0
+
+    # (1)+(3) merge: 2 uneven hash slices at capacity 3 — exact keys stay
+    # exact, sampled keys keep [w, w+base] containment of true counts
+    mixer = (F.col("rid") * 2654435761 + 2) % 1_000_003 % 2
+    states = [
+        topk_state(df.filter(mixer == i).drop("rid"), ["g"], "it", capacity=3)
+        for i in range(2)
+    ]
+    merged = merge_topk_states(states, capacity=3)
+    got = {(r.g, r.item): (r.w, r.base) for r in merged.collect()}
+    true = {("a", "x"): 10, ("a", "y"): 8, ("a", "z"): 5, ("a", "u"): 3,
+            ("a", "v"): 2, ("b", "p"): 4, ("b", "q"): 2}
+    for (g, it), n in true.items():
+        w, base = got.get((g, it), (0, max(b for (gg, _), (_, b) in got.items() if gg == g)))
+        assert w <= n <= w + base, ((g, it), n, w, base)
+    assert all(b == 0 for (g, _), (_, b) in got.items() if g == "b")
+    assert got[("b", "p")][0] == 4 and got[("b", "q")][0] == 2
+
+    # (4) deterministic read, tie rule pinned (b's items tie nowhere;
+    # planted tie: two items at the same w order by item asc)
+    tie = spark.createDataFrame(
+        [("t", "m"), ("t", "k"), ("t", "m"), ("t", "k")], "g string, it string"
+    )
+    r = topk_from_state(topk_state(tie, ["g"], "it", capacity=4), k=2).collect()
+    assert [(x.item, x.rank) for x in sorted(r, key=lambda x: x.rank)] == [
+        ("k", 1), ("m", 2)
+    ]
+
+    # (5) validation
+    with pytest.raises(ValueError):
+        topk_state(df, ["g"], "it", capacity=0)
+    with pytest.raises(ValueError):
+        merge_topk_states([], capacity=3)
+    with pytest.raises(ValueError):
+        topk_from_state(st, k=0)
+
+
+def test_topk_state_streams_through_foreachbatch(spark, sf_smoke, tmp_path):
+    """E59 through the generalized incremental-rollup seam: per-epoch
+    Misra-Gries deltas counter-merged across 3 epochs read back the
+    events table's exact per-type top users (fixture cardinalities sit
+    in exact mode), equal to the one-pass batch state."""
+    from audience_finder_pro_spark.operators.incremental import (
+        merge_topk_states,
+        topk_from_state,
+        topk_state,
+    )
+    from audience_finder_pro_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        latest_rollup_state,
+        run_stream_incremental_rollup,
+    )
+
+    src = tmp_path / "src"
+    state = str(tmp_path / "state")
+    src.mkdir()
+    base = load_table(spark, sf_smoke, "events")
+    base.repartition(3).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_stream_incremental_rollup(
+        stream,
+        ["event_type"],
+        "user_id",
+        state,
+        str(tmp_path / "ck"),
+        state_fn=lambda b: topk_state(b, ["event_type"], "user_id", capacity=2000),
+        merge_fn=lambda states: merge_topk_states(states, capacity=2000),
+    )
+    streamed = sorted(
+        tuple(r) for r in topk_from_state(
+            latest_rollup_state(spark, state), k=5
+        ).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in topk_from_state(
+            topk_state(base, ["event_type"], "user_id", capacity=2000), k=5
+        ).collect()
+    )
+    assert streamed == batch
+
+
 # ------------------------------------------------ E49 product quantization
 def test_pq_recall_determinism_and_compression(spark, sf_smoke):
     """E49's correctness gates (no SQL oracle by the trained-model
@@ -3547,6 +3682,39 @@ def test_ivfpq_recall_and_routing(spark, sf_smoke):
     rec = sum(len(a[q] & exact[q]) / 10 for q in exact) / len(exact)
     assert rec >= 0.5, rec  # probe-bounded floor on unclustered data
     assert a == run()  # deterministic end to end
+
+    # residual codebooks (the FAISS refinement): planted clusters stay
+    # perfect, results deterministic, and the fixture recall clears the
+    # same probe-bounded floor — the 1M-scale direct-vs-residual
+    # comparison lives in scripts/ann_scale_stress.py's ledger
+    got_res = ivfpq_topk(
+        df, qs, k=5, n_lists=4, n_probe=2, m=4, n_codes=16,
+        sample_n=160, refine_factor=4, dim=16, residual=True,
+    )
+    res_rows = sorted((r.query_id, r.vec_id, r.rank) for r in got_res.collect())
+    assert all(q // 40 == v // 40 for q, v, _ in res_rows)
+    assert len(res_rows) == 4 * 5
+    res_rows2 = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivfpq_topk(
+            df, qs, k=5, n_lists=4, n_probe=2, m=4, n_codes=16,
+            sample_n=160, refine_factor=4, dim=16, residual=True,
+        ).collect()
+    )
+    assert res_rows == res_rows2
+
+    def run_res():
+        byq = {}
+        for r in ivfpq_topk(
+            emb, fq, k=10, n_lists=8, n_probe=4, m=8, n_codes=64,
+            refine_factor=5, dim=64, residual=True,
+        ).collect():
+            byq.setdefault(r.query_id, set()).add(r.vec_id)
+        return byq
+
+    ar = run_res()
+    rec_res = sum(len(ar[q] & exact[q]) / 10 for q in exact) / len(exact)
+    assert rec_res >= 0.5, rec_res
 
     with pytest.raises(ValueError):
         ivfpq_topk(df, qs.limit(0), k=5, n_lists=4, n_probe=2, m=4,
