@@ -414,10 +414,13 @@ def ivfpq_topk(
     quantity, so ``approx_sim = 1 − d2/2`` is unchanged. Cost: n_probe
     LUTs per query instead of one (still bounded driver state) and a
     centroid matrix in the encode closure. Use it when rerank bandwidth
-    binds at compression-heavy m (measured at 1M vectors, m=8, rerank
-    ×5: direct 0.24 recall@10 vs residual — see
-    scripts/ann_scale_stress.py's ledger datapoint).
-    Returns (query_id, vec_id, approx_sim, rank)."""
+    binds at compression-heavy m — with the measured caveat that in the
+    DENSE regime it is no rescue: at 1M vectors (64 tight clusters,
+    true top-10 among ~15k near-identical neighbors), m=8 rerank ×5
+    reads 0.240 direct vs 0.270 residual (scripts/ann_scale_stress.py,
+    r11 ledger) — the m=32 geometry remains the answer there; residual
+    earns its cost when cluster structure, not noise, dominates the
+    quantization error. Returns (query_id, vec_id, approx_sim, rank)."""
     from audience_finder_pro_spark.operators.similarity import (
         _assign,
         _centroid_rows,

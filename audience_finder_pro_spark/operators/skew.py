@@ -214,3 +214,55 @@ def grouped_mad(
             F.when(F.abs(F.col("_m")) > F.lit(float(z_thresh)), 1).otherwise(0)
         ).cast("long").alias("n_outliers"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str] | str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join (E60): salt the BIG side into ``salt``
+    synthetic sub-keys and replicate the SMALL side once per salt value,
+    joining on (keys + salt) — a hot join key's row volume then spreads
+    across ``salt`` reducers by construction instead of landing on one.
+    The aggregation-side sibling is ``salted_agg``; together they are
+    the manual skew toolkit SURVEY §4.3 calls for.
+
+    Where this sits next to AQE: AQE's skew-join splitting rebalances a
+    skewed SortMergeJoin at RUNTIME when a partition crosses its
+    thresholds (5× median AND 256 MB by default) — the right default,
+    and it is ON in this engine. Salting is the DECLARATIVE form for
+    the cases AQE does not cover: shuffled-hash strategies, skew under
+    the thresholds that still dominates a stage, bucketed scans where
+    the exchange AQE would split never exists, and plans that must be
+    reproducible across runs (AQE splits depend on observed sizes).
+
+    Result ≡ the plain join: every big row carries exactly one salt and
+    the small side is replicated for EVERY salt, so each big row meets
+    each matching small row exactly once. ``how`` is limited to
+    inner/left — the replicated small side makes right/full semantics
+    ambiguous (an unmatched small row would surface ``salt`` times).
+
+    Scale shape: the big side shuffles once on the uniform (keys, salt)
+    — same volume as the plain join's exchange, minus the hot-reducer
+    straggler; the small side pays a ``salt``× replication (explode of
+    a literal array), the explicit price of uniformity — size salt so
+    |small| × salt stays shuffle-friendly."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if salt < 2:
+        raise ValueError("salted_join needs salt >= 2")
+    keys = [on] if isinstance(on, str) else list(on)
+    big_salted = big.withColumn(
+        "__salt",
+        F.pmod(
+            F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt)
+        ).cast("int"),
+    )
+    small_rep = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    joined = big_salted.join(small_rep, keys + ["__salt"], how)
+    return joined.drop("__salt")

@@ -1919,3 +1919,47 @@ def zorder_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+# ------------------------------------------- E60 salted skew join
+# The oracle is the PLAIN equi-join + aggregate — salting adds a key
+# that matches by construction exactly once per big row, so the result
+# is identical (the salted_agg ≡ plain GROUP BY pattern, on joins).
+# The money sum goes through DECIMAL(18,4) in both engines (NOTES
+# float-sum rule: per-segment row counts reach tens of thousands at
+# sf0.1).
+_SALTED_JOIN_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+FROM events JOIN customer ON c_custkey = user_id
+GROUP BY 1
+"""
+
+
+@_q("salted_join_segments", None)  # declared past the 50-slot cap; standalone gate
+def salted_join_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event enrichment through a skew-proof equi-join (E60,
+    operators/skew.salted_join): events joined to customer segments on
+    user_id with the big side salted into 16 sub-keys and the dimension
+    replicated per salt — the declarative skew guard for the join
+    shapes AQE's runtime splitting does not cover (under-threshold hot
+    keys, shuffled-hash plans, bucketed scans with no exchange to
+    split). Result must be IDENTICAL to the plain join, which is
+    exactly what ``_SALTED_JOIN_ORACLE`` verifies (pytest hash gate at
+    sf0.01 and sf0.1 + bench comparator); the hot-key stress leg lives
+    in scripts/scale_stress.py's ledger."""
+    from audience_finder_pro_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("value").cast("decimal(18,4)").alias("value_dec")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, on="user_id", salt=16)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value_dec").cast("double"), 4).alias("sum_value"),
+    )

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "bucketed_conversions",
     "zorder_scan",
     "heavy_hitters",
+    "salted_join_segments",
     "pq_search",  # Spark-only stage (trained quantizer - no comparator)
     "exact_quantiles",
     "kll_quantiles",  # Spark-only stage (sketch taxonomy - no comparator)
@@ -143,6 +144,7 @@ def _extra_oracles() -> dict[str, str]:
     from audience_finder_pro_spark.queries.relational import (
         _BUCKETED_CONV_ORACLE,
         _COHORT_ORACLE,
+        _SALTED_JOIN_ORACLE,
         _ZORDER_SCAN_ORACLE,
         _FUNNEL_ORACLE,
         _MAD_ORACLE,
@@ -198,6 +200,7 @@ def _extra_oracles() -> dict[str, str]:
         "bucketed_conversions": _BUCKETED_CONV_ORACLE,
         "zorder_scan": _ZORDER_SCAN_ORACLE,
         "heavy_hitters": _HEAVY_HITTERS_ORACLE,
+        "salted_join_segments": _SALTED_JOIN_ORACLE,
         "exact_quantiles": _QUANTILE_ORACLE,
         "doc_communities": _lp_oracle(),
         "seasonal_trend": _SEASONAL_ORACLE,

@@ -268,6 +268,42 @@ def test_salted_agg_rejects_holistic(spark, sf_smoke):
         salted_agg(li, ["l_returnflag"], {"x": ("l_quantity", "median")})
 
 
+def test_salted_join_equals_plain_join(spark, sf_smoke):
+    """E60: the salted equi-join must be row-identical to the plain join
+    for inner AND left (including unmatched left rows surviving exactly
+    once), on a deliberately hot key distribution (every event key
+    collapsed mod 3 — one synthetic mega-key per residue); right/full
+    and salt<2 raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.skew import salted_join
+    from audience_finder_pro_spark.session import load_table
+
+    ev = (
+        load_table(spark, sf_smoke, "events")
+        .select((F.col("user_id") % 3).alias("k"), "event_id", "value")
+    )
+    # dimension covers k=0,1 only -> k=2 rows are unmatched on left
+    dim = spark.createDataFrame([(0, "seg_a"), (1, "seg_b")], "k long, seg string")
+    for how in ("inner", "left"):
+        a = sorted(
+            tuple(r)
+            for r in salted_join(ev, dim, on="k", salt=8, how=how)
+            .select("k", "event_id", "seg")
+            .collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in ev.join(dim, "k", how).select("k", "event_id", "seg").collect()
+        )
+        assert a == b, how
+    with _pytest.raises(ValueError):
+        salted_join(ev, dim, on="k", how="full")
+    with _pytest.raises(ValueError):
+        salted_join(ev, dim, on="k", salt=1)
+
+
 def test_partitioned_parquet_sink_prunes(spark, sf_smoke, tmp_path):
     """Partitioned sink round-trips and a partition filter prunes the scan."""
     from pyspark.sql import functions as F
