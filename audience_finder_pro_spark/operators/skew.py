@@ -266,3 +266,68 @@ def salted_join(
     )
     joined = big_salted.join(small_rep, keys + ["__salt"], how)
     return joined.drop("__salt")
+
+
+def weighted_group_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    weight_col: str,
+    qs: list[float],
+) -> DataFrame:
+    """Exact per-key WEIGHTED discrete quantiles, no per-key row sort
+    (E61) — ``exact_group_quantiles`` with each row counting
+    ``weight_col`` times: "the document length below which half the
+    TOKEN MASS sits", "the latency below which 95% of BYTES were
+    served" — mixture/packing questions that doc-count quantiles answer
+    wrongly when sizes vary by orders of magnitude.
+
+    Same wire shape as E50: ONE map-side-combined weight sum per
+    (keys, value) — the DISTINCT-VALUE frame rides the shuffle, never
+    rows — then a per-key cumulative window and every q read from one
+    conditional aggregate. Rank rule: the smallest value whose
+    cumulative weight reaches ``max(ceil(q·W), 1)`` with W the key's
+    total weight — the E50 rule generalized (weights of 1 reduce to it
+    exactly). Integer weights keep every comparison exact and
+    cross-engine deterministic (the gate's oracle replays the identical
+    recurrence); use exact-binary-fraction q for ceil stability. NULL
+    values and NULL weights are dropped."""
+    if not qs:
+        raise ValueError("weighted_group_quantiles needs at least one q")
+    if any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1]: {qs}")
+    from pyspark.sql import Window
+
+    vc = (
+        df.filter(F.col(value_col).isNotNull() & F.col(weight_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.sum(F.col(weight_col).cast("bigint")).alias("_w"))
+    )
+    wk = Window.partitionBy(*keys)
+    cum = vc.withColumn(
+        "_cum",
+        F.sum("_w").over(
+            wk.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("_tot", F.sum("_w").over(wk))
+    picked = cum.groupBy(*keys).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("_cum")
+                    >= F.greatest(
+                        F.ceil(F.lit(float(q)) * F.col("_tot")), F.lit(1)
+                    ),
+                    F.col(value_col),
+                )
+            ).alias(f"_q{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    stack_expr = "stack({n}, {args}) as (q, quantile)".format(
+        n=len(qs),
+        args=", ".join(
+            f"CAST({float(q)} AS DOUBLE), _q{i}" for i, q in enumerate(qs)
+        ),
+    )
+    return picked.select(*keys, F.expr(stack_expr))

@@ -3806,3 +3806,61 @@ SELECT 'calib', source, CAST(bin AS VARCHAR), 'quality',
        n_docs, CAST(NULL AS BIGINT), bin, CAST(NULL AS INT)
 FROM ({_CALIBRATION_ORACLE})
 """
+
+
+# ------------------------------------------- E61 weighted exact quantiles
+# The oracle replays the identical pick rule — smallest value whose
+# CUMULATIVE WEIGHT reaches max(ceil(q·W), 1) over the per-source
+# distinct-length frame — with the proven tokenize expression. Values
+# and weights are both integers (token counts), so every comparison is
+# exact and the hash match needs no float discipline beyond the q
+# literals (exact binary fractions).
+_WEIGHTED_QUANTILE_ORACLE = """
+WITH toks AS (
+  SELECT source,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 0)) AS n_tok
+  FROM documents
+),
+vc AS (
+  SELECT source, n_tok, sum(CAST(n_tok AS BIGINT)) AS w
+  FROM toks WHERE n_tok IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, n_tok,
+         sum(w) OVER (PARTITION BY source ORDER BY n_tok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER (PARTITION BY source) AS tw
+  FROM vc
+),
+qs AS (SELECT unnest([0.25, 0.5, 0.75]) AS q)
+SELECT c.source, CAST(q.q AS DOUBLE) AS q, min(c.n_tok) AS quantile
+FROM cum c CROSS JOIN qs q
+WHERE c.cw >= greatest(CAST(ceil(q.q * c.tw) AS BIGINT), 1)
+GROUP BY 1, 2
+"""
+
+
+@_q("token_weighted_quantiles", None)  # declared past the 50-slot cap; standalone gate
+def token_weighted_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass-weighted document-length quantiles per source (E61,
+    operators/skew.weighted_group_quantiles): the length below which
+    25/50/75% of each source's TOKEN MASS sits — the packing/mixture
+    question doc-count quantiles answer wrongly when lengths vary by
+    orders of magnitude (half your documents can be short while 90% of
+    your training tokens come from long ones; budgets are spent in
+    tokens, the reference's per-post character budgeting generalized,
+    app.py:254-276). Exact, discrete, and weighted with NO per-key row
+    sort: the wire carries the per-source distinct-length frame only.
+    ``_WEIGHTED_QUANTILE_ORACLE`` replays the identical pick rule
+    (pytest hash gate at sf0.01 and sf0.1 + bench comparator)."""
+    from audience_finder_pro_spark.functions.text import tokens
+    from audience_finder_pro_spark.operators.skew import weighted_group_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    lengths = docs.select(
+        "source", F.size(tokens("text")).alias("n_tok")
+    )
+    return weighted_group_quantiles(
+        lengths, ["source"], "n_tok", "n_tok", qs=[0.25, 0.5, 0.75]
+    )

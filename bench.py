@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "zorder_scan",
     "heavy_hitters",
     "salted_join_segments",
+    "token_weighted_quantiles",
     "pq_search",  # Spark-only stage (trained quantizer - no comparator)
     "exact_quantiles",
     "kll_quantiles",  # Spark-only stage (sketch taxonomy - no comparator)
@@ -181,6 +182,7 @@ def _extra_oracles() -> dict[str, str]:
         _HEAVY_HITTERS_ORACLE,
         _PRIVACY_ORACLE,
         _RETENTION_ORACLE,
+        _WEIGHTED_QUANTILE_ORACLE,
     )
 
     return {
@@ -201,6 +203,7 @@ def _extra_oracles() -> dict[str, str]:
         "zorder_scan": _ZORDER_SCAN_ORACLE,
         "heavy_hitters": _HEAVY_HITTERS_ORACLE,
         "salted_join_segments": _SALTED_JOIN_ORACLE,
+        "token_weighted_quantiles": _WEIGHTED_QUANTILE_ORACLE,
         "exact_quantiles": _QUANTILE_ORACLE,
         "doc_communities": _lp_oracle(),
         "seasonal_trend": _SEASONAL_ORACLE,

@@ -1421,6 +1421,63 @@ def test_exact_group_quantiles_semantics(spark):
         exact_group_quantiles(df, ["k"], "v", [1.5])
 
 
+# ------------------------------------------- E61 weighted exact quantiles
+def test_token_weighted_quantiles_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _WEIGHTED_QUANTILE_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["token_weighted_quantiles"](spark, sf_dir),
+            _WEIGHTED_QUANTILE_ORACLE, sf_dir, name="token_weighted_quantiles")
+
+
+def test_weighted_group_quantiles_semantics(spark):
+    """Planted values pin the E61 contract: (1) weights move the CDF —
+    values [1, 10] with weights [9, 1] put the median at 1 but the
+    token-mass p95 at 10; (2) unit weights reduce EXACTLY to
+    exact_group_quantiles (the E50 rank rule generalizes); (3) NULL
+    values and NULL weights are dropped; (4) validation raises."""
+    import pytest
+
+    from audience_finder_pro_spark.operators.skew import (
+        exact_group_quantiles,
+        weighted_group_quantiles,
+    )
+
+    rows = [("a", 1, 9), ("a", 10, 1), ("a", None, 5), ("a", 7, None)]
+    df = spark.createDataFrame(rows, "k string, v int, w int")
+    got = {
+        (r.k, r.q): r.quantile
+        for r in weighted_group_quantiles(
+            df, ["k"], "v", "w", [0.5, 0.75, 1.0]
+        ).collect()
+    }
+    # W=10: targets ceil(.5*10)=5 -> 1 (cum 9), ceil(.75*10)=8 -> 1, 1.0 -> 10
+    assert got == {("a", 0.5): 1, ("a", 0.75): 1, ("a", 1.0): 10}
+
+    # unit weights ≡ E50 on a multiplicity-bearing key
+    rows2 = [("b", v, 1) for v in (1, 1, 1, 9, 9)]
+    df2 = spark.createDataFrame(rows2, "k string, v int, w int")
+    qs = [0.0, 0.25, 0.5, 0.75, 1.0]
+    w_got = sorted(
+        (r.q, r.quantile)
+        for r in weighted_group_quantiles(df2, ["k"], "v", "w", qs).collect()
+    )
+    e_got = sorted(
+        (r.q, r.quantile)
+        for r in exact_group_quantiles(df2.drop("w"), ["k"], "v", qs).collect()
+    )
+    assert w_got == e_got
+
+    with pytest.raises(ValueError):
+        weighted_group_quantiles(df, ["k"], "v", "w", [])
+    with pytest.raises(ValueError):
+        weighted_group_quantiles(df, ["k"], "v", "w", [-0.1])
+
+
 # ------------------------------------------- E54 seasonal decomposition
 def test_seasonal_trend_matches_sql_oracle(spark, sf_dir):
     """Declared past the 50-slot driver cap — this is its correctness
