@@ -276,3 +276,74 @@ def split_leakage_audit(
             "is_leak", (F.col("split_a") != F.col("split_b")).cast("int")
         )
     )
+
+
+def diverse_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 10_000,
+) -> DataFrame:
+    """k-center greedy (farthest-point) diverse subset over an embedding
+    column (E62): eval-set construction — k documents that COVER the
+    corpus's semantic spread instead of redrawing its majority modes,
+    which is what any frequency-proportional sampler (E15/E28) does by
+    design. Greedy farthest-point is the classic 2-approximation of the
+    optimal k-center radius (Gonzalez 1985).
+
+    Determinism and scale contract (the BPE/PQ-fit precedent): the
+    greedy is inherently sequential (each pick needs min-distances to
+    every prior pick), so it runs driver-side over the ``sample_n``
+    LOWEST-ID vectors — bounded model state, stable under partitioning —
+    seeded at the lowest id, distance ties broken to the lowest id.
+    The returned centers are the model artifact; corpus-wide COVERAGE
+    (nearest-center assignment) is the distributed read half and stays
+    a broadcast-argmax projection (see `diverse_eval_sample`'s query).
+
+    Returns (id_col, pick_order, dist_at_pick): dist_at_pick is the
+    cosine distance from the pick to the nearest EARLIER pick (the
+    covering-radius trajectory — decreasing, and pick k's value is the
+    radius certificate: every sampled point sits within it of some
+    center). pick_order 0 is the seed (dist NULL)."""
+    import numpy as np
+
+    if k < 1:
+        raise ValueError("diverse_sample needs k >= 1")
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    if len(rows) < k:
+        raise ValueError(f"diverse_sample: sample has {len(rows)} rows < k={k}")
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    mat = mat / norms
+
+    picks = [0]  # lowest id seeds
+    dists = [None]
+    mind = 1.0 - mat @ mat[0]
+    for _ in range(1, k):
+        best = np.max(mind)
+        # ties at the farthest distance break to the LOWEST id
+        cand = np.flatnonzero(mind >= best - 1e-12)
+        nxt = int(cand[np.argmin(ids[cand])])
+        picks.append(nxt)
+        dists.append(float(round(best, 6)))
+        mind = np.minimum(mind, 1.0 - mat @ mat[nxt])
+
+    spark = df.sparkSession
+    out = [
+        (ids[p].item(), order, dists[order])
+        for order, p in enumerate(picks)
+    ]
+    id_field = df.select(id_col).schema.fields[0]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            id_field,
+            T.StructField("pick_order", T.IntegerType()),
+            T.StructField("dist_at_pick", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema)

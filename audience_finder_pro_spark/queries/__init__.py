@@ -51,6 +51,7 @@ _STATEFUL_PLANS = {
     # 0.018s lesson)
     "audience_overlap",
     "audience_retention",  # collects the per-period sketch state at build
+    "diverse_eval_sample",  # collects the greedy k-center sample at build
     "mad_outliers",
     "pq_search",
     "ivfpq_search",

@@ -3864,3 +3864,43 @@ def token_weighted_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_group_quantiles(
         lengths, ["source"], "n_tok", "n_tok", qs=[0.25, 0.5, 0.75]
     )
+
+
+@_q("diverse_eval_sample", None)  # no SQL oracle by taxonomy (iterative greedy model)
+def diverse_eval_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse eval-set construction over the embeddings corpus (E62,
+    operators/sampling.diverse_sample): 20 farthest-point picks (the
+    k-center greedy 2-approximation) plus the distributed coverage
+    read — every corpus vector assigned to its nearest pick (broadcast
+    argmax projection, the `similarity._assign` machinery), counted per
+    center. Frequency-proportional samplers (E15 stratified, E28
+    Gumbel) redraw the corpus's majority modes by design; an eval set
+    needs the SPREAD — this is the operator that buys it. No SQL oracle
+    by the iterative-model taxonomy (greedy selection state); planted
+    geometry/determinism/radius-certificate gates in pytest, driver
+    rows-only check. Columns: (vec_id, pick_order, dist_at_pick,
+    n_members)."""
+    from audience_finder_pro_spark.operators.sampling import diverse_sample
+    from audience_finder_pro_spark.operators.similarity import _assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sel = diverse_sample(emb, k=20, id_col="vec_id", vec_col="embedding")
+    centers = (
+        sel.select("vec_id", "pick_order")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            F.col("pick_order").alias("cent_id"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    assigned = _assign(emb.select("vec_id", "embedding"), centers, "embedding")
+    counts = assigned.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        sel.join(counts, sel.pick_order == counts.cent_id, "left")
+        .select(
+            "vec_id",
+            "pick_order",
+            F.round("dist_at_pick", 6).alias("dist_at_pick"),
+            F.coalesce("n_members", F.lit(0)).alias("n_members"),
+        )
+    )

@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "salted_join_segments",
     "token_weighted_quantiles",
+    "diverse_eval_sample",  # Spark-only stage (iterative greedy - no comparator)
     "pq_search",  # Spark-only stage (trained quantizer - no comparator)
     "exact_quantiles",
     "kll_quantiles",  # Spark-only stage (sketch taxonomy - no comparator)

@@ -3719,3 +3719,69 @@ def test_ivfpq_recall_and_routing(spark, sf_smoke):
     with pytest.raises(ValueError):
         ivfpq_topk(df, qs.limit(0), k=5, n_lists=4, n_probe=2, m=4,
                    n_codes=16, sample_n=160, dim=16)
+
+
+# ------------------------------------ E62 k-center diverse eval sampling
+def test_diverse_sample_geometry_and_determinism(spark):
+    """Planted geometry pins the E62 contract: (1) on 4 well-separated
+    clusters, k=4 picks EXACTLY one point per cluster (farthest-point
+    can't redraw a covered mode — the property frequency-proportional
+    samplers lack); (2) the seed is the lowest id and distance ties
+    break to the lowest id; (3) dist_at_pick is non-increasing and the
+    last pick's value certifies the covering radius — every sampled
+    point sits within it of some center; (4) the selection is identical
+    across partitionings (lowest-id sample rule); (5) validation
+    raises."""
+    import numpy as np
+    import pytest
+
+    from audience_finder_pro_spark.operators.sampling import diverse_sample
+
+    rng = np.random.RandomState(3)
+    base = np.eye(4).repeat(4, axis=1) * 10.0  # 4 orthogonal-ish centers
+    rows = []
+    for cid in range(4):
+        for i in range(25):
+            v = base[cid] + rng.normal(0, 0.03, 16)
+            rows.append((cid * 25 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    sel = diverse_sample(df, k=4, sample_n=100)
+    got = sorted((r.pick_order, r.vec_id) for r in sel.collect())
+    assert got[0] == (0, 0)  # lowest-id seed
+    assert sorted(v // 25 for _, v in got) == [0, 1, 2, 3]  # one per cluster
+    dists = [r.dist_at_pick for r in sel.orderBy("pick_order").collect()][1:]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))  # non-increasing
+
+    # radius certificate: every point within dist of its nearest center
+    mat = np.array([v for _, v in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    centers = mat[[v for _, v in got]]
+    radius = (1.0 - centers @ mat.T).min(axis=0).max()
+    assert radius <= dists[-1] + 1e-9
+
+    # partitioning independence
+    sel7 = sorted(
+        (r.pick_order, r.vec_id)
+        for r in diverse_sample(df.repartition(7), k=4, sample_n=100).collect()
+    )
+    assert sel7 == got
+
+    with pytest.raises(ValueError):
+        diverse_sample(df, k=0)
+    with pytest.raises(ValueError):
+        diverse_sample(df, k=200, sample_n=100)
+
+
+def test_diverse_eval_sample_query_covers_corpus(spark, sf_smoke):
+    """The declared query's coverage read: 20 picks, member counts sum
+    to the corpus size (every vector assigned to exactly one center),
+    and the frame is deterministic across invocations."""
+    from audience_finder_pro_spark.queries import QUERIES
+
+    a = QUERIES["diverse_eval_sample"](spark, sf_smoke).collect()
+    n_emb = load_table(spark, sf_smoke, "embeddings").count()
+    assert len(a) == 20
+    assert sum(r.n_members for r in a) == n_emb
+    b = QUERIES["diverse_eval_sample"](spark, sf_smoke).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
