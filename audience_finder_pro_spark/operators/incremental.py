@@ -682,3 +682,96 @@ def topk_from_state(state: DataFrame, k: int = 10) -> DataFrame:
             (F.col("w") + F.col("base")).alias("n_upper"),
         )
     )
+
+
+DECAY_HORIZON = 30  # halvings until a contribution quantizes to zero
+
+
+def decayed_state(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    time_col: str,
+    ref_date: str,
+    half_life_days: int = 7,
+) -> DataFrame:
+    """Mergeable per-key TIME-DECAYED engagement state (E63): the
+    recency-weighted score every audience dashboard wants ("hot
+    communities now", the reference's interest-score loop made
+    time-aware) as an EXACT integer-arithmetic monoid — the fifth leg
+    of the incremental tier.
+
+    The trick that keeps it exact: exponential decay is quantized to
+    POWER-OF-TWO weights at half-life resolution —
+    ``weight = 2^(HORIZON − floor(age/half_life))``, age in whole days
+    before ``ref_date`` (future events clamp to full weight; past
+    ``HORIZON`` halvings the weight quantizes to zero — the declared
+    30-halving horizon). value × weight is a DECIMAL × integer product
+    and the state sum is exact decimal addition: associative,
+    commutative, partition- and merge-order-independent, and SQL-
+    replayable — unlike float exp() decay, which drifts by summation
+    order and may differ across engines' libm in the last ulp.
+
+    ``ref_date`` is DECLARED MODEL STATE (the E42 bounds rule) and
+    rides the state frame as a column: states built at different
+    references do NOT silently combine — ``merge_decayed_states``
+    groups by it, so a mismatched merge yields visibly separate rows
+    instead of a wrong sum. Re-referencing is a rebuild by design
+    (an integer state cannot be rescaled exactly).
+
+    State: (keys..., ref_date, n, decayed_sum) — read scores with
+    ``decayed_read`` (normalizes by 2^HORIZON so weights read as
+    2^-age_units ≤ 1)."""
+    if half_life_days < 1:
+        raise ValueError("decayed_state needs half_life_days >= 1")
+    age_days = F.datediff(F.lit(ref_date).cast("date"), F.col(time_col).cast("date"))
+    units = F.greatest(F.floor(age_days / F.lit(half_life_days)), F.lit(0))
+    # 2^(HORIZON − units) as an explicit integer CASE over the bounded
+    # unit domain — exact, whole-stage-codegen'd, no float pow anywhere
+    weight = None
+    for u in range(DECAY_HORIZON + 1):
+        arm = F.lit(1 << (DECAY_HORIZON - u)).cast("long")
+        weight = (
+            F.when(units == u, arm) if weight is None else weight.when(units == u, arm)
+        )
+    weight = weight.otherwise(F.lit(0).cast("long"))
+    term = F.col(value_col).cast("decimal(18,4)") * weight.cast("decimal(12,0)")
+    return (
+        df.filter(F.col(value_col).isNotNull() & F.col(time_col).isNotNull())
+        .groupBy(*key_cols, F.lit(ref_date).alias("ref_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(term).alias("decayed_sum"),
+        )
+    )
+
+
+def merge_decayed_states(states: list[DataFrame]) -> DataFrame:
+    """Merge ``decayed_state`` frames: per-(keys, ref_date) exact
+    decimal addition — the E41 monoid contract. ref_date participates
+    in the grouping, so states built against different references stay
+    separate rows (visible) rather than combining wrongly (silent)."""
+    if not states:
+        raise ValueError("merge_decayed_states needs at least one state frame")
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    key_cols = [c for c in merged.columns if c not in ("n", "decayed_sum")]
+    return merged.groupBy(*key_cols).agg(
+        F.sum("n").alias("n"),
+        F.sum("decayed_sum").alias("decayed_sum"),
+    )
+
+
+def decayed_read(state: DataFrame) -> DataFrame:
+    """Score read off a (possibly merged) decayed state: (keys...,
+    ref_date, n, score) with score = decayed_sum / 2^HORIZON rounded to
+    4dp — one division of the exact sum, deterministic cross-engine."""
+    key_cols = [c for c in state.columns if c not in ("n", "decayed_sum")]
+    return state.select(
+        *key_cols,
+        "n",
+        F.round(
+            F.col("decayed_sum").cast("double") / F.lit(float(1 << DECAY_HORIZON)), 4
+        ).alias("score"),
+    )

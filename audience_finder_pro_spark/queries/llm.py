@@ -3904,3 +3904,63 @@ def diverse_eval_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_members", F.lit(0)).alias("n_members"),
         )
     )
+
+
+# ------------------------------------------- E63 time-decayed engagement
+# The oracle replays the exact integer-weight arithmetic: whole-day age
+# before the declared reference, power-of-two weight at half-life
+# resolution via a bigint shift, DECIMAL products and sums — so the
+# incremental three-slice merge must hash-match the one-pass recompute
+# with no float discipline beyond the single normalizing division.
+_DECAYED_ORACLE = """
+WITH t AS (
+  SELECT event_type, value,
+         greatest(CAST(floor(date_diff('day', CAST(ts AS DATE),
+                                       DATE '2024-02-01') / 7) AS INT),
+                  0) AS units
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+)
+SELECT event_type, DATE '2024-02-01' AS ref_date, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))
+                      * CAST(CASE WHEN units <= 30
+                                  THEN (CAST(1 AS BIGINT) << (30 - units))
+                                  ELSE 0 END AS DECIMAL(12,0)))
+                  AS DOUBLE) / 1073741824.0, 4) AS score
+FROM t GROUP BY 1, 2
+"""
+
+
+@_q("decayed_engagement", None)  # declared past the 50-slot cap; standalone gate
+def decayed_engagement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement per event type (E63,
+    operators/incremental.decayed_state): the "hot right now" score —
+    each event's value halves per 7 days of age before the declared
+    2024-02-01 reference — computed the INCREMENTAL way (three
+    event_id%3 slice states merged by exact decimal addition) against a
+    one-pass oracle. Decay quantized to power-of-two integer weights is
+    what makes a time-decay EXACT and mergeable (float exp() decay
+    drifts by summation order and libm); the reference recomputes its
+    interest scores per request with no recency at all (app.py:222-258).
+    ``_DECAYED_ORACLE`` is the standalone DuckDB comparator (pytest
+    hash gate at sf0.01 and sf0.1 + bench comparator)."""
+    from audience_finder_pro_spark.operators.incremental import (
+        decayed_read,
+        decayed_state,
+        merge_decayed_states,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "ts", "event_id"
+    )
+    states = [
+        decayed_state(
+            ev.filter(F.col("event_id") % 3 == i).drop("event_id"),
+            ["event_type"],
+            "value",
+            "ts",
+            ref_date="2024-02-01",
+            half_life_days=7,
+        )
+        for i in range(3)
+    ]
+    return decayed_read(merge_decayed_states(states))

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "salted_join_segments",
     "token_weighted_quantiles",
     "diverse_eval_sample",  # Spark-only stage (iterative greedy - no comparator)
+    "decayed_engagement",
     "pq_search",  # Spark-only stage (trained quantizer - no comparator)
     "exact_quantiles",
     "kll_quantiles",  # Spark-only stage (sketch taxonomy - no comparator)
@@ -176,6 +177,7 @@ def _extra_oracles() -> dict[str, str]:
     from audience_finder_pro_spark.queries.llm import (
         _ANOMALY_ORACLE,
         _CALIBRATION_ORACLE,
+        _DECAYED_ORACLE,
         _HASHED_EMB_ORACLE,
         _HISTOGRAM_ORACLE,
         _INCREMENTAL_ORACLE,
@@ -205,6 +207,7 @@ def _extra_oracles() -> dict[str, str]:
         "heavy_hitters": _HEAVY_HITTERS_ORACLE,
         "salted_join_segments": _SALTED_JOIN_ORACLE,
         "token_weighted_quantiles": _WEIGHTED_QUANTILE_ORACLE,
+        "decayed_engagement": _DECAYED_ORACLE,
         "exact_quantiles": _QUANTILE_ORACLE,
         "doc_communities": _lp_oracle(),
         "seasonal_trend": _SEASONAL_ORACLE,

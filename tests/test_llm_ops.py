@@ -3785,3 +3785,132 @@ def test_diverse_eval_sample_query_covers_corpus(spark, sf_smoke):
     assert sum(r.n_members for r in a) == n_emb
     b = QUERIES["diverse_eval_sample"](spark, sf_smoke).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------ E63 time-decayed engagement state
+def test_decayed_engagement_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _DECAYED_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["decayed_engagement"](spark, sf_dir), _DECAYED_ORACLE,
+            sf_dir, name="decayed_engagement")
+
+
+def test_decayed_state_exactness_and_merge_algebra(spark):
+    """Planted events pin the E63 contract: (1) hand-computed decay —
+    value 8 today + value 8 one half-life ago reads 8 + 4 = 12.0; (2)
+    future events clamp to full weight; (3) past the 30-halving horizon
+    the contribution quantizes to zero; (4) the state is an EXACT
+    monoid: any slicing/merge order reads bit-identically to one pass;
+    (5) states at different reference dates stay SEPARATE rows through
+    a merge instead of combining wrongly; (6) validation raises."""
+    import datetime
+
+    import pytest
+
+    from audience_finder_pro_spark.operators.incremental import (
+        decayed_read,
+        decayed_state,
+        merge_decayed_states,
+    )
+
+    REF = "2024-03-01"
+
+    def ev(days_before_ref, value):
+        d = datetime.datetime(2024, 3, 1, 12, 0) - datetime.timedelta(
+            days=days_before_ref
+        )
+        return ("k", d, float(value))
+
+    rows = [
+        ev(0, 8.0),       # weight 1
+        ev(7, 8.0),       # one half-life -> weight 1/2
+        ev(-3, 2.0),      # future -> clamps to full weight
+        ev(7 * 31, 999.0),  # past the horizon -> zero
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    got = decayed_read(
+        decayed_state(df, ["g"], "value", "ts", ref_date=REF, half_life_days=7)
+    ).collect()
+    assert len(got) == 1
+    assert (got[0].n, got[0].score) == (4, 8.0 + 4.0 + 2.0 + 0.0)
+
+    # exact monoid: every 2-slicing reads identically to the one-pass state
+    from pyspark.sql import functions as F
+
+    one = decayed_state(df, ["g"], "value", "ts", ref_date=REF).collect()
+    for i in range(3):
+        mixer = F.pmod(F.xxhash64("ts", F.lit(i)), F.lit(2))
+        states = [
+            decayed_state(
+                df.filter(mixer == j), ["g"], "value", "ts", ref_date=REF
+            )
+            for j in range(2)
+        ]
+        merged = merge_decayed_states(states).collect()
+        assert sorted(map(tuple, merged)) == sorted(map(tuple, one)), i
+
+    # mixed references stay visibly separate
+    s1 = decayed_state(df, ["g"], "value", "ts", ref_date=REF)
+    s2 = decayed_state(df, ["g"], "value", "ts", ref_date="2024-04-01")
+    mixed = merge_decayed_states([s1, s2]).collect()
+    assert len(mixed) == 2
+    assert len({str(r.ref_date) for r in mixed}) == 2
+
+    with pytest.raises(ValueError):
+        decayed_state(df, ["g"], "value", "ts", ref_date=REF, half_life_days=0)
+    with pytest.raises(ValueError):
+        merge_decayed_states([])
+
+
+def test_decayed_state_streams_through_foreachbatch(spark, sf_smoke, tmp_path):
+    """E63 through the generalized incremental-rollup seam: per-epoch
+    decayed deltas merged across 3 epochs read back the one-pass batch
+    state bit-for-bit (exact decimal monoid — the E41 guarantee on the
+    time-decayed sum)."""
+    from audience_finder_pro_spark.operators.incremental import (
+        decayed_read,
+        decayed_state,
+        merge_decayed_states,
+    )
+    from audience_finder_pro_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        latest_rollup_state,
+        run_stream_incremental_rollup,
+    )
+
+    src = tmp_path / "src"
+    state = str(tmp_path / "state")
+    src.mkdir()
+    base = load_table(spark, sf_smoke, "events")
+    base.repartition(3).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_stream_incremental_rollup(
+        stream,
+        ["event_type"],
+        "value",
+        state,
+        str(tmp_path / "ck"),
+        state_fn=lambda b: decayed_state(
+            b, ["event_type"], "value", "ts", ref_date="2024-02-01"
+        ),
+        merge_fn=merge_decayed_states,
+    )
+    streamed = sorted(
+        tuple(r) for r in decayed_read(latest_rollup_state(spark, state)).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in decayed_read(
+            decayed_state(base, ["event_type"], "value", "ts", ref_date="2024-02-01")
+        ).collect()
+    )
+    assert streamed == batch
