@@ -775,3 +775,84 @@ def decayed_read(state: DataFrame) -> DataFrame:
             F.col("decayed_sum").cast("double") / F.lit(float(1 << DECAY_HORIZON)), 4
         ).alias("score"),
     )
+
+
+def trend_state(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    origin_date: str,
+    decimal_type: str = "decimal(18,4)",
+) -> DataFrame:
+    """Mergeable per-key least-squares TREND state (E64): the sufficient
+    statistics of a per-key regression of value on time — "is this
+    source's quality rising or falling", "which event types are
+    accelerating" — as an exact monoid (the sixth incremental-tier
+    leg). A standing pipeline absorbs each day's delta into five sums
+    and reads the refreshed slope without rescanning history.
+
+    x is the WHOLE-DAY index since ``origin_date`` (declared model
+    state, riding the frame like E63's ref_date — mismatched origins
+    stay separate rows through a merge); y is the value as exact
+    decimal. State: (keys..., origin, n, sum_x, sum_x2, sum_y, sum_xy)
+    — integer and decimal sums only, so merging is exact addition in
+    any order and the state is SQL-replayable. The slope itself is
+    derived at READ time (``trend_read``) from the exact sums in one
+    deterministic double expression. NULL times/values are dropped."""
+    x = F.datediff(F.col(time_col).cast("date"), F.lit(origin_date).cast("date"))
+    y = F.col(value_col).cast(decimal_type)
+    return (
+        df.filter(F.col(value_col).isNotNull() & F.col(time_col).isNotNull())
+        .groupBy(*key_cols, F.lit(origin_date).alias("origin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast("bigint")).alias("sum_x"),
+            F.sum((x * x).cast("bigint")).alias("sum_x2"),
+            F.sum(y).alias("sum_y"),
+            F.sum(y * x.cast("decimal(10,0)")).alias("sum_xy"),
+        )
+    )
+
+
+_TREND_SUMS = ("n", "sum_x", "sum_x2", "sum_y", "sum_xy")
+
+
+def merge_trend_states(states: list[DataFrame]) -> DataFrame:
+    """Merge ``trend_state`` frames: component-wise exact addition (the
+    E41 monoid contract); origins participate in the grouping, so
+    states regressed against different origins never combine
+    silently."""
+    if not states:
+        raise ValueError("merge_trend_states needs at least one state frame")
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    key_cols = [c for c in merged.columns if c not in _TREND_SUMS]
+    return merged.groupBy(*key_cols).agg(
+        *[F.sum(c).alias(c) for c in _TREND_SUMS]
+    )
+
+
+def trend_read(state: DataFrame) -> DataFrame:
+    """Slope/intercept read off a (possibly merged) trend state:
+    (keys..., origin, n, slope, intercept) — slope in value units per
+    DAY via the closed form (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), NULL
+    when the key has a single distinct day (denominator 0); intercept
+    at the origin. One double expression over exact sums — same sums,
+    same answer, any merge history."""
+    key_cols = [c for c in state.columns if c not in _TREND_SUMS]
+    n = F.col("n").cast("double")
+    sx = F.col("sum_x").cast("double")
+    sx2 = F.col("sum_x2").cast("double")
+    sy = F.col("sum_y").cast("double")
+    sxy = F.col("sum_xy").cast("double")
+    den = n * sx2 - sx * sx
+    slope = F.when(den != 0, (n * sxy - sx * sy) / den)
+    intercept = F.when(den != 0, (sy - slope * sx) / n)
+    return state.select(
+        *key_cols,
+        "n",
+        F.round(slope, 4).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+    )

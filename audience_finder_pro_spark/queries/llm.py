@@ -3964,3 +3964,75 @@ def decayed_engagement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(3)
     ]
     return decayed_read(merge_decayed_states(states))
+
+
+# ------------------------------------------- E64 per-key trend state
+# The oracle replays the sufficient statistics (integer day index,
+# DECIMAL y and xy sums — all exact) and the closed-form slope /
+# intercept in one double expression — so the three-slice incremental
+# merge must hash-match the one-pass regression with float discipline
+# confined to the final division.
+_TREND_ORACLE = """
+WITH t AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(value AS DECIMAL(18,4)) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+s AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(x AS BIGINT)) AS sum_x,
+         sum(CAST(x * x AS BIGINT)) AS sum_x2,
+         sum(y) AS sum_y,
+         sum(y * CAST(x AS DECIMAL(10,0))) AS sum_xy
+  FROM t GROUP BY 1
+)
+SELECT event_type, DATE '2024-01-01' AS origin, n,
+       round((CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+              - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+                - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)), 4) AS slope,
+       round((CAST(sum_y AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                  - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+                    - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)))
+                * CAST(sum_x AS DOUBLE))
+             / CAST(n AS DOUBLE), 4) AS intercept
+FROM s
+"""
+
+
+@_q("engagement_trend", None)  # declared past the 50-slot cap; standalone gate
+def engagement_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value trend over the fixture month (E64,
+    operators/incremental.trend_state): the least-squares slope of
+    value on whole-day age since the declared 2024-01-01 origin —
+    "which event types are accelerating" — computed the INCREMENTAL way
+    (three event_id%3 slice states merged by exact component addition)
+    against a one-pass oracle. The state is five integer/decimal sums,
+    so merging is exact in any order and the slope derives at read time
+    from one double expression (the reference has no trend reads at
+    all — its dashboard is a point-in-time recompute, app.py:222-258).
+    ``_TREND_ORACLE`` is the standalone DuckDB comparator (pytest hash
+    gate at sf0.01 and sf0.1 + bench comparator)."""
+    from audience_finder_pro_spark.operators.incremental import (
+        merge_trend_states,
+        trend_read,
+        trend_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "ts", "event_id"
+    )
+    states = [
+        trend_state(
+            ev.filter(F.col("event_id") % 3 == i).drop("event_id"),
+            ["event_type"],
+            "ts",
+            "value",
+            origin_date="2024-01-01",
+        )
+        for i in range(3)
+    ]
+    return trend_read(merge_trend_states(states))

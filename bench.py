@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "token_weighted_quantiles",
     "diverse_eval_sample",  # Spark-only stage (iterative greedy - no comparator)
     "decayed_engagement",
+    "engagement_trend",
     "pq_search",  # Spark-only stage (trained quantizer - no comparator)
     "exact_quantiles",
     "kll_quantiles",  # Spark-only stage (sketch taxonomy - no comparator)
@@ -178,6 +179,7 @@ def _extra_oracles() -> dict[str, str]:
         _ANOMALY_ORACLE,
         _CALIBRATION_ORACLE,
         _DECAYED_ORACLE,
+        _TREND_ORACLE,
         _HASHED_EMB_ORACLE,
         _HISTOGRAM_ORACLE,
         _INCREMENTAL_ORACLE,
@@ -208,6 +210,7 @@ def _extra_oracles() -> dict[str, str]:
         "salted_join_segments": _SALTED_JOIN_ORACLE,
         "token_weighted_quantiles": _WEIGHTED_QUANTILE_ORACLE,
         "decayed_engagement": _DECAYED_ORACLE,
+        "engagement_trend": _TREND_ORACLE,
         "exact_quantiles": _QUANTILE_ORACLE,
         "doc_communities": _lp_oracle(),
         "seasonal_trend": _SEASONAL_ORACLE,

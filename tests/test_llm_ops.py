@@ -3914,3 +3914,73 @@ def test_decayed_state_streams_through_foreachbatch(spark, sf_smoke, tmp_path):
         ).collect()
     )
     assert streamed == batch
+
+
+# ------------------------------------ E64 per-key trend state
+def test_engagement_trend_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _TREND_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["engagement_trend"](spark, sf_dir), _TREND_ORACLE,
+            sf_dir, name="engagement_trend")
+
+
+def test_trend_state_exactness_and_merge_algebra(spark):
+    """Planted series pin the E64 contract: (1) a perfect line y=2x+5
+    over days 0..4 reads slope 2.0 / intercept 5.0 exactly; (2) a
+    single-day key reads NULL slope (degenerate denominator), never a
+    division error; (3) the state is an exact monoid — any slicing
+    merges bit-identically to one pass; (4) mixed origins stay separate
+    rows; (5) validation raises on empty merge."""
+    import datetime
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.incremental import (
+        merge_trend_states,
+        trend_read,
+        trend_state,
+    )
+
+    def ev(g, day, value):
+        return (g, datetime.datetime(2024, 1, 1 + day, 6, 0), float(value))
+
+    rows = [ev("lin", d, 2 * d + 5) for d in range(5)] + [
+        ev("flat", 2, 7.0), ev("flat", 2, 9.0)  # one distinct day
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    got = {
+        r.g: (r.n, r.slope, r.intercept)
+        for r in trend_read(
+            trend_state(df, ["g"], "ts", "value", origin_date="2024-01-01")
+        ).collect()
+    }
+    assert got["lin"] == (5, 2.0, 5.0)
+    assert got["flat"][1] is None and got["flat"][2] is None
+
+    one = sorted(
+        map(tuple, trend_state(df, ["g"], "ts", "value",
+                               origin_date="2024-01-01").collect())
+    )
+    for i in range(3):
+        mixer = F.pmod(F.xxhash64("ts", "value", F.lit(i)), F.lit(2))
+        states = [
+            trend_state(df.filter(mixer == j), ["g"], "ts", "value",
+                        origin_date="2024-01-01")
+            for j in range(2)
+        ]
+        assert sorted(map(tuple, merge_trend_states(states).collect())) == one, i
+
+    s2 = trend_state(df, ["g"], "ts", "value", origin_date="2024-01-02")
+    mixed = merge_trend_states(
+        [trend_state(df, ["g"], "ts", "value", origin_date="2024-01-01"), s2]
+    )
+    assert mixed.count() == 4  # 2 keys x 2 origins
+
+    with pytest.raises(ValueError):
+        merge_trend_states([])
