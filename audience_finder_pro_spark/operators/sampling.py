@@ -311,6 +311,22 @@ def diverse_sample(
     if k < 1:
         raise ValueError("diverse_sample needs k >= 1")
     rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    if not rows:
+        # empty source (a fresh partition, an all-filtered shard): the
+        # standard empty-input degradation — an empty frame with the
+        # output schema, not an error
+        from pyspark.sql import types as T
+
+        return df.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    df.select(id_col).schema.fields[0],
+                    T.StructField("pick_order", T.IntegerType()),
+                    T.StructField("dist_at_pick", T.DoubleType()),
+                ]
+            ),
+        )
     if len(rows) < k:
         raise ValueError(f"diverse_sample: sample has {len(rows)} rows < k={k}")
     ids = np.array([r[0] for r in rows])

@@ -3772,6 +3772,14 @@ def test_diverse_sample_geometry_and_determinism(spark):
     with pytest.raises(ValueError):
         diverse_sample(df, k=200, sample_n=100)
 
+    # empty source degrades to an empty frame (the empty-partition
+    # contract every declared query honors), not an error
+    import pyspark.sql.functions as SF
+
+    empty = diverse_sample(df.filter(SF.col("vec_id") < 0), k=4)
+    assert empty.count() == 0
+    assert empty.columns == ["vec_id", "pick_order", "dist_at_pick"]
+
 
 def test_diverse_eval_sample_query_covers_corpus(spark, sf_smoke):
     """The declared query's coverage read: 20 picks, member counts sum

@@ -276,23 +276,25 @@ def test_zorder_scan_query_matches_oracle_and_prunes(spark, sf_dir):
     the query's own 2-D predicate — the probe's bounding box overlaps
     at most half the files' (value, user_id) min/max boxes."""
     import os
+    import tempfile
 
     import pyarrow.parquet as pq
 
     from audience_finder_pro_spark.queries import QUERIES
-    from audience_finder_pro_spark.queries.relational import (
-        _ZORDER_SCAN_ORACLE,
-        _ZORDER_BUILT,
-    )
+    from audience_finder_pro_spark.queries.relational import _ZORDER_SCAN_ORACLE
     from tests.oracle import compare
 
     df = QUERIES["zorder_scan"](spark, sf_dir)
     compare(df, _ZORDER_SCAN_ORACLE, sf_dir, name="zorder_scan")
 
-    # the path the query wrote (single entry per (session, sf))
-    paths = [p for p in _ZORDER_BUILT if f"_{os.getpid()}" in p]
-    assert paths, _ZORDER_BUILT
-    path = paths[-1]
+    # the path the query wrote — recomputed by the query's own formula
+    # (scanning the module dict picked up OTHER tests' empty-fixture
+    # layouts, whose files have zero row groups)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"afp_events_zorder_{tag}_{os.getpid()}"
+    )
+    assert os.path.exists(path), path
     files = [f for f in os.listdir(path) if f.endswith(".parquet")]
     touched = 0
     for f in files:
