@@ -4036,3 +4036,79 @@ def engagement_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(3)
     ]
     return trend_read(merge_trend_states(states))
+
+
+# ------------------------------------------- E65 A/B experiment lift
+# The oracle replays the salted-md5 assignment (mixture_split's proven
+# bucket expression), the exact decimal sufficient statistics, and the
+# Welch read as one double expression per column — so the hash match
+# verifies assignment, stats, and readout end-to-end.
+def _ab_lift_oracle() -> str:
+    from audience_finder_pro_spark.operators.sampling import hash_bucket_sql
+
+    b = hash_bucket_sql("user_id", "exp1")
+    return f"""
+    WITH assigned AS (
+      SELECT event_type, value,
+             CASE WHEN {b} < 5000 THEN 'A' ELSE 'B' END AS variant
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, variant, count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,4))) AS sx,
+             sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS sx2
+      FROM assigned GROUP BY 1, 2
+    )
+    SELECT c.event_type, c.n AS n_control, t.n AS n_treatment,
+           round(CAST(c.sx AS DOUBLE) / c.n, 4) AS mean_control,
+           round(CAST(t.sx AS DOUBLE) / t.n, 4) AS mean_treatment,
+           round(100.0 * (CAST(t.sx AS DOUBLE) / t.n - CAST(c.sx AS DOUBLE) / c.n)
+                 / (CAST(c.sx AS DOUBLE) / c.n), 4) AS lift_pct,
+           round((CAST(t.sx AS DOUBLE) / t.n - CAST(c.sx AS DOUBLE) / c.n)
+                 / sqrt(((CAST(t.sx2 AS DOUBLE)
+                          - CAST(t.sx AS DOUBLE) * CAST(t.sx AS DOUBLE) / t.n)
+                         / (t.n - 1)) / t.n
+                        + ((CAST(c.sx2 AS DOUBLE)
+                            - CAST(c.sx AS DOUBLE) * CAST(c.sx AS DOUBLE) / c.n)
+                           / (c.n - 1)) / c.n), 4) AS z
+    FROM (SELECT * FROM s WHERE variant = 'A') c
+    JOIN (SELECT * FROM s WHERE variant = 'B') t USING (event_type)
+    """
+
+
+@_q("ab_experiment_lift", None)  # declared past the 50-slot cap; standalone gate
+def ab_experiment_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment lift per event type (E65,
+    operators/experiment.ab_lift): users deterministically assigned
+    50/50 by the salted-hash bucket (E4's machinery, salt 'exp1' — a
+    different coin than split/sample salts by construction), exact
+    decimal sufficient statistics per (event_type, variant) built the
+    INCREMENTAL way (three event_id%3 slices merged), and the
+    mean/lift/Welch-z readout derived from the exact sums in one double
+    expression. ``_ab_lift_oracle()`` replays assignment, statistics
+    and readout (pytest hash gate at sf0.01 and sf0.1 + bench
+    comparator)."""
+    from audience_finder_pro_spark.operators.experiment import (
+        ab_lift,
+        experiment_stats,
+        merge_experiment_stats,
+    )
+    from audience_finder_pro_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "user_id", "event_id"
+    )
+    assigned = ev.withColumn(
+        "variant",
+        F.when(hash_bucket("user_id", "exp1") < 5000, "A").otherwise("B"),
+    )
+    states = [
+        experiment_stats(
+            assigned.filter(F.col("event_id") % 3 == i).drop("event_id"),
+            ["event_type"],
+            "variant",
+            "value",
+        )
+        for i in range(3)
+    ]
+    return ab_lift(merge_experiment_stats(states), control="A", treatment="B")

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "diverse_eval_sample",  # Spark-only stage (iterative greedy - no comparator)
     "decayed_engagement",
     "engagement_trend",
+    "ab_experiment_lift",
     "pq_search",  # Spark-only stage (trained quantizer - no comparator)
     "exact_quantiles",
     "kll_quantiles",  # Spark-only stage (sketch taxonomy - no comparator)
@@ -172,6 +173,7 @@ def _extra_oracles() -> dict[str, str]:
         _RRF_ORACLE,
     )
     from audience_finder_pro_spark.queries.llm import (
+        _ab_lift_oracle,
         _leakage_audit_oracle,
         _lp_oracle,
     )
@@ -211,6 +213,7 @@ def _extra_oracles() -> dict[str, str]:
         "token_weighted_quantiles": _WEIGHTED_QUANTILE_ORACLE,
         "decayed_engagement": _DECAYED_ORACLE,
         "engagement_trend": _TREND_ORACLE,
+        "ab_experiment_lift": _ab_lift_oracle(),
         "exact_quantiles": _QUANTILE_ORACLE,
         "doc_communities": _lp_oracle(),
         "seasonal_trend": _SEASONAL_ORACLE,

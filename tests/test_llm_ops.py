@@ -3992,3 +3992,67 @@ def test_trend_state_exactness_and_merge_algebra(spark):
 
     with pytest.raises(ValueError):
         merge_trend_states([])
+
+
+# ------------------------------------ E65 A/B experiment lift readout
+def test_ab_experiment_lift_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _ab_lift_oracle
+    from tests.oracle import compare
+
+    compare(QUERIES["ab_experiment_lift"](spark, sf_dir), _ab_lift_oracle(),
+            sf_dir, name="ab_experiment_lift")
+
+
+def test_ab_lift_semantics_and_merge_algebra(spark):
+    """Planted arms pin the E65 contract: (1) hand-computed read —
+    control [10, 10, 10, 10] vs treatment [11, 13]: means 10 and 12,
+    lift +20%, var_t = 2, var_c = 0, z = (12−10)/sqrt(2/2 + 0/4) = 2.0;
+    (2) the stats frame is an exact monoid (any slicing merges
+    identically); (3) single-row arms read NULL variance legs without
+    dividing by zero (z NULL when se degenerates to 0); (4) key groups
+    missing an arm are dropped; (5) empty merge raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.experiment import (
+        ab_lift,
+        experiment_stats,
+        merge_experiment_stats,
+    )
+
+    rows = (
+        [("g1", "A", 10.0)] * 4 + [("g1", "B", 11.0), ("g1", "B", 13.0)]
+        + [("g2", "A", 5.0)]  # no B arm -> dropped
+    )
+    df = spark.createDataFrame(rows, "g string, variant string, x double")
+    stats = experiment_stats(df, ["g"], "variant", "x")
+    got = ab_lift(stats, control="A", treatment="B").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.g, r.n_control, r.n_treatment) == ("g1", 4, 2)
+    assert (r.mean_control, r.mean_treatment, r.lift_pct, r.z) == (
+        10.0, 12.0, 20.0, 2.0,
+    )
+
+    one = sorted(map(tuple, stats.collect()))
+    for i in range(3):
+        mixer = F.pmod(F.xxhash64("variant", "x", F.lit(i)), F.lit(2))
+        states = [
+            experiment_stats(df.filter(mixer == j), ["g"], "variant", "x")
+            for j in range(2)
+        ]
+        assert sorted(map(tuple, merge_experiment_stats(states).collect())) == one
+
+    # degenerate arms: n=1 both sides -> variance NULL -> z NULL
+    tiny = spark.createDataFrame(
+        [("g", "A", 4.0), ("g", "B", 6.0)], "g string, variant string, x double"
+    )
+    t = ab_lift(experiment_stats(tiny, ["g"], "variant", "x"), "A", "B").collect()[0]
+    assert t.z is None and t.lift_pct == 50.0
+
+    with pytest.raises(ValueError):
+        merge_experiment_stats([])
