@@ -1134,6 +1134,151 @@ def main() -> None:
     print(f"label_propagation: {n_cliques * 6:,} edges / {n_cliques * 4:,} nodes, "
           f"3 sweeps in {t_lp:.1f}s; every label == clique min (closed form)")
 
+    # ------- r11: Misra-Gries heavy hitters (E59) — the SAMPLED regime at
+    # scale: 200k*factor rows where item 0 takes 40%, item 1 takes 20%,
+    # and the tail is ~0.4*n DISTINCT items (so capacity 1,000 is
+    # overwhelmed ~4000x). Closed-form truths: n0 = 0.4n, n1 = 0.2n; the
+    # mergeable-summaries contract demands n_lower <= true <= n_upper for
+    # both heads AND rank order preserved, with base <= n/(capacity+1)
+    # summed over the 4 slices.
+    from audience_finder_pro_spark.operators.incremental import (
+        merge_topk_states,
+        topk_from_state,
+        topk_state,
+    )
+
+    n_hh = 200_000 * factor
+    hh = (
+        spark.range(n_hh)
+        .select(
+            F.lit("k").alias("g"),
+            F.when(F.col("id") % 10 < 4, F.lit(0))
+            .when(F.col("id") % 10 < 6, F.lit(1))
+            .otherwise(F.col("id"))
+            .alias("item"),
+            F.col("id"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+    )
+    t0 = time.time()
+    hh_states = [
+        topk_state(hh.filter(F.col("id") % 4 == i).drop("id"), ["g"], "item",
+                   capacity=1_000)
+        for i in range(4)
+    ]
+    hh_top = {
+        r.item: (r.rank, r.n_lower, r.n_upper)
+        for r in topk_from_state(
+            merge_topk_states(hh_states, capacity=1_000), k=2
+        ).collect()
+    }
+    t_hh = time.time() - t0
+    true0, true1 = n_hh * 4 // 10, n_hh * 2 // 10
+    assert hh_top[0][0] == 1 and hh_top[1][0] == 2, hh_top
+    assert hh_top[0][1] <= true0 <= hh_top[0][2], (hh_top[0], true0)
+    assert hh_top[1][1] <= true1 <= hh_top[1][2], (hh_top[1], true1)
+    err0 = (true0 - hh_top[0][1]) / true0
+    print(f"topk_state: {n_hh:,} rows, ~{int(n_hh*0.4):,} distinct items vs "
+          f"capacity 1,000 (4 slices merged) in {t_hh:.1f}s; heads ranked "
+          f"correctly, bounds contain truth, head-0 undercount {err0:.1%}")
+
+    # ------- r11: salted skew join (E60) — 95% of 200k*factor rows on ONE
+    # key against a 1,000-row dimension; result row count must equal the
+    # plain join's exactly (salting is a physical rewrite, never semantic).
+    from audience_finder_pro_spark.operators.skew import salted_join
+
+    big_j = (
+        spark.range(n_hh)
+        .select(
+            F.when(F.col("id") % 20 != 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("rid"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+    )
+    dim_j = spark.range(1000).select(
+        F.col("id").alias("k"), F.concat(F.lit("seg"), F.col("id")).alias("seg")
+    )
+    t0 = time.time()
+    n_salted = salted_join(big_j, dim_j, on="k", salt=32).count()
+    t_sj = time.time() - t0
+    t0 = time.time()
+    n_plain = big_j.join(dim_j, "k").count()
+    t_pj = time.time() - t0
+    assert n_salted == n_plain, (n_salted, n_plain)
+    print(f"salted_join: {n_hh:,} rows, 95% on one key, x1,000-row dim: "
+          f"salted {t_sj:.1f}s vs plain {t_pj:.1f}s (AQE on), counts equal "
+          f"({n_salted:,})")
+
+    # ------- r11: the three new exact monoids (E63 decayed / E64 trend /
+    # E65 experiment) at factor scale: 100k*factor events, 4 hash slices
+    # merged must equal the one-pass state BIT-FOR-BIT (decimal/integer
+    # sums — the E41 guarantee; this is the property float decay/variance
+    # would lose at exactly this row count).
+    from audience_finder_pro_spark.operators.experiment import (
+        experiment_stats,
+        merge_experiment_stats,
+    )
+    from audience_finder_pro_spark.operators.incremental import (
+        decayed_state,
+        merge_decayed_states,
+        merge_trend_states,
+        trend_state,
+    )
+
+    n_ev = 100_000 * factor
+    ev_big = (
+        spark.range(n_ev)
+        .select(
+            F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("event_type"),
+            (F.col("id") % 997 / F.lit(2.0)).alias("value"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + (F.col("id") % (30 * 86400))
+            ).alias("ts"),
+            F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("variant"),
+            F.col("id"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+    )
+    slicer = lambda i: ev_big.filter(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(4)) == i).drop("id")
+    one_pass = ev_big.drop("id")
+    t0 = time.time()
+    checks = [
+        (
+            "decayed_state",
+            sorted(map(tuple, merge_decayed_states(
+                [decayed_state(slicer(i), ["event_type"], "value", "ts",
+                               ref_date="2024-02-01") for i in range(4)]
+            ).collect())),
+            sorted(map(tuple, decayed_state(one_pass, ["event_type"], "value",
+                                            "ts", ref_date="2024-02-01").collect())),
+        ),
+        (
+            "trend_state",
+            sorted(map(tuple, merge_trend_states(
+                [trend_state(slicer(i), ["event_type"], "ts", "value",
+                             origin_date="2024-01-01") for i in range(4)]
+            ).collect())),
+            sorted(map(tuple, trend_state(one_pass, ["event_type"], "ts",
+                                          "value", origin_date="2024-01-01").collect())),
+        ),
+        (
+            "experiment_stats",
+            sorted(map(tuple, merge_experiment_stats(
+                [experiment_stats(slicer(i), ["event_type"], "variant", "value")
+                 for i in range(4)]
+            ).collect())),
+            sorted(map(tuple, experiment_stats(one_pass, ["event_type"],
+                                               "variant", "value").collect())),
+        ),
+    ]
+    t_mono = time.time() - t0
+    for name, merged_rows, one_rows in checks:
+        assert merged_rows == one_rows, name
+    print(f"exact monoids (E63/E64/E65): {n_ev:,} rows, 4-slice merge == "
+          f"one-pass BIT-FOR-BIT for all three states, {t_mono:.1f}s total")
+
 
 if __name__ == "__main__":
     main()
