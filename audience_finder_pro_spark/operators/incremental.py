@@ -580,14 +580,21 @@ def topk_state(
     w_rank = Window.partitionBy(*key_cols).orderBy(
         F.col("_n").desc(), F.col("item").asc()
     )
-    ranked = counts.withColumn("_r", F.row_number().over(w_rank))
+    # ONE rank<=capacity+1 filter on the window: the WindowGroupLimit
+    # form — each map task pre-truncates its partition to capacity+1
+    # rows BEFORE the per-key sort, so a key with a billion distinct
+    # items ships n_partitions x (capacity+1) rows to its reducer, never
+    # the full distinct-item frame (the same reason op/topk.py exists)
+    top_plus = counts.withColumn("_r", F.row_number().over(w_rank)).filter(
+        F.col("_r") <= capacity + 1
+    )
     # t = the (capacity+1)-th largest count per key (0 if none): the
     # decrement that turns exact counts into a capacity-bounded summary
     t_per_key = (
-        ranked.filter(F.col("_r") == capacity + 1)
+        top_plus.filter(F.col("_r") == capacity + 1)
         .select(*key_cols, F.col("_n").alias("_t"))
     )
-    joined = ranked.filter(F.col("_r") <= capacity).join(
+    joined = top_plus.filter(F.col("_r") <= capacity).join(
         F.broadcast(t_per_key), list(key_cols), "left"
     )
     return (
@@ -636,13 +643,16 @@ def merge_topk_states(states: list[DataFrame], capacity: int = 64) -> DataFrame:
     w_rank = Window.partitionBy(*key_cols).orderBy(
         F.col("_w").desc(), F.col("item").asc()
     )
-    ranked = sums.withColumn("_r", F.row_number().over(w_rank))
+    # the same WindowGroupLimit form as topk_state's build
+    top_plus = sums.withColumn("_r", F.row_number().over(w_rank)).filter(
+        F.col("_r") <= capacity + 1
+    )
     t_per_key = (
-        ranked.filter(F.col("_r") == capacity + 1)
+        top_plus.filter(F.col("_r") == capacity + 1)
         .select(*key_cols, F.col("_w").alias("_t"))
     )
     joined = (
-        ranked.filter(F.col("_r") <= capacity)
+        top_plus.filter(F.col("_r") <= capacity)
         .join(F.broadcast(t_per_key), list(key_cols), "left")
         .join(F.broadcast(bases), list(key_cols), "left")
     )

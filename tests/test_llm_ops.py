@@ -3283,6 +3283,25 @@ def test_topk_state_bounds_and_merge_algebra(spark):
         topk_from_state(st, k=0)
 
 
+def test_topk_state_plan_is_window_group_limited(spark, sf_smoke):
+    """The (capacity+1)-selection must plan as WindowGroupLimit — each
+    map task pre-truncates its partition to capacity+1 rows BEFORE the
+    per-key sort, so a key with a billion distinct items ships
+    n_partitions x (capacity+1) rows, never the full distinct-item
+    frame. (Caveat pinned here: a LITERAL partition key constant-folds
+    the window spec and defeats the rewrite — real key columns get it.)"""
+    from audience_finder_pro_spark.operators.incremental import topk_state
+
+    ev = load_table(spark, sf_smoke, "events")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        st = topk_state(ev, ["event_type"], "user_id", capacity=50)
+        plan = st._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WindowGroupLimit" in plan
+
+
 def test_topk_state_streams_through_foreachbatch(spark, sf_smoke, tmp_path):
     """E59 through the generalized incremental-rollup seam: per-epoch
     Misra-Gries deltas counter-merged across 3 epochs read back the
