@@ -13,6 +13,21 @@ The reference recomputes every dashboard count from scratch per request
 (app.py:222-258, behind a 1-hour TTL cache); this is the operator that
 makes the rollup incremental instead.
 
+The tier's state catalog (every leg streams through the same
+foreachBatch state_fn/merge_fn seam, streaming/jobs.py):
+
+| leg | state | merge contract |
+|---|---|---|
+| E41 rollup_state        | n/sum/min/max (DECIMAL)   | EXACT monoid |
+| E42 histogram_state     | integer bin counts        | EXACT monoid |
+| E46 distinct_state      | HLL sketch                | bounded (±error; order-sensitive at estimate level — documented) |
+| E48 theta_state         | Theta set sketch          | exact below 2^lg_k, bounded past (intersect/difference reads) |
+| E51 kll_state           | KLL quantile sketch       | bounded rank error; n exact |
+| E59 topk_state          | Misra-Gries counters      | exact below capacity; [w, w+base] containment past |
+| E63 decayed_state       | power-of-two-weighted DECIMAL sums | EXACT monoid (ref_date rides the frame) |
+| E64 trend_state         | regression sufficient stats | EXACT monoid (origin rides the frame) |
+| (op/experiment.py E65)  | per-arm n/Σx/Σx²          | EXACT monoid |
+
 Scale shape:
 - `rollup_state` is ONE map-side-combined groupBy over the batch; the
   state frame is bounded by |keys × buckets| — orders of magnitude
