@@ -414,13 +414,17 @@ def ivfpq_topk(
     quantity, so ``approx_sim = 1 − d2/2`` is unchanged. Cost: n_probe
     LUTs per query instead of one (still bounded driver state) and a
     centroid matrix in the encode closure. Use it when rerank bandwidth
-    binds at compression-heavy m — with the measured caveat that in the
-    DENSE regime it is no rescue: at 1M vectors (64 tight clusters,
-    true top-10 among ~15k near-identical neighbors), m=8 rerank ×5
-    reads 0.240 direct vs 0.270 residual (scripts/ann_scale_stress.py,
-    r11 ledger) — the m=32 geometry remains the answer there; residual
-    earns its cost when cluster structure, not noise, dominates the
-    quantization error. Returns (query_id, vec_id, approx_sim, rank)."""
+    binds at compression-heavy m. The measured boundary (r11 ledger,
+    scripts/ann_scale_stress.py + scripts/residual_regime.py): residual
+    earns its cost when the COARSE-CELL COUNT approaches or exceeds
+    n_codes — direct codes then spend their capacity re-encoding which
+    cell a vector is in (which routing already knows): at 1,024 cells /
+    256 codes, m=8 rerank ×5 reads 0.515 residual vs 0.370 direct. With
+    few cells (16–64 ≪ 256 codes) the per-subspace k-means allocates
+    codes within clusters on its own and the two tie (0.27 vs 0.24
+    noise-dominated; 0.43 vs 0.44 tight-cluster) — there the m=32
+    geometry, not residual coding, is the recall answer.
+    Returns (query_id, vec_id, approx_sim, rank)."""
     from audience_finder_pro_spark.operators.similarity import (
         _assign,
         _centroid_rows,
