@@ -262,3 +262,66 @@ def chunk_documents(
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).cast("long").alias("n_tokens"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    avg_tokens: int = 32,
+    salt: str = "cdc",
+) -> DataFrame:
+    """Content-defined chunking (E66): chunk boundaries decided by the
+    CONTENT (a salted hash of each token), not by position — the
+    property fixed-stride chunking (E9's `chunk_documents`) lacks that
+    matters for chunk-level dedup: inserting a sentence at the head of
+    a document shifts every fixed-stride chunk (all hashes change, dedup
+    sees nothing), while content-defined boundaries REALIGN after the
+    edit, so every chunk past it hashes identically and chunk-level
+    dedup survives edits (the rsync/LBFS/backup-dedup principle, on
+    tokens).
+
+    Boundary rule: token t ends a chunk iff
+    ``md5(salt:t) mod avg_tokens == 0`` — expected chunk length is
+    ``avg_tokens``, geometric distribution (no min/max clamps: the
+    closed-form rule is what the SQL oracle replays; production CDC
+    adds clamps at the cost of that replay). A token's chunk id is the
+    number of boundary tokens STRICTLY before it in the document.
+
+    Scale shape: one posexplode of the token array, a per-document
+    cumulative window (bounded by document length — the sessionize
+    contract), one map-side-combined regroup per (doc, chunk). Returns
+    (id_col, chunk, n_tokens, chunk_hash, chunk_text); chunk_hash =
+    md5 of the space-joined chunk — the dedup key."""
+    from audience_finder_pro_spark.functions.text import tokens
+    from audience_finder_pro_spark.operators.sampling import hash_bucket
+
+    if avg_tokens < 2:
+        raise ValueError("cdc_chunks needs avg_tokens >= 2")
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    bd = (hash_bucket("tok", salt, buckets=avg_tokens) == 0).cast("int")
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    chunked = toks.withColumn(
+        "chunk", F.coalesce(F.sum(bd).over(w), F.lit(0)).cast("int")
+    )
+    regrouped = chunked.groupBy(id_col, "chunk").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+    return regrouped.select(
+        id_col,
+        "chunk",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_hash"),
+        "chunk_text",
+    )

@@ -27,18 +27,18 @@ from pyspark.sql import functions as F
 BUCKETS = 10_000  # rate resolution: 0.01%
 
 
-def hash_bucket(id_col: Column | str, salt: str) -> Column:
-    """Deterministic bucket in [0, BUCKETS) from a salted md5 of the id."""
+def hash_bucket(id_col: Column | str, salt: str, buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets) from a salted md5 of the id."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 15), 16, 10)
-    return F.pmod(h.cast("long"), F.lit(BUCKETS))
+    return F.pmod(h.cast("long"), F.lit(buckets))
 
 
-def hash_bucket_sql(id_expr: str, salt: str) -> str:
+def hash_bucket_sql(id_expr: str, salt: str, buckets: int = BUCKETS) -> str:
     """DuckDB expression computing the identical bucket (oracle side)."""
     return (
         f"CAST(concat('0x', substr(md5('{salt}:' || CAST({id_expr} AS VARCHAR)), 1, 15))"
-        f" AS BIGINT) % {BUCKETS}"
+        f" AS BIGINT) % {buckets}"
     )
 
 

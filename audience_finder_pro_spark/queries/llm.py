@@ -4112,3 +4112,57 @@ def ab_experiment_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(3)
     ]
     return ab_lift(merge_experiment_stats(states), control="A", treatment="B")
+
+
+# ------------------------------------------- E66 content-defined chunking
+# The oracle replays the identical closed form: tokenize, salted-md5
+# boundary rule, strictly-prior cumulative chunk id, per-chunk
+# string_agg over the position order, md5 chunk hash — strings and
+# integers only.
+def _cdc_oracle() -> str:
+    from audience_finder_pro_spark.operators.sampling import hash_bucket_sql
+
+    b = hash_bucket_sql("tok", "cdc", 16)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> length(x) > 0) AS arr
+      FROM documents
+    ),
+    posed AS (
+      SELECT doc_id, unnest(range(1, len(arr) + 1)) AS pos, arr FROM toks
+    ),
+    ptok AS (SELECT doc_id, pos, arr[pos] AS tok FROM posed),
+    bd AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN {b} = 0 THEN 1 ELSE 0 END AS bnd
+      FROM ptok
+    ),
+    ch AS (
+      SELECT doc_id, pos, tok,
+             CAST(coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+               AS chunk
+      FROM bd
+    )
+    SELECT doc_id, chunk, count(*) AS n_tokens,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+    FROM ch GROUP BY 1, 2
+    """
+
+
+@_q("cdc_chunk_docs", None)  # declared past the 50-slot cap; standalone gate
+def cdc_chunk_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking of the documents corpus (E66,
+    operators/packing.cdc_chunks, expected 16 tokens/chunk): chunk
+    boundaries decided by token content, so an edit at the head of a
+    document leaves every chunk past it hash-identical — the
+    shift-resistance that makes CHUNK-level dedup survive edits, which
+    E9's fixed-stride chunking structurally cannot (planted A/B in the
+    pytest gate). ``_cdc_oracle()`` replays tokenize → boundary rule →
+    strictly-prior cumulative chunk id → per-chunk hash (pytest hash
+    gate at sf0.01 and sf0.1 + bench comparator)."""
+    from audience_finder_pro_spark.operators.packing import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunks(docs, avg_tokens=16).drop("chunk_text")

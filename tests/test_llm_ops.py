@@ -4075,3 +4075,71 @@ def test_ab_lift_semantics_and_merge_algebra(spark):
 
     with pytest.raises(ValueError):
         merge_experiment_stats([])
+
+
+# ------------------------------------ E66 content-defined chunking
+def test_cdc_chunk_docs_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _cdc_oracle
+    from tests.oracle import compare
+
+    compare(QUERIES["cdc_chunk_docs"](spark, sf_dir), _cdc_oracle(),
+            sf_dir, name="cdc_chunk_docs")
+
+
+def test_cdc_chunks_shift_resistance(spark):
+    """THE property content-defined boundaries exist for: prepending a
+    sentence to a document leaves every chunk after the first boundary
+    hash-identical (chunk-level dedup survives the edit), while E9's
+    fixed-stride chunks all shift and share (nearly) nothing. Also:
+    chunk ids partition the token stream (sizes sum to the token
+    count), and validation raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.packing import (
+        cdc_chunks,
+        chunk_documents,
+    )
+
+    base = " ".join(f"word{i}" for i in range(300))
+    edited = "six fresh preamble tokens inserted here " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    out = cdc_chunks(df, avg_tokens=16)
+    h1 = [
+        r.chunk_hash
+        for r in out.filter(F.col("doc_id") == 1).orderBy("chunk").collect()
+    ]
+    h2 = {r.chunk_hash for r in out.filter(F.col("doc_id") == 2).collect()}
+    assert len(h1) > 5  # the 300-token doc really did chunk
+    # every chunk of the original except its head prefix survives the edit
+    assert set(h1[1:]) <= h2
+
+    # fixed-stride contrast: the same edit shifts every chunk
+    fixed = chunk_documents(df, chunk_tokens=16, overlap=0)
+    f1 = {
+        r.chunk_text
+        for r in fixed.filter(F.col("doc_id") == 1).collect()
+    }
+    f2 = {
+        r.chunk_text
+        for r in fixed.filter(F.col("doc_id") == 2).collect()
+    }
+    assert len(f1 & f2) <= 1  # at most an accidental tail alignment
+
+    # chunks partition the stream
+    n_tok = (
+        out.filter(F.col("doc_id") == 1)
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert n_tok == 300
+
+    with pytest.raises(ValueError):
+        cdc_chunks(df, avg_tokens=1)
