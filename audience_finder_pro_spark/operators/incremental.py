@@ -578,6 +578,14 @@ def topk_state(
     the BOUNDED PERSISTED STATE — capacity rows per key per day instead
     of the unbounded distinct-item frame.
 
+    Degenerate-tie preservation (r11 ADVICE): when every one of a key's
+    top capacity+1 counts ties at t, the reduction keeps NO item rows —
+    the key-level decrement t would vanish with them and the [w, w+base]
+    containment bound silently under-report. Such keys emit a SENTINEL
+    row (item NULL, w 0, base t) so the base survives the state and
+    every merge; NULL items never collide with data (the build filters
+    NULL items on input) and reads skip them.
+
     Exactness contract (the theta_state precedent): while every key's
     distinct-item count stays ≤ capacity at build AND through every
     merge, base stays 0 and w IS the exact count — which is how the
@@ -612,7 +620,7 @@ def topk_state(
     joined = top_plus.filter(F.col("_r") <= capacity).join(
         F.broadcast(t_per_key), list(key_cols), "left"
     )
-    return (
+    kept = (
         joined.withColumn("_tz", F.coalesce(F.col("_t"), F.lit(0)))
         .filter(F.col("_n") > F.col("_tz"))
         .select(
@@ -622,6 +630,21 @@ def topk_state(
             F.col("_tz").cast("bigint").alias("base"),
         )
     )
+    item_type = counts.schema["item"].dataType
+    # keys whose every top-(capacity+1) count tied at t lose all item
+    # rows above — preserve their decrement as a sentinel (see docstring)
+    sentinels = (
+        t_per_key.join(
+            kept.select(*key_cols).distinct(), list(key_cols), "left_anti"
+        )
+        .select(
+            *key_cols,
+            F.lit(None).cast(item_type).alias("item"),
+            F.lit(0).cast("bigint").alias("w"),
+            F.col("_t").cast("bigint").alias("base"),
+        )
+    )
+    return kept.unionByName(sentinels)
 
 
 def merge_topk_states(states: list[DataFrame], capacity: int = 64) -> DataFrame:
@@ -632,7 +655,10 @@ def merge_topk_states(states: list[DataFrame], capacity: int = 64) -> DataFrame:
     largest reduction re-bounds the merged state. Exact-mode inputs
     whose union stays ≤ capacity distinct items per key merge exactly
     (base stays 0); past that, bases add — the documented mergeable-
-    summaries bound, honest like the theta/HLL contracts."""
+    summaries bound, honest like the theta/HLL contracts. Sentinel rows
+    (item NULL — see ``topk_state``) contribute their base, never a
+    counter, and keys that lose every item to a degenerate tie in THIS
+    reduction re-emit a sentinel so the bound survives chained merges."""
     if not states:
         raise ValueError("merge_topk_states needs at least one state frame")
     if capacity < 1:
@@ -654,7 +680,12 @@ def merge_topk_states(states: list[DataFrame], capacity: int = 64) -> DataFrame:
         .groupBy(*key_cols)
         .agg(F.sum("_b").alias("_base_in"))
     )
-    sums = merged.groupBy(*key_cols, "item").agg(F.sum("w").alias("_w"))
+    # sentinels (item NULL) carry base only — they never count as items
+    sums = (
+        merged.filter(F.col("item").isNotNull())
+        .groupBy(*key_cols, "item")
+        .agg(F.sum("w").alias("_w"))
+    )
     w_rank = Window.partitionBy(*key_cols).orderBy(
         F.col("_w").desc(), F.col("item").asc()
     )
@@ -671,7 +702,7 @@ def merge_topk_states(states: list[DataFrame], capacity: int = 64) -> DataFrame:
         .join(F.broadcast(t_per_key), list(key_cols), "left")
         .join(F.broadcast(bases), list(key_cols), "left")
     )
-    return (
+    kept = (
         joined.withColumn("_tz", F.coalesce(F.col("_t"), F.lit(0)))
         .filter(F.col("_w") > F.col("_tz"))
         .select(
@@ -683,13 +714,39 @@ def merge_topk_states(states: list[DataFrame], capacity: int = 64) -> DataFrame:
             .alias("base"),
         )
     )
+    item_type = merged.schema["item"].dataType
+    # keys with a positive merged base but no surviving items (all input
+    # rows were sentinels, or every merged count tied at t) keep their
+    # bound through a sentinel row
+    base_out = bases.join(
+        F.broadcast(t_per_key), list(key_cols), "left"
+    ).select(
+        *key_cols,
+        (F.coalesce(F.col("_base_in"), F.lit(0)) + F.coalesce(F.col("_t"), F.lit(0)))
+        .cast("bigint")
+        .alias("base"),
+    )
+    sentinels = (
+        base_out.filter(F.col("base") > 0)
+        .join(kept.select(*key_cols).distinct(), list(key_cols), "left_anti")
+        .select(
+            *key_cols,
+            F.lit(None).cast(item_type).alias("item"),
+            F.lit(0).cast("bigint").alias("w"),
+            "base",
+        )
+    )
+    return kept.unionByName(sentinels)
 
 
 def topk_from_state(state: DataFrame, k: int = 10) -> DataFrame:
     """Top-k heavy-hitter read off a (possibly merged) state:
     (keys..., item, rank, n_lower, n_upper) — n_lower = w (guaranteed
     floor), n_upper = w + base (ceiling; equal in exact mode).
-    Deterministic total order (w desc, item asc)."""
+    Deterministic total order (w desc, item asc). Sentinel rows (item
+    NULL, base carriers for degenerate-tie keys) are not items and are
+    skipped — a sentinel-only key reads as no known hitters, every
+    candidate bounded above by its base."""
     if k < 1:
         raise ValueError("topk_from_state needs k >= 1")
     key_cols = [c for c in state.columns if c not in ("item", "w", "base")]
@@ -697,7 +754,8 @@ def topk_from_state(state: DataFrame, k: int = 10) -> DataFrame:
         F.col("w").desc(), F.col("item").asc()
     )
     return (
-        state.withColumn("rank", F.row_number().over(w_rank))
+        state.filter(F.col("item").isNotNull())
+        .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
         .select(
             *key_cols,

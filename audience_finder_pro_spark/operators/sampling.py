@@ -305,7 +305,11 @@ def diverse_sample(
     cosine distance from the pick to the nearest EARLIER pick (the
     covering-radius trajectory — decreasing, and pick k's value is the
     radius certificate: every sampled point sits within it of some
-    center). pick_order 0 is the seed (dist NULL)."""
+    center). pick_order 0 is the seed (dist NULL). Picked rows leave
+    the candidate pool, so the k returned ids are always distinct; if
+    the sample has fewer than k distinct VECTORS, the tail picks are
+    duplicate vectors of earlier centers at dist_at_pick 0 — an honest
+    "spread exhausted" reading, never a repeated id (r11 ADVICE)."""
     import numpy as np
 
     if k < 1:
@@ -338,6 +342,11 @@ def diverse_sample(
     picks = [0]  # lowest id seeds
     dists = [None]
     mind = 1.0 - mat @ mat[0]
+    # picked indices leave the candidate pool outright (r11 ADVICE: with
+    # fewer than k distinct vectors, best ~ 0 and the tie window would
+    # re-admit already-picked rows, duplicating picks) — sample_n ≥ k is
+    # guaranteed above, so the pool never runs dry
+    mind[0] = -np.inf
     for _ in range(1, k):
         best = np.max(mind)
         # ties at the farthest distance break to the LOWEST id
@@ -346,6 +355,7 @@ def diverse_sample(
         picks.append(nxt)
         dists.append(float(round(best, 6)))
         mind = np.minimum(mind, 1.0 - mat @ mat[nxt])
+        mind[nxt] = -np.inf
 
     spark = df.sparkSession
     out = [

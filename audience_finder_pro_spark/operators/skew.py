@@ -58,6 +58,11 @@ def salted_agg(
         else:
             raise ValueError(f"non-algebraic aggregate {fn!r} cannot be salted")
 
+    if "__salt" in df.columns:
+        raise ValueError(
+            "salted_agg: input already carries a '__salt' column — "
+            "rename or drop it before salting"
+        )
     salted = df.withColumn("__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt)))
     partial = salted.groupBy(*keys, "__salt").agg(
         *[
@@ -254,6 +259,14 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if salt < 2:
         raise ValueError("salted_join needs salt >= 2")
+    if "__salt" in big.columns or "__salt" in small.columns:
+        # withColumn would silently overwrite a caller's column (e.g. a
+        # frame that came out of another salted op) and the final drop
+        # would destroy it — refuse instead (r11 ADVICE)
+        raise ValueError(
+            "salted_join: an input already carries a '__salt' column — "
+            "rename or drop it before salting"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     big_salted = big.withColumn(
         "__salt",

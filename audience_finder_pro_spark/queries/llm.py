@@ -4058,21 +4058,37 @@ def _ab_lift_oracle() -> str:
              sum(CAST(value AS DECIMAL(18,4))) AS sx,
              sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS sx2
       FROM assigned GROUP BY 1, 2
+    ),
+    -- degenerate-group guards mirror the engine exactly (r11 ADVICE):
+    -- variance NULL when an arm has n < 2, z NULL unless se > 0 (NULL
+    -- se propagates), lift NULL when the control mean is 0 — so a
+    -- fixture with a constant-metric or single-row arm degrades to the
+    -- same NULLs on both sides instead of diverging on a division
+    d AS (
+      SELECT c.event_type, c.n AS n_control, t.n AS n_treatment,
+             CAST(c.sx AS DOUBLE) / c.n AS mc,
+             CAST(t.sx AS DOUBLE) / t.n AS mt,
+             CASE WHEN t.n >= 2
+                  THEN (CAST(t.sx2 AS DOUBLE)
+                        - CAST(t.sx AS DOUBLE) * CAST(t.sx AS DOUBLE) / t.n)
+                       / (t.n - 1) END AS vt,
+             CASE WHEN c.n >= 2
+                  THEN (CAST(c.sx2 AS DOUBLE)
+                        - CAST(c.sx AS DOUBLE) * CAST(c.sx AS DOUBLE) / c.n)
+                       / (c.n - 1) END AS vc
+      FROM (SELECT * FROM s WHERE variant = 'A') c
+      JOIN (SELECT * FROM s WHERE variant = 'B') t USING (event_type)
     )
-    SELECT c.event_type, c.n AS n_control, t.n AS n_treatment,
-           round(CAST(c.sx AS DOUBLE) / c.n, 4) AS mean_control,
-           round(CAST(t.sx AS DOUBLE) / t.n, 4) AS mean_treatment,
-           round(100.0 * (CAST(t.sx AS DOUBLE) / t.n - CAST(c.sx AS DOUBLE) / c.n)
-                 / (CAST(c.sx AS DOUBLE) / c.n), 4) AS lift_pct,
-           round((CAST(t.sx AS DOUBLE) / t.n - CAST(c.sx AS DOUBLE) / c.n)
-                 / sqrt(((CAST(t.sx2 AS DOUBLE)
-                          - CAST(t.sx AS DOUBLE) * CAST(t.sx AS DOUBLE) / t.n)
-                         / (t.n - 1)) / t.n
-                        + ((CAST(c.sx2 AS DOUBLE)
-                            - CAST(c.sx AS DOUBLE) * CAST(c.sx AS DOUBLE) / c.n)
-                           / (c.n - 1)) / c.n), 4) AS z
-    FROM (SELECT * FROM s WHERE variant = 'A') c
-    JOIN (SELECT * FROM s WHERE variant = 'B') t USING (event_type)
+    SELECT event_type, n_control, n_treatment,
+           round(mc, 4) AS mean_control,
+           round(mt, 4) AS mean_treatment,
+           round(CASE WHEN mc <> 0 THEN 100.0 * (mt - mc) / mc END, 4)
+             AS lift_pct,
+           round(CASE WHEN sqrt(vt / n_treatment + vc / n_control) > 0
+                      THEN (mt - mc)
+                           / sqrt(vt / n_treatment + vc / n_control) END, 4)
+             AS z
+    FROM d
     """
 
 

@@ -302,6 +302,18 @@ def test_salted_join_equals_plain_join(spark, sf_smoke):
         salted_join(ev, dim, on="k", how="full")
     with _pytest.raises(ValueError):
         salted_join(ev, dim, on="k", salt=1)
+    # r11 ADVICE: a pre-existing '__salt' column would be silently
+    # overwritten and then dropped — both sides must refuse
+    with _pytest.raises(ValueError, match="__salt"):
+        salted_join(ev.withColumn("__salt", F.lit(0)), dim, on="k")
+    with _pytest.raises(ValueError, match="__salt"):
+        salted_join(ev, dim.withColumn("__salt", F.lit(0)), on="k")
+    from audience_finder_pro_spark.operators.skew import salted_agg
+
+    with _pytest.raises(ValueError, match="__salt"):
+        salted_agg(
+            ev.withColumn("__salt", F.lit(0)), ["k"], {"n": ("*", "count")}
+        )
 
 
 def test_partitioned_parquet_sink_prunes(spark, sf_smoke, tmp_path):
