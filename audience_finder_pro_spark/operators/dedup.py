@@ -748,3 +748,72 @@ def source_overlap(
             ).alias("pairs_per_million"),
         )
     )
+
+
+def chunk_dedup_verdicts(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    partial_threshold: float = 0.3,
+    dup_threshold: float = 0.8,
+) -> DataFrame:
+    """Chunk-level dedup verdicts over a content-defined chunk stream
+    (the E66+A9 composition the CDC operator exists for, VERDICT r11
+    ask #3): the rsync-style CONTAINMENT detector. Exact dedup (this
+    module, `exact_dedup`) answers "is this document a copy"; the
+    repeated-passage rule (E25) approximates "does it CONTAIN copied
+    spans" positionally; this operator answers it exactly at chunk
+    granularity — because `cdc_chunks` (operators/packing.py) realigns
+    chunk boundaries after edits, a document that embeds another's text
+    keeps hash-identical chunks past every splice point, which
+    fixed-stride chunking structurally loses.
+
+    Rule: a chunk INSTANCE is duplicated iff a LOWER-id document carries
+    a chunk with the same hash (the keep-first canonical-owner rule
+    `exact_dedup` uses, at chunk grain). Per document:
+    dup_frac = duplicated-chunk tokens / total tokens, rounded to 4dp
+    BEFORE thresholding (identical boundary behavior in any engine);
+    verdict = 'duplicate' (>= dup_threshold), 'partial'
+    (>= partial_threshold), else 'unique'. The corpus owner of fresh
+    text reads 'unique' by construction — downstream keeps owners and
+    drops/flags containments.
+
+    Scale shape: only (id, n_tokens, chunk_hash) go on the wire — never
+    chunk text; ONE hash-partitioned exchange feeds the per-hash
+    min-owner window, and the per-doc verdict is a map-side-combined
+    regroup on the id. No joins, no all-pairs anything: cost is linear
+    in chunk count at any corpus size.
+
+    Returns (id_col, n_chunks, n_tokens, dup_chunks, dup_tokens,
+    dup_frac, verdict). Fully SQL-replayable (integer sums + one
+    division) — the declared `cdc_chunk_dedup` query hash-gates it."""
+    if not 0.0 < partial_threshold <= dup_threshold <= 1.0:
+        raise ValueError(
+            "chunk_dedup_verdicts needs 0 < partial_threshold <= "
+            "dup_threshold <= 1"
+        )
+    slim = chunks.select(id_col, "n_tokens", "chunk_hash")
+    owner_w = Window.partitionBy("chunk_hash")
+    dup = (F.min(id_col).over(owner_w) < F.col(id_col)).cast("int")
+    per_doc = (
+        slim.withColumn("_dup", dup)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("_dup").alias("dup_chunks"),
+            F.sum(F.col("n_tokens") * F.col("_dup")).alias("dup_tokens"),
+        )
+    )
+    frac = F.round(F.col("dup_tokens") / F.col("n_tokens"), 4)
+    return per_doc.select(
+        id_col,
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("dup_chunks").cast("long").alias("dup_chunks"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        frac.alias("dup_frac"),
+        F.when(frac >= F.lit(float(dup_threshold)), "duplicate")
+        .when(frac >= F.lit(float(partial_threshold)), "partial")
+        .otherwise("unique")
+        .alias("verdict"),
+    )

@@ -4135,7 +4135,10 @@ def ab_experiment_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boundary rule, strictly-prior cumulative chunk id, per-chunk
 # string_agg over the position order, md5 chunk hash — strings and
 # integers only.
-def _cdc_oracle() -> str:
+def _cdc_chunk_cte() -> str:
+    """Shared CTE prefix: tokenize -> boundary rule -> strictly-prior
+    cumulative chunk id (the literal replay of cdc_chunks), ending at
+    the per-token frame ``ch`` — both CDC oracles build on it."""
     from audience_finder_pro_spark.operators.sampling import hash_bucket_sql
 
     b = hash_bucket_sql("tok", "cdc", 16)
@@ -4160,11 +4163,55 @@ def _cdc_oracle() -> str:
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
                AS chunk
       FROM bd
-    )
+    )"""
+
+
+def _cdc_oracle() -> str:
+    return (
+        _cdc_chunk_cte()
+        + """
     SELECT doc_id, chunk, count(*) AS n_tokens,
            md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
     FROM ch GROUP BY 1, 2
     """
+    )
+
+
+def _cdc_dedup_oracle() -> str:
+    return (
+        _cdc_chunk_cte()
+        + """,
+    chunks AS (
+      SELECT doc_id, chunk, count(*) AS n_tokens,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+      FROM ch GROUP BY 1, 2
+    ),
+    owned AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN min(doc_id) OVER (PARTITION BY chunk_hash) < doc_id
+                  THEN 1 ELSE 0 END AS dup
+      FROM chunks
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_chunks,
+             sum(n_tokens) AS n_tokens,
+             sum(dup) AS dup_chunks,
+             sum(n_tokens * dup) AS dup_tokens
+      FROM owned GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(dup_chunks AS BIGINT) AS dup_chunks,
+           CAST(dup_tokens AS BIGINT) AS dup_tokens,
+           round(CAST(dup_tokens AS DOUBLE) / n_tokens, 4) AS dup_frac,
+           CASE WHEN round(CAST(dup_tokens AS DOUBLE) / n_tokens, 4) >= 0.8
+                     THEN 'duplicate'
+                WHEN round(CAST(dup_tokens AS DOUBLE) / n_tokens, 4) >= 0.3
+                     THEN 'partial'
+                ELSE 'unique' END AS verdict
+    FROM agg
+    """
+    )
 
 
 @_q("cdc_chunk_docs", None)  # declared past the 50-slot cap; standalone gate
@@ -4182,3 +4229,26 @@ def cdc_chunk_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cdc_chunks(docs, avg_tokens=16).drop("chunk_text")
+
+
+@_q("cdc_chunk_dedup", None)  # declared past the 50-slot cap; standalone gate
+def cdc_chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup verdicts over the documents corpus (the E66+A9
+    composition, operators/dedup.chunk_dedup_verdicts over
+    operators/packing.cdc_chunks at 16 tokens/chunk): per document, the
+    token fraction whose content-defined chunks already exist in a
+    lower-id document, thresholded to unique / partial / duplicate —
+    the rsync-style CONTAINMENT detector CDC chunking exists for.
+    exact_dedup flags whole-document copies and E25's passage rule
+    approximates repeated spans positionally; this is the exact chunk-
+    grain read that survives head edits (the planted shift-resistance
+    A/B in the pytest gate). One hash-keyed exchange for the min-owner
+    window, one per-doc regroup; chunk text never shuffles.
+    ``_cdc_dedup_oracle()`` replays chunking, the lower-id owner rule,
+    and the rounded-then-thresholded verdict (pytest hash gate at
+    sf0.01 and sf0.1 + bench comparator)."""
+    from audience_finder_pro_spark.operators.dedup import chunk_dedup_verdicts
+    from audience_finder_pro_spark.operators.packing import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_dedup_verdicts(cdc_chunks(docs, avg_tokens=16))

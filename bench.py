@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "engagement_trend",
     "ab_experiment_lift",
     "cdc_chunk_docs",
+    "cdc_chunk_dedup",
     "pq_search",  # Spark-only stage (trained quantizer - no comparator)
     "exact_quantiles",
     "kll_quantiles",  # Spark-only stage (sketch taxonomy - no comparator)
@@ -175,6 +176,7 @@ def _extra_oracles() -> dict[str, str]:
     )
     from audience_finder_pro_spark.queries.llm import (
         _ab_lift_oracle,
+        _cdc_dedup_oracle,
         _cdc_oracle,
         _leakage_audit_oracle,
         _lp_oracle,
@@ -217,6 +219,7 @@ def _extra_oracles() -> dict[str, str]:
         "engagement_trend": _TREND_ORACLE,
         "ab_experiment_lift": _ab_lift_oracle(),
         "cdc_chunk_docs": _cdc_oracle(),
+        "cdc_chunk_dedup": _cdc_dedup_oracle(),
         "exact_quantiles": _QUANTILE_ORACLE,
         "doc_communities": _lp_oracle(),
         "seasonal_trend": _SEASONAL_ORACLE,

@@ -4324,6 +4324,57 @@ def test_cdc_chunk_docs_matches_sql_oracle(spark, sf_dir):
             sf_dir, name="cdc_chunk_docs")
 
 
+def test_cdc_chunk_dedup_matches_sql_oracle(spark, sf_dir):
+    """The E66+A9 composition (VERDICT r11 ask #3), declared past the
+    50-slot driver cap — this is its correctness gate, plus the bench
+    comparator via _extra_oracles. Verified at sf0.1 too on landing
+    (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _cdc_dedup_oracle
+    from tests.oracle import compare
+
+    compare(QUERIES["cdc_chunk_dedup"](spark, sf_dir), _cdc_dedup_oracle(),
+            sf_dir, name="cdc_chunk_dedup")
+
+
+def test_chunk_dedup_verdicts_containment_semantics(spark):
+    """Planted corpus pins the composed chunk-dedup contract: (1) an
+    exact copy of a lower-id doc reads dup_frac 1.0 / 'duplicate';
+    (2) the lower-id OWNER of the shared text reads 'unique' (keep-first
+    rule at chunk grain); (3) a doc that embeds the owner's text behind
+    a fresh head reads a strictly-between fraction — the containment
+    case CDC realignment exists for (fixed-stride would read ~0);
+    (4) fresh text reads dup_chunks 0 / 'unique'; (5) thresholds
+    validate."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.dedup import chunk_dedup_verdicts
+    from audience_finder_pro_spark.operators.packing import cdc_chunks
+
+    base = " ".join(f"word{i}" for i in range(300))
+    fresh = " ".join(f"other{i}" for i in range(300))
+    containing = " ".join(f"pre{i}" for i in range(150)) + " " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, containing), (4, fresh)],
+        "doc_id long, text string",
+    )
+    out = chunk_dedup_verdicts(cdc_chunks(df, avg_tokens=16))
+    got = {r.doc_id: r for r in out.collect()}
+
+    assert got[1].verdict == "unique" and got[1].dup_chunks == 0  # owner
+    assert got[2].dup_frac == 1.0 and got[2].verdict == "duplicate"
+    assert 0.0 < got[3].dup_frac < 1.0  # realigned containment visible
+    assert got[3].dup_tokens >= 250  # all but doc-1's head prefix chunk
+    assert got[4].dup_chunks == 0 and got[4].verdict == "unique"
+
+    with pytest.raises(ValueError):
+        chunk_dedup_verdicts(
+            cdc_chunks(df, avg_tokens=16), partial_threshold=0.9,
+            dup_threshold=0.5,
+        )
+
+
 def test_cdc_chunks_shift_resistance(spark):
     """THE property content-defined boundaries exist for: prepending a
     sentence to a document leaves every chunk after the first boundary
