@@ -939,3 +939,89 @@ def trend_read(state: DataFrame) -> DataFrame:
         F.round(slope, 4).alias("slope"),
         F.round(intercept, 4).alias("intercept"),
     )
+
+
+_CATALOG_FAMILIES = ("decayed", "histogram", "rollup", "theta", "topk", "trend")
+
+
+def state_catalog_read(states: dict[str, DataFrame], topk_k: int = 5) -> DataFrame:
+    """Unified read over a CATALOG of merged incremental states (the
+    r11 consolidation ask): one tagged frame a standing daily-ingest
+    pipeline reads after absorbing a delta into EVERY state family it
+    maintains — instead of six separate reads, the dashboard query is
+    one UNION with a fixed schema. Each input is a (possibly merged)
+    state frame of the named family, keyed by exactly ONE key column
+    (the frame's first column, the builders' convention); reads reuse
+    the family read functions, so semantics are identical to the
+    standalone queries.
+
+    Families → legs of the (op, k1, k2, n, v1, v2) frame:
+
+    - ``rollup``  (E41): k2 NULL, n, v1 = sum (4dp), v2 = max (4dp)
+    - ``histogram`` (E42): k2 = bin, n = bin count
+    - ``theta``   (E48): k2 NULL, n = distinct estimate (exact in
+      exact mode — the only leg whose SQL replay is regime-conditional)
+    - ``topk``    (E59): k2 = item, n = w floor, v1 = rank, v2 = w+base
+    - ``decayed`` (E63): k2 = ref_date, n, v1 = score
+    - ``trend``   (E64): k2 = origin, n, v1 = slope, v2 = intercept
+
+    Unknown family names raise; at least one family is required. The
+    declared `state_catalog` query hash-gates the whole frame against
+    a one-pass SQL recompute, and the streaming e2e gate feeds this
+    same read from states maintained by ONE foreachBatch stream
+    (streaming/jobs.run_stream_state_catalog)."""
+    unknown = sorted(set(states) - set(_CATALOG_FAMILIES))
+    if unknown:
+        raise ValueError(f"state_catalog_read: unknown families {unknown}")
+    if not states:
+        raise ValueError("state_catalog_read needs at least one state family")
+
+    legs: list[DataFrame] = []
+
+    def leg(df, op, k1, k2, n, v1, v2):
+        null = F.lit(None)
+        legs.append(
+            df.select(
+                F.lit(op).alias("op"),
+                k1.cast("string").alias("k1"),
+                (k2 if k2 is not None else null).cast("string").alias("k2"),
+                n.cast("bigint").alias("n"),
+                (v1 if v1 is not None else null).cast("double").alias("v1"),
+                (v2 if v2 is not None else null).cast("double").alias("v2"),
+            )
+        )
+
+    for name in sorted(states):
+        st = states[name]
+        key = F.col(st.columns[0])
+        if name == "rollup":
+            leg(
+                st, "rollup", key, None, F.col("n"),
+                F.round(F.col("sum_value").cast("double"), 4),
+                F.round(F.col("max_value").cast("double"), 4),
+            )
+        elif name == "histogram":
+            leg(st, "histogram", key, F.col("bin"), F.col("bin_n"), None, None)
+        elif name == "theta":
+            est = theta_estimate(st)
+            leg(est, "theta", F.col(est.columns[0]), None,
+                F.col("n_distinct"), None, None)
+        elif name == "topk":
+            r = topk_from_state(st, k=topk_k)
+            leg(
+                r, "topk", F.col(r.columns[0]), F.col("item"),
+                F.col("n_lower"), F.col("rank").cast("double"),
+                F.col("n_upper").cast("double"),
+            )
+        elif name == "decayed":
+            r = decayed_read(st)
+            leg(r, "decayed", F.col(r.columns[0]), F.col("ref_date"),
+                F.col("n"), F.col("score"), None)
+        elif name == "trend":
+            r = trend_read(st)
+            leg(r, "trend", F.col(r.columns[0]), F.col("origin"),
+                F.col("n"), F.col("slope"), F.col("intercept"))
+    out = legs[0]
+    for frame in legs[1:]:
+        out = out.unionByName(frame)
+    return out

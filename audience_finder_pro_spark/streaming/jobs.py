@@ -261,6 +261,86 @@ def run_stream_incremental_rollup(
     return q
 
 
+def run_stream_state_catalog(
+    stream_df: DataFrame,
+    catalog: dict,
+    state_root: str,
+    checkpoint: str,
+):
+    """ONE foreachBatch stream maintaining a whole CATALOG of mergeable
+    state families at once (the r11 consolidation ask): ``catalog`` maps
+    family name → (state_fn, merge_fn), and every micro-batch's delta is
+    absorbed into EVERY family's persisted state in the same epoch —
+    the integration a real daily-ingest pipeline runs (one pass over
+    the delta feeds the rollup AND the histogram AND the audience
+    sketch AND the heavy-hitters ...), not one stream per family.
+
+    Per family the snapshot rule is identical to
+    ``run_stream_incremental_rollup``: versioned ``v{batch_id}``
+    directories under ``state_root/<family>``, each derived from the
+    highest version BELOW the batch id, so an at-least-once re-delivery
+    overwrites its own snapshot with the identical frame instead of
+    double-counting (idempotent replay, per family). Families are
+    processed in sorted-name order inside the epoch — order is
+    irrelevant to the result (each family's state only ever sees its
+    own snapshots) but makes failures reproducible. Only state rows —
+    bounded per the family's contract (|keys|, keys×bins, capacity
+    rows, 2^lg_k hashes) — are read or written per epoch, never raw
+    history. Read back with ``latest_catalog_states`` and compose with
+    ``operators/incremental.state_catalog_read``."""
+    import os
+
+    if not catalog:
+        raise ValueError("run_stream_state_catalog needs a non-empty catalog")
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        for name in sorted(catalog):
+            state_fn, merge_fn = catalog[name]
+            state_dir = os.path.join(state_root, name)
+            delta = state_fn(batch_df)
+            prior = (
+                [
+                    int(d[1:])
+                    for d in os.listdir(state_dir)
+                    if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
+                ]
+                if os.path.isdir(state_dir)
+                else []
+            )
+            if prior:
+                prev = batch_df.sparkSession.read.parquet(
+                    os.path.join(state_dir, f"v{max(prior)}")
+                )
+                delta = merge_fn([prev, delta])
+            delta.write.mode("overwrite").parquet(
+                os.path.join(state_dir, f"v{batch_id}")
+            )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def latest_catalog_states(
+    spark: SparkSession, state_root: str, names: list[str]
+) -> dict:
+    """The most recent snapshot of every named family maintained by
+    ``run_stream_state_catalog`` — the dict ``state_catalog_read``
+    composes into the one dashboard frame."""
+    import os
+
+    return {
+        name: latest_rollup_state(spark, os.path.join(state_root, name))
+        for name in names
+    }
+
+
 def latest_rollup_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """The most recent versioned snapshot written by
     ``run_stream_incremental_rollup`` (what a dashboard would read)."""

@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "ab_experiment_lift",
     "cdc_chunk_docs",
     "cdc_chunk_dedup",
+    "state_catalog",
     "pq_search",  # Spark-only stage (trained quantizer - no comparator)
     "exact_quantiles",
     "kll_quantiles",  # Spark-only stage (sketch taxonomy - no comparator)
@@ -189,6 +190,7 @@ def _extra_oracles() -> dict[str, str]:
         _HASHED_EMB_ORACLE,
         _HISTOGRAM_ORACLE,
         _INCREMENTAL_ORACLE,
+        _STATE_CATALOG_ORACLE,
         _AUDIENCE_OVERLAP_ORACLE,
         _HEAVY_HITTERS_ORACLE,
         _PRIVACY_ORACLE,
@@ -220,6 +222,7 @@ def _extra_oracles() -> dict[str, str]:
         "ab_experiment_lift": _ab_lift_oracle(),
         "cdc_chunk_docs": _cdc_oracle(),
         "cdc_chunk_dedup": _cdc_dedup_oracle(),
+        "state_catalog": _STATE_CATALOG_ORACLE,
         "exact_quantiles": _QUANTILE_ORACLE,
         "doc_communities": _lp_oracle(),
         "seasonal_trend": _SEASONAL_ORACLE,

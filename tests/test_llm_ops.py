@@ -4428,3 +4428,34 @@ def test_cdc_chunks_shift_resistance(spark):
 
     with pytest.raises(ValueError):
         cdc_chunks(df, avg_tokens=1)
+
+
+# ------------------------------------ incremental-tier state catalog
+def test_state_catalog_matches_sql_oracle(spark, sf_dir):
+    """The r11 consolidation ask's batch half: six state families built
+    incrementally (3 slices merged each) and read through the unified
+    state_catalog_read, hash-matched against the one-pass SQL recompute
+    of every leg. Declared past the 50-slot driver cap — this is its
+    correctness gate, plus the bench comparator via _extra_oracles.
+    Verified at sf0.1 too on landing (NOTES audit rule); the ONE-stream
+    half lives in tests/test_streaming.py."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _STATE_CATALOG_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["state_catalog"](spark, sf_dir), _STATE_CATALOG_ORACLE,
+            sf_dir, name="state_catalog")
+
+
+def test_state_catalog_read_validates(spark):
+    """Unknown families and empty catalogs raise."""
+    import pytest
+
+    from audience_finder_pro_spark.operators.incremental import (
+        state_catalog_read,
+    )
+
+    with pytest.raises(ValueError, match="unknown"):
+        state_catalog_read({"bogus": spark.range(1)})
+    with pytest.raises(ValueError, match="at least one"):
+        state_catalog_read({})

@@ -468,3 +468,78 @@ def test_stream_decontaminate_equals_batch(spark, sf_smoke):
     got = sorted(r.doc_id for r in spark.table(name).select("doc_id").collect())
     want = sorted(r.doc_id for r in exact_decontaminate(docs, bench).select("doc_id").collect())
     assert got == want and len(got) < docs.count()
+
+
+def test_state_catalog_through_one_stream(spark, sf_smoke, tmp_path):
+    """The r11 consolidation ask, end-to-end: ONE foreachBatch stream
+    (streaming/jobs.run_stream_state_catalog) absorbs every micro-batch
+    into SIX state families at once — rollup, histogram, theta, topk,
+    decayed, trend — and the unified state_catalog_read over the
+    streamed states equals the declared `state_catalog` query's batch
+    frame row-for-row (which is itself hash-gated against the one-pass
+    SQL oracle at both SFs, so this differential chains the stream to
+    the oracle). A second full redelivery with a fresh checkpoint
+    changes nothing (per-family idempotent snapshots)."""
+    import os
+
+    from audience_finder_pro_spark.operators.incremental import (
+        state_catalog_read,
+    )
+    from audience_finder_pro_spark.queries.llm import (
+        _build_catalog_states,
+        _catalog_family_fns,
+        _catalog_merge_fns,
+    )
+    from audience_finder_pro_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        latest_catalog_states,
+        run_stream_state_catalog,
+    )
+
+    src = tmp_path / "src"
+    state_root = str(tmp_path / "states")
+    src.mkdir()
+    base = load_table(spark, sf_smoke, "events")
+    base.repartition(3).write.mode("append").parquet(str(src))  # 3 epochs
+
+    fns, merges = _catalog_family_fns(), _catalog_merge_fns()
+    catalog = {name: (fns[name], merges[name]) for name in fns}
+
+    def replay(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        run_stream_state_catalog(stream, catalog, state_root, ckpt)
+
+    replay(str(tmp_path / "ck1"))
+    assert sorted(os.listdir(state_root)) == sorted(fns)  # every family
+    n_epochs = len(os.listdir(os.path.join(state_root, "rollup")))
+    assert n_epochs >= 2, f"only {n_epochs} epochs materialized"
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    streamed = rows(
+        state_catalog_read(
+            latest_catalog_states(spark, state_root, sorted(fns)), topk_k=5
+        )
+    )
+    batch = rows(
+        state_catalog_read(
+            _build_catalog_states(
+                base.select("event_type", "user_id", "value", "ts", "event_id")
+            ),
+            topk_k=5,
+        )
+    )
+    assert streamed == batch
+    assert {r[0] for r in streamed} == set(fns)  # all six legs populated
+
+    replay(str(tmp_path / "ck2"))  # full redelivery: idempotent
+    assert rows(
+        state_catalog_read(
+            latest_catalog_states(spark, state_root, sorted(fns)), topk_k=5
+        )
+    ) == streamed
