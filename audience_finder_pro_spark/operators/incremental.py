@@ -1025,3 +1025,217 @@ def state_catalog_read(states: dict[str, DataFrame], topk_k: int = 5) -> DataFra
     for frame in legs[1:]:
         out = out.unionByName(frame)
     return out
+
+
+def bottomk_state(
+    df: DataFrame,
+    key_cols: list[str],
+    item_col: str,
+    k: int = 64,
+    salt: str = "bk",
+) -> DataFrame:
+    """Mergeable per-key bottom-k SAMPLE state (E67): the k distinct
+    items with the SMALLEST salted-md5 hash — the deterministic,
+    coordination-free answer to "keep a uniform sample of each key's
+    members that absorbs daily deltas". A random reservoir needs a seed
+    and is order-sensitive; the hash-ordered bottom-k is a pure
+    function of the item SET: merge = union + re-take-k (associative,
+    commutative, idempotent — re-delivering a batch changes nothing),
+    and the same items are sampled on any partitioning or engine. The
+    same state doubles as a KMV distinct-count sketch: the k-th
+    smallest hash estimates the key's cardinality (``bottomk_read``),
+    so one persisted frame answers BOTH "show me examples" and "how
+    many" — at ≤ k rows per key per day.
+
+    State: (keys..., item, hv, rk) with rk the (hv asc, item asc)
+    rank ≤ k; hv = the 15-hex-digit md5 prefix as bigint (the E4
+    machinery, so a DuckDB oracle computes the identical sample). The
+    build pre-truncates per map task via WindowGroupLimit (the E59
+    shape) — a key with a billion distinct items ships
+    n_partitions × k rows, never the distinct frame. NULL items drop.
+
+    Exactness contract: while a key's distinct count stays ≤ k, the
+    state IS the distinct set (exact regime); past k it is a uniform
+    sample of it (every member equally likely under the hash's
+    uniformity) and the KMV estimate carries the standard ~1/sqrt(k-2)
+    relative error."""
+    if k < 2:
+        raise ValueError("bottomk_state needs k >= 2 (KMV needs k-1 > 0)")
+    items = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*key_cols, F.col(item_col).alias("item"))
+        .distinct()
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col("item").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("hv").asc(), F.col("item").asc()
+    )
+    return (
+        items.withColumn("hv", hv)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def merge_bottomk_states(states: list[DataFrame], k: int = 64) -> DataFrame:
+    """Merge ``bottomk_state`` frames: union, drop duplicate items (the
+    hash is a function of the item, so duplicates agree), re-rank, keep
+    k — the exact min-k union. ``k`` must not exceed the inputs' k
+    (a larger union gate would fabricate coverage the inputs never
+    kept)."""
+    if not states:
+        raise ValueError("merge_bottomk_states needs at least one state frame")
+    if k < 2:
+        raise ValueError("merge_bottomk_states needs k >= 2")
+    merged = states[0].drop("rk")
+    for s in states[1:]:
+        merged = merged.unionByName(s.drop("rk"))
+    key_cols = [c for c in merged.columns if c not in ("item", "hv")]
+    dedup = merged.groupBy(*key_cols, "item").agg(F.min("hv").alias("hv"))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("hv").asc(), F.col("item").asc()
+    )
+    return (
+        dedup.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    )
+
+
+_BK_RANGE = float(16 ** 15)  # hv domain: 15 hex digits
+
+
+def bottomk_read(state: DataFrame, k: int = 64) -> DataFrame:
+    """Sample + cardinality read off a (possibly merged) bottom-k state:
+    the sample rows (keys..., item, rk) each carrying the key's
+    ``est_distinct`` — exact count when the key kept fewer than k items
+    (the state is the whole set), else the KMV estimator
+    (k−1) · R / h_(k) with R the hash domain — one double division over
+    integers, deterministic cross-engine, rounded to 4dp."""
+    if k < 2:
+        raise ValueError("bottomk_read needs k >= 2")
+    key_cols = [c for c in state.columns if c not in ("item", "hv", "rk")]
+    w = Window.partitionBy(*key_cols)
+    return (
+        state.withColumn("_kept", F.count(F.lit(1)).over(w))
+        # the state holds exactly the k smallest, so max(hv) is h_(k)
+        .withColumn("_kth", F.max("hv").over(w))
+        .select(
+            *key_cols,
+            "item",
+            "rk",
+            F.round(
+                F.when(F.col("_kept") < k, F.col("_kept").cast("double")).otherwise(
+                    F.lit(float(k - 1)) * F.lit(_BK_RANGE)
+                    / F.col("_kth").cast("double")
+                ),
+                4,
+            ).alias("est_distinct"),
+        )
+    )
+
+
+def cm_state(
+    df: DataFrame,
+    key_cols: list[str],
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+) -> DataFrame:
+    """Mergeable per-key count-min sketch state (E68): ``depth``
+    independent hash rows of ``width`` integer counters — POINT
+    frequency estimates for ARBITRARY items without persisting the
+    items (the complement of E59: Misra-Gries answers "who are the top
+    items", count-min answers "how often did THIS item occur" for any
+    later probe, in keys × depth × width bounded rows). Counters are
+    EXACT integer sums of a deterministic per-row bucketing (the E4
+    salted-md5 machinery, one salt per depth row), so the state is an
+    exact monoid — merge is addition, SQL-replayable, and the classic
+    one-sided guarantee holds through any merge history: every estimate
+    ≥ the true count, and over-estimates are bounded by collisions
+    (≤ 2N/width per row with prob ≥ 1 − 2^-depth over the salt choice).
+
+    State: (keys..., d, w, cnt) — sparse (zero cells absent; reads
+    treat absent as 0). NULL items drop."""
+    if depth < 1 or width < 2:
+        raise ValueError("cm_state needs depth >= 1 and width >= 2")
+    from audience_finder_pro_spark.operators.sampling import hash_bucket
+
+    buckets = F.array(
+        *[hash_bucket(item_col, f"{salt}{d}", width).cast("int") for d in range(depth)]
+    )
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*key_cols, F.posexplode(buckets).alias("d", "w"))
+        .groupBy(*key_cols, "d", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_cm_states(states: list[DataFrame]) -> DataFrame:
+    """Merge ``cm_state`` frames: per-(keys, d, w) exact count addition
+    (the E41 monoid contract). Sketch geometry (depth/width/salt) is
+    declared model state — merging states built with different
+    geometries is the caller's bug; cells only meet their own (d, w)."""
+    if not states:
+        raise ValueError("merge_cm_states needs at least one state frame")
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    key_cols = [c for c in merged.columns if c != "cnt"]
+    return merged.groupBy(*key_cols).agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    state: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+) -> DataFrame:
+    """Point-frequency read off a (possibly merged) count-min state:
+    for every (state keys × probe item) pair, est_count = min over the
+    ``depth`` rows of the item's counter (absent cell = 0) — ≥ the true
+    count always, with the collision-bounded excess. ``probes`` is a
+    one-column frame of items (broadcast — a probe list is small by
+    definition); geometry must match the build."""
+    from audience_finder_pro_spark.operators.sampling import hash_bucket
+
+    key_cols = [c for c in state.columns if c not in ("d", "w", "cnt")]
+    buckets = F.array(
+        *[hash_bucket(item_col, f"{salt}{d}", width).cast("int") for d in range(depth)]
+    )
+    probe_cells = probes.select(
+        F.col(item_col).alias("item"), F.posexplode(buckets).alias("d", "w")
+    )
+    hits = (
+        state.join(F.broadcast(probe_cells), ["d", "w"])
+        .groupBy(*key_cols, "item")
+        .agg(
+            F.min("cnt").alias("_min_hit"),
+            F.count(F.lit(1)).alias("_rows"),
+        )
+    )
+    # the read is TOTAL over state-keys x probes: an absent cell is a
+    # zero counter, so any probe missing from >=1 of its depth cells
+    # (or from all of them) reads 0 — skeleton = tiny cross join of the
+    # distinct key frame with the probe list, both broadcast-sized
+    skeleton = state.select(*key_cols).distinct().crossJoin(
+        F.broadcast(probes.select(F.col(item_col).alias("item")))
+    )
+    return skeleton.join(hits, [*key_cols, "item"], "left").select(
+        *key_cols,
+        "item",
+        F.when(
+            F.coalesce(F.col("_rows"), F.lit(0)) < depth, F.lit(0)
+        )
+        .otherwise(F.col("_min_hit"))
+        .cast("long")
+        .alias("est_count"),
+    )

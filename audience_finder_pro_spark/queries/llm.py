@@ -4436,3 +4436,146 @@ def state_catalog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "user_id", "value", "ts", "event_id"
     )
     return state_catalog_read(_build_catalog_states(ev), topk_k=5)
+
+
+# ------------------------------------------- E67 bottom-k sample state
+# The oracle replays the salted-md5 order (the E4 machinery — identical
+# bigint in both engines), the per-key rank, and the KMV read: exact
+# count below k, (k-1)*2^60/h_(k) past it — one double division over
+# integers.
+def _bottomk_oracle(k: int = 32) -> str:
+    hv = (
+        "CAST(concat('0x', substr(md5('bk:' || CAST(item AS VARCHAR)), 1, 15))"
+        " AS BIGINT)"
+    )
+    return f"""
+    WITH it AS (
+      SELECT DISTINCT event_type, user_id AS item FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    h AS (SELECT event_type, item, {hv} AS hv FROM it),
+    r AS (
+      SELECT event_type, item, hv,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY hv ASC, item ASC) AS INT) AS rk
+      FROM h
+    ),
+    s AS (SELECT * FROM r WHERE rk <= {k}),
+    agg AS (
+      SELECT event_type, count(*) AS kept, max(hv) AS kth FROM s GROUP BY 1
+    )
+    SELECT s.event_type, s.item, s.rk,
+           round(CASE WHEN a.kept < {k} THEN CAST(a.kept AS DOUBLE)
+                      ELSE {float(k - 1)} * 1152921504606846976.0
+                           / CAST(a.kth AS DOUBLE) END, 4) AS est_distinct
+    FROM s JOIN agg a USING (event_type)
+    """
+
+
+@_q("bottomk_sample", None)  # declared past the 50-slot cap; standalone gate
+def bottomk_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key bottom-k member sample + KMV cardinality
+    (E67, operators/incremental.bottomk_state): the 32 smallest-hash
+    users per event type, built the incremental way (three event_id%3
+    slices min-k-union-merged) — ONE persisted frame that answers both
+    "show me example members" (a uniform, seed-free, partitioning-proof
+    sample) and "how many members" (the k-th smallest hash as the KMV
+    estimator; exact below k). The sampled regime is live at every
+    checked SF (~1,500 distinct users/type vs k=32), so the estimate
+    leg is exercised where it bites. ``_bottomk_oracle()`` replays
+    hash, rank, and estimator (pytest hash gate at sf0.01 and sf0.1 +
+    bench comparator)."""
+    from audience_finder_pro_spark.operators.incremental import (
+        bottomk_read,
+        bottomk_state,
+        merge_bottomk_states,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    states = [
+        bottomk_state(
+            ev.filter(F.col("event_id") % 3 == i).drop("event_id"),
+            ["event_type"],
+            "user_id",
+            k=32,
+        )
+        for i in range(3)
+    ]
+    return bottomk_read(merge_bottomk_states(states, k=32), k=32)
+
+
+# ------------------------------------------- E68 count-min sketch state
+# The oracle recomputes the sketch cells from the full table (exact
+# integer sums of the salted-md5 bucketing, one salt per depth row) and
+# the min-over-depth point read, total over keys x probes — absent
+# cells are zero counters.
+def _cm_oracle(depth: int = 4, width: int = 256, n_probes: int = 20) -> str:
+    from audience_finder_pro_spark.operators.sampling import hash_bucket_sql
+
+    def case(expr: str) -> str:
+        arms = " ".join(
+            f"WHEN {d} THEN {hash_bucket_sql(expr, f'cm{d}', width)}"
+            for d in range(depth)
+        )
+        return f"CASE dd.d {arms} END"
+
+    return f"""
+    WITH dd AS (SELECT unnest(range(0, {depth})) AS d),
+    probes AS (SELECT unnest(range(1, {n_probes + 1})) AS item),
+    cells AS (
+      SELECT event_type, dd.d AS d, {case("user_id")} AS w, count(*) AS cnt
+      FROM events, dd WHERE user_id IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    pcells AS (
+      SELECT item, dd.d AS d, {case("item")} AS w FROM probes, dd
+    ),
+    hit AS (
+      SELECT c.event_type, p.item, min(c.cnt) AS m, count(*) AS nrows
+      FROM pcells p JOIN cells c USING (d, w)
+      GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT event_type FROM events)
+    SELECT k.event_type, p.item,
+           CAST(CASE WHEN coalesce(h.nrows, 0) < {depth} THEN 0
+                     ELSE h.m END AS BIGINT) AS est_count
+    FROM keys k
+    CROSS JOIN probes p
+    LEFT JOIN hit h ON h.event_type = k.event_type AND h.item = p.item
+    """
+
+
+@_q("cm_point_estimates", None)  # declared past the 50-slot cap; standalone gate
+def cm_point_estimates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point-frequency reads (E68,
+    operators/incremental.cm_state): a depth-4 x width-256 sketch of
+    per-event-type user activity, built the incremental way (three
+    event_id%3 slices merged by exact cell addition) and probed for
+    users 1-20 — frequency answers for ARBITRARY later probes without
+    persisting items (the complement of E59's top-k: keys x 1024
+    counter rows regardless of distinct count). The one-sided contract
+    (estimate >= true, collision-bounded excess) is pinned by the
+    planted tests; ``_cm_oracle()`` recomputes cells and the
+    min-over-depth read from the full table (pytest hash gate at
+    sf0.01 and sf0.1 + bench comparator)."""
+    from audience_finder_pro_spark.operators.incremental import (
+        cm_estimate,
+        cm_state,
+        merge_cm_states,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    states = [
+        cm_state(
+            ev.filter(F.col("event_id") % 3 == i).drop("event_id"),
+            ["event_type"],
+            "user_id",
+        )
+        for i in range(3)
+    ]
+    probes = spark.range(1, 21).select(F.col("id").alias("user_id"))
+    return cm_estimate(merge_cm_states(states), probes, "user_id")

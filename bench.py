@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "cdc_chunk_docs",
     "cdc_chunk_dedup",
     "state_catalog",
+    "bottomk_sample",
+    "cm_point_estimates",
     "pq_search",  # Spark-only stage (trained quantizer - no comparator)
     "exact_quantiles",
     "kll_quantiles",  # Spark-only stage (sketch taxonomy - no comparator)
@@ -177,8 +179,10 @@ def _extra_oracles() -> dict[str, str]:
     )
     from audience_finder_pro_spark.queries.llm import (
         _ab_lift_oracle,
+        _bottomk_oracle,
         _cdc_dedup_oracle,
         _cdc_oracle,
+        _cm_oracle,
         _leakage_audit_oracle,
         _lp_oracle,
     )
@@ -223,6 +227,8 @@ def _extra_oracles() -> dict[str, str]:
         "cdc_chunk_docs": _cdc_oracle(),
         "cdc_chunk_dedup": _cdc_dedup_oracle(),
         "state_catalog": _STATE_CATALOG_ORACLE,
+        "bottomk_sample": _bottomk_oracle(),
+        "cm_point_estimates": _cm_oracle(),
         "exact_quantiles": _QUANTILE_ORACLE,
         "doc_communities": _lp_oracle(),
         "seasonal_trend": _SEASONAL_ORACLE,

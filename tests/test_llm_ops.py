@@ -4459,3 +4459,181 @@ def test_state_catalog_read_validates(spark):
         state_catalog_read({"bogus": spark.range(1)})
     with pytest.raises(ValueError, match="at least one"):
         state_catalog_read({})
+
+
+# ------------------------------------ E67 bottom-k sample state
+def test_bottomk_sample_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule); the sampled (KMV) regime
+    is live here (~1,500 distinct users/type vs k=32)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _bottomk_oracle
+    from tests.oracle import compare
+
+    compare(QUERIES["bottomk_sample"](spark, sf_dir), _bottomk_oracle(),
+            sf_dir, name="bottomk_sample")
+
+
+def test_bottomk_state_semantics_and_merge_algebra(spark, sf_smoke):
+    """Pins the E67 contract: (1) exact regime — a key with fewer than
+    k distinct items keeps its WHOLE set and est_distinct is the exact
+    count; (2) the min-k union — any slicing merges to the identical
+    state as the one-pass build, bit-for-bit; (3) merge is idempotent
+    (re-merging the same state changes nothing — the at-least-once
+    property); (4) the KMV estimate lands within 3 standard errors
+    (~1/sqrt(k-2)) of the true distinct count on the fixture's sampled
+    regime; (5) validation raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.incremental import (
+        bottomk_read,
+        bottomk_state,
+        merge_bottomk_states,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # (2) one-pass vs 3-slice merge: identical state
+    one = bottomk_state(ev.drop("event_id"), ["event_type"], "user_id", k=16)
+    sliced = merge_bottomk_states(
+        [
+            bottomk_state(
+                ev.filter(F.col("event_id") % 3 == i).drop("event_id"),
+                ["event_type"], "user_id", k=16,
+            )
+            for i in range(3)
+        ],
+        k=16,
+    )
+    assert rows(one) == rows(sliced)
+
+    # (3) idempotent re-merge
+    assert rows(merge_bottomk_states([sliced, sliced], k=16)) == rows(one)
+
+    # (1) exact regime on a planted small key
+    tiny = spark.createDataFrame(
+        [("t", i % 5) for i in range(50)], "event_type string, user_id long"
+    )
+    r = bottomk_read(bottomk_state(tiny, ["event_type"], "user_id", k=16), k=16)
+    got = r.collect()
+    assert len(got) == 5 and all(x.est_distinct == 5.0 for x in got)
+
+    # (4) KMV sanity in the sampled regime
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    k = 16
+    est = {
+        r.event_type: r.est_distinct
+        for r in bottomk_read(one, k=k).select("event_type", "est_distinct")
+        .distinct().collect()
+    }
+    for et, n in exact.items():
+        if n <= k:
+            assert est[et] == float(n)
+        else:
+            se = n / (k - 2) ** 0.5
+            assert abs(est[et] - n) <= 3 * se, (et, n, est[et])
+
+    with pytest.raises(ValueError):
+        bottomk_state(tiny, ["event_type"], "user_id", k=1)
+    with pytest.raises(ValueError):
+        merge_bottomk_states([], k=16)
+
+
+# ------------------------------------ E68 count-min sketch state
+def test_cm_point_estimates_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _cm_oracle
+    from tests.oracle import compare
+
+    compare(QUERIES["cm_point_estimates"](spark, sf_dir), _cm_oracle(),
+            sf_dir, name="cm_point_estimates")
+
+
+def test_cm_state_one_sided_bound_and_merge(spark, sf_smoke):
+    """Pins the E68 contract: (1) the one-sided guarantee — for EVERY
+    (event_type, probed user) the estimate >= the exact count, through
+    a 3-slice merge; (2) the excess is collision-bounded (<= the
+    depth-row minimum by construction, sanity-checked against N/width
+    x a small factor); (3) merge ≡ one-pass bit-for-bit (exact integer
+    cells); (4) absent probes read 0 for keys that never saw them;
+    (5) validation raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from audience_finder_pro_spark.operators.incremental import (
+        cm_estimate,
+        cm_state,
+        merge_cm_states,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    one = cm_state(ev.drop("event_id"), ["event_type"], "user_id")
+    merged = merge_cm_states(
+        [
+            cm_state(
+                ev.filter(F.col("event_id") % 3 == i).drop("event_id"),
+                ["event_type"], "user_id",
+            )
+            for i in range(3)
+        ]
+    )
+    assert rows(one) == rows(merged)  # (3)
+
+    probes = spark.range(1, 31).select(F.col("id").alias("user_id"))
+    est = {
+        (r.event_type, r.item): r.est_count
+        for r in cm_estimate(merged, probes, "user_id").collect()
+    }
+    exact = {
+        (r.event_type, r.user_id): r.n
+        for r in ev.filter(F.col("user_id") < 31)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_per_key = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert est, "no estimates produced"
+    for (et, item), e in est.items():
+        true = exact.get((et, item), 0)
+        assert e >= true, ((et, item), e, true)  # (1)
+        # (2) expected excess ~ (depth-min of) N/width collisions
+        assert e - true <= max(10, 8 * n_per_key[et] / 256), ((et, item), e, true)
+
+    # (4) a planted key that never saw the probes reads 0
+    lonely = spark.createDataFrame(
+        [("z", 10_000_000)], "event_type string, user_id long"
+    )
+    z = cm_estimate(
+        cm_state(lonely, ["event_type"], "user_id"), probes, "user_id"
+    ).filter(F.col("event_type") == "z")
+    zs = z.collect()
+    assert len(zs) == 30 and all(r.est_count == 0 for r in zs)
+
+    with pytest.raises(ValueError):
+        cm_state(lonely, ["event_type"], "user_id", depth=0)
+    with pytest.raises(ValueError):
+        merge_cm_states([])

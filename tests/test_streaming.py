@@ -543,3 +543,56 @@ def test_state_catalog_through_one_stream(spark, sf_smoke, tmp_path):
             latest_catalog_states(spark, state_root, sorted(fns)), topk_k=5
         )
     ) == streamed
+
+
+def test_new_state_families_stream_through_catalog_seam(spark, sf_smoke, tmp_path):
+    """E67 bottom-k and E68 count-min plug into the SAME one-stream
+    catalog seam as the six core families (state_fn/merge_fn is the
+    whole contract): a 3-epoch replay's merged states equal the
+    one-pass batch builds exactly — bottom-k because min-k union is
+    order-free, count-min because cells are an exact monoid."""
+    from audience_finder_pro_spark.operators.incremental import (
+        bottomk_state,
+        cm_state,
+        merge_bottomk_states,
+        merge_cm_states,
+    )
+    from audience_finder_pro_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        latest_catalog_states,
+        run_stream_state_catalog,
+    )
+
+    src = tmp_path / "src"
+    state_root = str(tmp_path / "states")
+    src.mkdir()
+    base = load_table(spark, sf_smoke, "events")
+    base.repartition(3).write.mode("append").parquet(str(src))
+
+    catalog = {
+        "bottomk": (
+            lambda b: bottomk_state(b, ["event_type"], "user_id", k=16),
+            lambda ss: merge_bottomk_states(ss, k=16),
+        ),
+        "cm": (
+            lambda b: cm_state(b, ["event_type"], "user_id"),
+            merge_cm_states,
+        ),
+    }
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_stream_state_catalog(stream, catalog, state_root, str(tmp_path / "ck"))
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    streamed = latest_catalog_states(spark, state_root, ["bottomk", "cm"])
+    assert rows(streamed["bottomk"]) == rows(
+        bottomk_state(base, ["event_type"], "user_id", k=16)
+    )
+    assert rows(streamed["cm"]) == rows(
+        cm_state(base, ["event_type"], "user_id")
+    )
