@@ -390,3 +390,82 @@ def label_propagation(
     _free_checkpoint(e)
     _free_checkpoint(nodes)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def triangle_counts(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected pair list (E69): the
+    fourth leg of the graph tier — CC answers reachability, pagerank
+    centrality, LP communities; triangles answer COHESION. On a
+    near-dup graph the distinction is diagnostic: a true duplicate
+    FAMILY (one source copied around) is a clique — every pair agrees —
+    while a CHAIN of borderline pairs (A~B~C but A!~C) has none, so
+    per-doc triangle counts separate "this cluster is real" from
+    "transitivity manufactured it" before E24 picks representatives.
+
+    Algorithm: degree-ordered edge orientation (the compact-forward /
+    node-iterator bound, Latapy 2008) — each undirected edge points
+    from its lower-(degree, id) endpoint to the higher, so every
+    triangle is generated by exactly ONE wedge at its lowest-ordered
+    vertex and the wedge fan-out per vertex is bounded by its ORIENTED
+    out-degree ≤ O(sqrt(|E|)) on any graph; a billion-edge near-dup
+    graph with one mega-cluster stays join-shaped instead of exploding
+    the hub's wedge set. The count is orientation-invariant, so the
+    DuckDB oracle replays it with the simpler id-ordering.
+
+    Three shuffles: degree aggregate, wedge self-join on the oriented
+    source, wedge-vs-edge semi-ish join on (b, c); per-node counts from
+    exploding each triangle's three corners. Self-loops and duplicate
+    pairs are dropped. Returns (node, n_triangles), nodes with ≥1
+    triangle only (the frame stays sparse)."""
+    a, b = F.col(id_a), F.col(id_b)
+    e = (
+        pairs.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient low-(deg, id) -> high-(deg, id); carry the dst order key
+    # so the wedge join can compare without re-joining degrees
+    ed = (
+        e.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "_da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "_db"), "b")
+    )
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("dst_deg"),
+    )
+    e1 = oriented.select(
+        F.col("src"), F.col("dst").alias("v1"), F.col("dst_deg").alias("d1")
+    )
+    e2 = oriented.select(
+        F.col("src"), F.col("dst").alias("v2"), F.col("dst_deg").alias("d2")
+    )
+    wedges = e1.join(e2, "src").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("v1"), F.col("dst").alias("v2")
+    )
+    tri = wedges.join(closing, ["v1", "v2"]).select(
+        F.col("src").alias("x"), F.col("v1").alias("y"), F.col("v2").alias("z")
+    )
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

@@ -1239,3 +1239,57 @@ def cm_estimate(
         .cast("long")
         .alias("est_count"),
     )
+
+
+def rolling_theta_distinct(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    time_col: str,
+    window_days: int = 7,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Rolling distinct-count read off per-day theta states (E70): the
+    "7-day active users per key, every day" dashboard line — the
+    sliding-window DISTINCT that exact SQL answers only by re-scanning
+    the raw window per day (a trailing range join against the event
+    log: window_days full scans' worth of work, unpayable at 100 TB).
+    Here the log is scanned ONCE into per-(key, day) theta states
+    (bounded: keys × days rows, ≤ 2^lg_k hashes each — the E48
+    contract), and each day's trailing window is a UNION-MERGE over at
+    most ``window_days`` state rows; yesterday's states never touch
+    raw history again, and the same persisted frame serves any window
+    length after the fact.
+
+    Exact while each window's distinct count stays ≤ 2^lg_k (the theta
+    exactness contract) — which is how the declared `rolling_audience`
+    query is SQL-oracle-gated; past that, the documented Datasketches
+    bound. NULL times/values drop. Returns (keys..., day, n_distinct),
+    one row per (key, day-with-activity); days with no activity in the
+    window simply have no anchor row (gap-fill composes via E18)."""
+    if window_days < 1:
+        raise ValueError("rolling_theta_distinct needs window_days >= 1")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(time_col).isNotNull()
+    ).withColumn("_day", F.col(time_col).cast("date"))
+    states = theta_state(base, [*key_cols, "_day"], value_col, lg_k=lg_k)
+    anchors = states.select(*key_cols, F.col("_day").alias("day")).distinct()
+    s = states.select(
+        *[F.col(c).alias(f"_s_{c}") for c in key_cols], "_day", "sketch"
+    )
+    cond = F.lit(True)
+    for c in key_cols:
+        cond = cond & (F.col(c) == F.col(f"_s_{c}"))
+    cond = cond & F.col("_day").between(
+        F.date_sub(F.col("day"), window_days - 1), F.col("day")
+    )
+    merged = (
+        anchors.join(s, cond)
+        .groupBy(*key_cols, "day")
+        .agg(F.theta_union_agg("sketch", F.lit(lg_k)).alias("sketch"))
+    )
+    return merged.select(
+        *key_cols,
+        "day",
+        F.theta_sketch_estimate("sketch").cast("long").alias("n_distinct"),
+    )

@@ -4579,3 +4579,91 @@ def cm_point_estimates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     probes = spark.range(1, 21).select(F.col("id").alias("user_id"))
     return cm_estimate(merge_cm_states(states), probes, "user_id")
+
+
+# ------------------------------------------- E69 triangle counts
+# The oracle replays the triangle count over the proven jaccard-pair
+# CTEs with the simpler id-ordering (the count is orientation-
+# invariant, so the engine's degree-ordered plan and the oracle's
+# id-ordered one agree exactly).
+_TRIANGLE_ORACLE = f"""
+WITH {_JACCARD_CTES},
+e AS (SELECT DISTINCT id_a AS a, id_b AS b FROM jpairs WHERE id_a <> id_b),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM t
+  UNION ALL SELECT y FROM t
+  UNION ALL SELECT z FROM t
+)
+SELECT node AS doc_id, count(*) AS n_triangles FROM corners GROUP BY 1
+"""
+
+
+@_q("dedup_triangles", None)  # declared past the 50-slot cap; standalone gate
+def dedup_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over the near-dup graph (E69,
+    operators/graph.triangle_counts): cohesion diagnostics for dup
+    clusters — a true duplicate FAMILY is a clique (every pair agrees,
+    triangles everywhere), a transitivity CHAIN (A~B~C but A!~C) has
+    none, so this is the "is this cluster real" check a curation team
+    runs before E24 collapses clusters to representatives. Engine side
+    runs the degree-ordered compact-forward orientation (wedge fan-out
+    bounded by oriented out-degree — the hub-proof bound);
+    ``_TRIANGLE_ORACLE`` replays the count with plain id-ordering over
+    the proven jaccard-pair CTEs — the result is orientation-invariant
+    (pytest hash gate at sf0.01 and sf0.1 + bench comparator)."""
+    from audience_finder_pro_spark.operators.dedup import ngram_jaccard_pairs
+    from audience_finder_pro_spark.operators.graph import triangle_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, df_cap_frac=0.05)
+    return triangle_counts(pairs).select(
+        F.col("node").alias("doc_id"), "n_triangles"
+    )
+
+
+# ------------------------------------------- E70 rolling distinct audience
+# The oracle is the EXACT trailing-window COUNT(DISTINCT) — the range
+# join against the raw log the sketch version exists to avoid; exact
+# mode (<= 1,500 distinct users per window vs 2^14) makes them equal.
+_ROLLING_AUDIENCE_ORACLE = """
+WITH base AS (
+  SELECT event_type, user_id, CAST(ts AS DATE) AS day FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+anchors AS (SELECT DISTINCT event_type, day FROM base)
+SELECT a.event_type, a.day, count(DISTINCT b.user_id) AS n_distinct
+FROM anchors a
+JOIN base b ON b.event_type = a.event_type
+           AND b.day BETWEEN a.day - 6 AND a.day
+GROUP BY 1, 2
+"""
+
+
+@_q("rolling_audience", None)  # declared past the 50-slot cap; standalone gate
+def rolling_audience_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct users per event type, every active day
+    (E70, operators/incremental.rolling_theta_distinct): the
+    sliding-window DISTINCT dashboard line. Exact SQL pays
+    ``window_days`` re-scans of the raw log (the oracle's range join —
+    unpayable at 100 TB); the engine scans the log ONCE into per-day
+    theta states and union-merges at most 7 bounded state rows per
+    read, and the same persisted frame serves any window length later.
+    Exact mode at every checked SF, so ``_ROLLING_AUDIENCE_ORACLE``'s
+    exact recompute hash-matches the sketch read (pytest gate at
+    sf0.01 and sf0.1 + bench comparator)."""
+    from audience_finder_pro_spark.operators.incremental import (
+        rolling_theta_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts"
+    )
+    return rolling_theta_distinct(
+        ev, ["event_type"], "user_id", "ts", window_days=7
+    )

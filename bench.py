@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "state_catalog",
     "bottomk_sample",
     "cm_point_estimates",
+    "dedup_triangles",
+    "rolling_audience",
     "pq_search",  # Spark-only stage (trained quantizer - no comparator)
     "exact_quantiles",
     "kll_quantiles",  # Spark-only stage (sketch taxonomy - no comparator)
@@ -194,7 +196,9 @@ def _extra_oracles() -> dict[str, str]:
         _HASHED_EMB_ORACLE,
         _HISTOGRAM_ORACLE,
         _INCREMENTAL_ORACLE,
+        _ROLLING_AUDIENCE_ORACLE,
         _STATE_CATALOG_ORACLE,
+        _TRIANGLE_ORACLE,
         _AUDIENCE_OVERLAP_ORACLE,
         _HEAVY_HITTERS_ORACLE,
         _PRIVACY_ORACLE,
@@ -229,6 +233,8 @@ def _extra_oracles() -> dict[str, str]:
         "state_catalog": _STATE_CATALOG_ORACLE,
         "bottomk_sample": _bottomk_oracle(),
         "cm_point_estimates": _cm_oracle(),
+        "dedup_triangles": _TRIANGLE_ORACLE,
+        "rolling_audience": _ROLLING_AUDIENCE_ORACLE,
         "exact_quantiles": _QUANTILE_ORACLE,
         "doc_communities": _lp_oracle(),
         "seasonal_trend": _SEASONAL_ORACLE,

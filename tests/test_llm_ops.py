@@ -4637,3 +4637,96 @@ def test_cm_state_one_sided_bound_and_merge(spark, sf_smoke):
         cm_state(lonely, ["event_type"], "user_id", depth=0)
     with pytest.raises(ValueError):
         merge_cm_states([])
+
+
+# ------------------------------------ E69 triangle counts
+def test_dedup_triangles_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _TRIANGLE_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["dedup_triangles"](spark, sf_dir), _TRIANGLE_ORACLE,
+            sf_dir, name="dedup_triangles")
+
+
+def test_triangle_counts_planted_geometry(spark):
+    """Pins the E69 contract: (1) a 4-clique has C(3,2)=3 triangles per
+    node; (2) a chain has none (the clique-vs-chain diagnostic the
+    operator exists for); (3) a star hub has none (the skewed shape the
+    degree ordering bounds); (4) duplicate, reversed and self-loop
+    pairs don't change the count; (5) counts are partitioning-
+    independent."""
+    from audience_finder_pro_spark.operators.graph import triangle_counts
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(10, 11), (11, 12), (12, 13)]
+    star = [(20, h) for h in range(21, 27)]
+    noise = [(1, 0), (0, 1), (2, 2), (0, 1)]  # reversed + self-loop + dup
+    df = spark.createDataFrame(
+        clique + chain + star + noise, "id_a long, id_b long"
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # clique only; chain/star absent
+
+    got7 = {
+        r.node: r.n_triangles
+        for r in triangle_counts(df.repartition(7)).collect()
+    }
+    assert got7 == got
+
+
+# ------------------------------------ E70 rolling distinct audience
+def test_rolling_audience_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule); exact theta mode at every
+    checked SF."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _ROLLING_AUDIENCE_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["rolling_audience"](spark, sf_dir),
+            _ROLLING_AUDIENCE_ORACLE, sf_dir, name="rolling_audience")
+
+
+def test_rolling_theta_distinct_planted_windows(spark):
+    """Pins the E70 contract on a hand-built timeline: users {1,2} on
+    day 1, {2} on day 3, {3} on day 10 with a 7-day window — day-1
+    reads 2, day-3 still 2 (1 and 3 share a window), day-10 reads 1
+    (the old users aged out); window_days=1 degenerates to per-day
+    distinct; NULL times/values drop; validation raises."""
+    import datetime
+
+    import pytest
+
+    from audience_finder_pro_spark.operators.incremental import (
+        rolling_theta_distinct,
+    )
+
+    def ts(day):
+        return datetime.datetime(2024, 1, day)
+
+    rows = [
+        ("x", 1, ts(1)), ("x", 2, ts(1)), ("x", 2, ts(3)), ("x", 3, ts(10)),
+        ("x", None, ts(5)), ("x", 9, None),  # dropped
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, ts timestamp")
+    got = {
+        str(r.day): r.n_distinct
+        for r in rolling_theta_distinct(df, ["event_type"], "user_id", "ts").collect()
+    }
+    assert got == {"2024-01-01": 2, "2024-01-03": 2, "2024-01-10": 1}
+
+    daily = {
+        str(r.day): r.n_distinct
+        for r in rolling_theta_distinct(
+            df, ["event_type"], "user_id", "ts", window_days=1
+        ).collect()
+    }
+    assert daily == {"2024-01-01": 2, "2024-01-03": 1, "2024-01-10": 1}
+
+    with pytest.raises(ValueError):
+        rolling_theta_distinct(df, ["event_type"], "user_id", "ts", window_days=0)
