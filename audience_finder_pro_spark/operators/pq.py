@@ -559,15 +559,27 @@ def ivfpq_topk(
         return out
 
     if residual:
-        # one LUT per (query, probed list), from the query's residual
-        # against THAT list's centroid — bounded driver state
-        # (|queries| x n_probe x m x n_codes doubles)
-        lut_res: dict = {}
+        # one LUT per (query, probed list) PAIR, from the query's
+        # residual against THAT list's centroid — bounded driver state
+        # (|queries| x n_probe x m x n_codes doubles). Scans are fully
+        # FLATTENED (r12, VERDICT r11 ask #5): every batch scores ALL
+        # its (pair, row) combinations in ONE fancy-indexed gather —
+        # the r11 per-(query, list) python loop cost ~35% over direct
+        # at 1,024 lists and a first per-list batching still ~16%, both
+        # pure loop overhead on tiny slices.
+        pair_ids: dict = {}  # list id -> np.array of pair indices
+        pair_q: list = []  # pair index -> query index
+        pair_luts: list = []
         for qi, qid in enumerate(qids):
             for l in sorted(probe_lists.get(qid, ())):
-                lut_res[(qi, l)] = _lut_for(
-                    (qmat[qi] - cmat[l])[None, :]
-                )[0]
+                pair_ids.setdefault(l, []).append(len(pair_q))
+                pair_q.append(qi)
+                pair_luts.append(_lut_for((qmat[qi] - cmat[l])[None, :])[0])
+        pair_ids = {l: np.array(ps, dtype=np.int64) for l, ps in pair_ids.items()}
+        pair_q = np.array(pair_q, dtype=np.int64)
+        lut_flat = (
+            np.stack(pair_luts) if pair_luts else np.empty((0, m, n_codes))
+        )
         lut = None
     else:
         lut = _lut_for(qmat)
@@ -588,24 +600,50 @@ def ivfpq_topk(
             code_mat = np.array(pdf["codes"].tolist(), dtype=np.int64)
             ids = pdf[id_col].to_numpy()
             cent = pdf["cent_id"].to_numpy()
+            if residual:
+                # ONE gather per batch: rows grouped by list (stable
+                # sort keeps in-list row order), (pair, row) index pairs
+                # built per active list with pairs in list-ascending /
+                # query-insertion order — so after the stable per-query
+                # regroup the candidate sequence, and the tie-broken
+                # output, is bit-identical to the per-(query, list) form
+                parts_d2: dict = {}
+                parts_id: dict = {}
+                order_rows = np.argsort(cent, kind="stable")
+                cs = cent[order_rows]
+                uniq, starts = np.unique(cs, return_index=True)
+                bounds = np.append(starts[1:], len(cs))
+                pair_chunks, row_chunks = [], []
+                for l, s, e in zip(uniq, starts, bounds):
+                    ps = pair_ids.get(int(l))
+                    if ps is None:
+                        continue
+                    ridx = order_rows[s:e]
+                    pair_chunks.append(np.repeat(ps, len(ridx)))
+                    row_chunks.append(np.tile(ridx, len(ps)))
+                if pair_chunks:
+                    p_arr = np.concatenate(pair_chunks)
+                    r_arr = np.concatenate(row_chunks)
+                    codes_sel = code_mat[r_arr]  # (N, m)
+                    # (N, m) fancy-index — no (N, m, n_codes) temporary
+                    sc = lut_flat[
+                        p_arr[:, None], np.arange(m)[None, :], codes_sel
+                    ].sum(axis=1)
+                    q_arr = pair_q[p_arr]
+                    qorder = np.argsort(q_arr, kind="stable")
+                    qs_sorted = q_arr[qorder]
+                    qu, qstarts = np.unique(qs_sorted, return_index=True)
+                    qbounds = np.append(qstarts[1:], len(qs_sorted))
+                    for qi, s2, e2 in zip(qu, qstarts, qbounds):
+                        sel2 = qorder[s2:e2]
+                        parts_d2[int(qi)] = [sc[sel2]]
+                        parts_id[int(qi)] = [ids[r_arr[sel2]]]
             for qi, qid in enumerate(qids):
                 if residual:
-                    # per-list residual LUTs: score each probed list's
-                    # rows against (q̂ − ĉ_list), then pool
-                    parts_d2, parts_id = [], []
-                    for l in sorted(probe_lists.get(qid, ())):
-                        lmask = cent == l
-                        if not lmask.any():
-                            continue
-                        lt = lut_res[(qi, l)]
-                        parts_d2.append(
-                            lt[np.arange(m), code_mat[lmask]].sum(axis=1)
-                        )
-                        parts_id.append(ids[lmask])
-                    if not parts_d2:
+                    if qi not in parts_d2:
                         continue
-                    rows_d2 = np.concatenate(parts_d2)
-                    mids = np.concatenate(parts_id)
+                    rows_d2 = np.concatenate(parts_d2[qi])
+                    mids = np.concatenate(parts_id[qi])
                 else:
                     mask = np.isin(cent, list(probe_lists.get(qid, ())))
                     if not mask.any():
