@@ -47,17 +47,42 @@ def main() -> None:
 
     names = [n for n in QUERIES if n in ORACLES]
     rows = []
+    from audience_finder_pro_spark.caching import free_checkpoint
+    from audience_finder_pro_spark.queries import _STATEFUL_PLANS
+
     for name in names:
         try:
             # noop sink = full materialization; count() would let Catalyst
             # prune every unreferenced projection column, timing pure-
             # projection queries as bare scans (see bench.py docstring)
-            spark_s = best_of(
-                lambda: QUERIES[name](spark, sf_dir)
-                .write.format("noop")
-                .mode("overwrite")
-                .save()
-            )
+            # Storage hygiene (bench.py's rule, r12): localCheckpoint
+            # blocks are never GC'd, so without freeing, each of the 4
+            # runs of every checkpointing query leaks its blocks for the
+            # REST of the table — inflating both that query's later runs
+            # and every query after it. _STATEFUL_PLANS rebuild per call
+            # and own their checkpoints: free the previous run's handle;
+            # memoized queries return the same DataFrame (freed at end).
+            handles = []
+
+            def timed_run():
+                df = QUERIES[name](spark, sf_dir)
+                if handles and handles[-1] is not df and name in _STATEFUL_PLANS:
+                    prev = handles.pop()
+                    for c in getattr(prev, "_owned_caches", []):
+                        c.unpersist()
+                    free_checkpoint(prev)
+                handles.append(df)
+                df.write.format("noop").mode("overwrite").save()
+
+            spark_s = best_of(timed_run)
+            seen: set = set()
+            for df in handles:
+                if id(df) in seen:
+                    continue
+                seen.add(id(df))
+                for c in getattr(df, "_owned_caches", []):
+                    c.unpersist()
+                free_checkpoint(df)
         except Exception as ex:
             print(f"# spark {name} FAILED {str(ex).splitlines()[0][:120]}", file=sys.stderr)
             continue
