@@ -39,6 +39,8 @@ DECIMAL (NOTES gotcha), so round(4) is stable.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -657,4 +659,53 @@ def rrf_fuse(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(query_col, id_col, "rrf_score", "n_legs", "rnk")
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase retrieval over a positional token index (E71): which
+    documents contain the token SEQUENCE, and how often — the retrieval
+    read a bag-of-words scorer structurally cannot answer (E36's BM25
+    ranks documents containing the words ANYWHERE; "new york" queries
+    need adjacency). The classic positional-index form: the phrase's
+    k terms become k position streams, each shifted by its offset in
+    the phrase (term i at position p supports a match starting at
+    p − i), and a match is a (doc, base) present in ALL k streams —
+    k−1 equi-joins on (doc, base), never a string scan.
+
+    Scale shape: the positional explode is filtered to the PHRASE'S
+    terms before anything shuffles (an isin filter on the token stream
+    — the phrase is tiny, the corpus is not), so the joins carry only
+    candidate positions of the k terms, a vanishing fraction of the
+    token stream; with a persisted positional index the same plan is a
+    k-way index lookup. Tokenization is the engine-wide `tokens()`
+    rule, so "phrase" means the same thing here as in every other text
+    operator (and in the SQL oracle). Matching is case-insensitive by
+    that rule; a LIKE '%...%' scan is NOT equivalent (substring, not
+    token-boundary, and unindexable at scale).
+
+    Returns (id_col, n_matches) for documents with ≥1 occurrence.
+    Raises on an empty phrase (after normalization)."""
+    terms = [t for t in re.split(r"[^a-z0-9]+", phrase.lower()) if t]
+    if not terms:
+        raise ValueError("phrase_search needs a non-empty phrase")
+    index = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    ).filter(F.col("tok").isin(terms))
+    legs = [
+        index.filter(F.col("tok") == t).select(
+            id_col, (F.col("pos") - i).alias("base")
+        )
+        for i, t in enumerate(terms)
+    ]
+    matches = legs[0]
+    for leg in legs[1:]:
+        matches = matches.join(leg, [id_col, "base"])
+    return matches.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches")
     )

@@ -4667,3 +4667,48 @@ def rolling_audience_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_theta_distinct(
         ev, ["event_type"], "user_id", "ts", window_days=7
     )
+
+
+# ------------------------------------------- E71 phrase search
+# The oracle replays tokenize -> per-term shifted position streams ->
+# k-way (doc, base) intersection -> per-doc occurrence count. A LIKE
+# scan is deliberately NOT the oracle (substring semantics, not
+# token-boundary, and unindexable at scale).
+_PHRASE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> length(x) > 0) AS arr
+  FROM documents
+),
+posed AS (
+  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS pos, arr FROM toks
+),
+ptok AS (SELECT doc_id, pos, arr[pos] AS tok FROM posed),
+l0 AS (SELECT doc_id, pos AS base FROM ptok WHERE tok = 'table'),
+l1 AS (SELECT doc_id, pos - 1 AS base FROM ptok WHERE tok = 'part'),
+l2 AS (SELECT doc_id, pos - 2 AS base FROM ptok WHERE tok = 'a')
+SELECT l0.doc_id, count(*) AS n_matches
+FROM l0
+JOIN l1 ON l1.doc_id = l0.doc_id AND l1.base = l0.base
+JOIN l2 ON l2.doc_id = l0.doc_id AND l2.base = l0.base
+GROUP BY 1
+"""
+
+
+@_q("phrase_search", None)  # declared past the 50-slot cap; standalone gate
+def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval (E71, operators/relevance.phrase_search):
+    documents containing the token sequence "table part a" with per-doc
+    occurrence counts — the adjacency read BM25's bag-of-words ranking
+    (E36) structurally cannot answer, via the classic positional-index
+    intersection (k shifted position streams, k−1 (doc, base) joins;
+    the token stream is filtered to the phrase's terms before anything
+    shuffles). Both oracle position indices are 1-based (DuckDB arrays)
+    vs Spark's 0-based posexplode — the SHIFTED bases differ by a
+    constant per doc, so the intersection and counts agree exactly.
+    ``_PHRASE_ORACLE`` replays tokenize, shift and intersection
+    (pytest hash gate at sf0.01 and sf0.1 + bench comparator)."""
+    from audience_finder_pro_spark.operators.relevance import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, "table part a")

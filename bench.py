@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "cm_point_estimates",
     "dedup_triangles",
     "rolling_audience",
+    "phrase_search",
     "pq_search",  # Spark-only stage (trained quantizer - no comparator)
     "exact_quantiles",
     "kll_quantiles",  # Spark-only stage (sketch taxonomy - no comparator)
@@ -177,6 +178,7 @@ def _extra_oracles() -> dict[str, str]:
         _GOPHER_ORACLE,
         _LINKAGE_ORACLE,
         _PASSAGE_ORACLE,
+        _PHRASE_ORACLE,
         _RRF_ORACLE,
     )
     from audience_finder_pro_spark.queries.llm import (
@@ -235,6 +237,7 @@ def _extra_oracles() -> dict[str, str]:
         "cm_point_estimates": _cm_oracle(),
         "dedup_triangles": _TRIANGLE_ORACLE,
         "rolling_audience": _ROLLING_AUDIENCE_ORACLE,
+        "phrase_search": _PHRASE_ORACLE,
         "exact_quantiles": _QUANTILE_ORACLE,
         "doc_communities": _lp_oracle(),
         "seasonal_trend": _SEASONAL_ORACLE,

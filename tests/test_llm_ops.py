@@ -4730,3 +4730,46 @@ def test_rolling_theta_distinct_planted_windows(spark):
 
     with pytest.raises(ValueError):
         rolling_theta_distinct(df, ["event_type"], "user_id", "ts", window_days=0)
+
+
+# ------------------------------------ E71 phrase search
+def test_phrase_search_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _PHRASE_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["phrase_search"](spark, sf_dir), _PHRASE_ORACLE,
+            sf_dir, name="phrase_search")
+
+
+def test_phrase_search_planted_semantics(spark):
+    """Pins the E71 contract: (1) adjacency — a doc with the words
+    present but not adjacent does NOT match (the read bag-of-words
+    can't do); (2) occurrence counting incl. overlapping starts;
+    (3) tokenization rule — case and punctuation fold exactly like
+    tokens(); (4) single-token phrases degenerate to term counts;
+    (5) empty phrase raises."""
+    import pytest
+
+    from audience_finder_pro_spark.operators.relevance import phrase_search
+
+    rows = [
+        (1, "alpha beta gamma"),            # exact match
+        (2, "alpha gamma beta"),            # words present, wrong order
+        (3, "x alpha beta gamma y alpha beta gamma"),  # two occurrences
+        (4, "Alpha, BETA!! gamma"),         # case/punct fold to a match
+        (5, "alpha alpha alpha"),           # overlap for single-token
+        (6, "beta gamma"),                  # incomplete
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_matches for r in phrase_search(df, "alpha beta gamma").collect()}
+    assert got == {1: 1, 3: 2, 4: 1}
+
+    single = {r.doc_id: r.n_matches for r in phrase_search(df, "alpha").collect()}
+    assert single == {1: 1, 2: 1, 3: 2, 4: 1, 5: 3}
+
+    with pytest.raises(ValueError):
+        phrase_search(df, "  ,, ")
