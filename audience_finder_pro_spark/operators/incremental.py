@@ -1050,9 +1050,13 @@ def bottomk_state(
     State: (keys..., item, hv, rk) with rk the (hv asc, item asc)
     rank ≤ k; hv = the 15-hex-digit md5 prefix as bigint (the E4
     machinery, so a DuckDB oracle computes the identical sample). The
-    build pre-truncates per map task via WindowGroupLimit (the E59
-    shape) — a key with a billion distinct items ships
-    n_partitions × k rows, never the distinct frame. NULL items drop.
+    initial ``.distinct()`` pre-aggregate shuffles the distinct
+    (key, item) frame ONCE — hash-partitioned with map-side partials,
+    so no single-task parking — and the WindowGroupLimit bound applies
+    to the window exchange that follows it: each map task pre-truncates
+    to its local bottom-k, so the rank exchange ships
+    n_partitions × k rows per key, not the distinct frame again.
+    NULL items drop.
 
     Exactness contract: while a key's distinct count stays ≤ k, the
     state IS the distinct set (exact regime); past k it is a uniform
@@ -1076,23 +1080,53 @@ def bottomk_state(
     w = Window.partitionBy(*key_cols).orderBy(
         F.col("hv").asc(), F.col("item").asc()
     )
-    return (
+    out = (
         items.withColumn("hv", hv)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+    # build-k marker read by merge_bottomk_states' coverage validation
+    # (best-effort: a state round-tripped through storage loses it and
+    # falls back to the observed-rank check there)
+    out._afp_bottomk_k = k
+    return out
 
 
-def merge_bottomk_states(states: list[DataFrame], k: int = 64) -> DataFrame:
+def merge_bottomk_states(
+    states: list[DataFrame], k: int = 64, input_k: int | None = None
+) -> DataFrame:
     """Merge ``bottomk_state`` frames: union, drop duplicate items (the
     hash is a function of the item, so duplicates agree), re-rank, keep
-    k — the exact min-k union. ``k`` must not exceed the inputs' k
-    (a larger union gate would fabricate coverage the inputs never
-    kept)."""
+    k — the exact min-k union. ``k`` must not exceed the inputs' build
+    k (a larger union gate would fabricate coverage the inputs never
+    kept: ``bottomk_read`` would see < k rows on a truncated key and
+    misreport the sample as the exact distinct set). Validation
+    (ADVICE r12): a frame straight from ``bottomk_state`` or from this
+    merge carries its k and is checked directly; a frame without the
+    marker (e.g. round-tripped through parquet) needs the caller's
+    explicit ``input_k`` assertion of how it was built — the rows alone
+    cannot prove coverage (a key below k looks identical whether its
+    build k was larger or its item set was just small), so an unmarked
+    input with no assertion is refused rather than silently trusted."""
     if not states:
         raise ValueError("merge_bottomk_states needs at least one state frame")
     if k < 2:
         raise ValueError("merge_bottomk_states needs k >= 2")
+    for i, s in enumerate(states):
+        built_k = getattr(s, "_afp_bottomk_k", None)
+        if built_k is None:
+            built_k = input_k
+        if built_k is None:
+            raise ValueError(
+                f"merge_bottomk_states input {i} carries no build-k marker "
+                f"(round-tripped through storage?); pass input_k=<its build k> "
+                f"to assert coverage, or rebuild it via bottomk_state"
+            )
+        if k > built_k:
+            raise ValueError(
+                f"merge_bottomk_states k={k} exceeds input {i}'s build "
+                f"k={built_k}; a larger union gate would fabricate coverage"
+            )
     merged = states[0].drop("rk")
     for s in states[1:]:
         merged = merged.unionByName(s.drop("rk"))
@@ -1101,9 +1135,12 @@ def merge_bottomk_states(states: list[DataFrame], k: int = 64) -> DataFrame:
     w = Window.partitionBy(*key_cols).orderBy(
         F.col("hv").asc(), F.col("item").asc()
     )
-    return (
+    out = (
         dedup.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
     )
+    # the merged frame's effective build k is the gate applied here
+    out._afp_bottomk_k = k
+    return out
 
 
 _BK_RANGE = float(16 ** 15)  # hv domain: 15 hex digits

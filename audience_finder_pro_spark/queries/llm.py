@@ -4326,10 +4326,17 @@ SELECT 'decayed', event_type, CAST(DATE '2024-02-01' AS VARCHAR), count(*),
 FROM dec GROUP BY 1, 2, 3
 UNION ALL
 SELECT 'trend', event_type, CAST(DATE '2024-01-01' AS VARCHAR), n,
+       -- degenerate-key guard mirrors trend_read (ADVICE r12): a key whose
+       -- events all land on one day has denominator 0 and reads NULL
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+                 - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) <> 0 THEN
        round((CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
               - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
              / (CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
-                - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)), 4),
+                - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)), 4)
+       END,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+                 - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) <> 0 THEN
        round((CAST(sum_y AS DOUBLE)
               - ((CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
                   - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
@@ -4337,6 +4344,7 @@ SELECT 'trend', event_type, CAST(DATE '2024-01-01' AS VARCHAR), n,
                     - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)))
                 * CAST(sum_x AS DOUBLE))
              / CAST(n AS DOUBLE), 4)
+       END
 FROM trs
 """
 
@@ -4537,7 +4545,9 @@ def _cm_oracle(depth: int = 4, width: int = 256, n_probes: int = 20) -> str:
       FROM pcells p JOIN cells c USING (d, w)
       GROUP BY 1, 2
     ),
-    keys AS (SELECT DISTINCT event_type FROM events)
+    -- the engine's key skeleton comes from the state, which never sees a
+    -- key whose user_id values are all NULL — mirror that (ADVICE r12)
+    keys AS (SELECT DISTINCT event_type FROM events WHERE user_id IS NOT NULL)
     SELECT k.event_type, p.item,
            CAST(CASE WHEN coalesce(h.nrows, 0) < {depth} THEN 0
                      ELSE h.m END AS BIGINT) AS est_count

@@ -307,6 +307,35 @@ def _ann_cosine_768(spark, sf_dir: str):
 BENCH_EXTRA = {"ann_cosine_768": _ann_cosine_768}
 
 
+def _source_rev() -> str:
+    """Code-identity stamp for keep-best-weather (ADVICE r12).
+
+    git HEAD plus a dirty marker; if the working tree differs from HEAD the
+    stamp includes a hash of the diff so two different uncommitted states
+    never compare equal (a bare "-dirty" suffix would).
+    """
+    import hashlib
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=root, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if not head:
+            return "unknown"
+        diff = subprocess.run(
+            ["git", "diff", "HEAD", "--", "*.py"],
+            cwd=root, capture_output=True, text=True, timeout=10,
+        ).stdout
+        if diff:
+            head += "-dirty-" + hashlib.sha256(diff.encode()).hexdigest()[:12]
+        return head
+    except (OSError, subprocess.SubprocessError):
+        return "unknown"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -415,6 +444,9 @@ def main() -> None:
         "load_1min_at_end": round(os.getloadavg()[0], 2),
         "passes_per_query": 3,
         "timing_rule": "min-of-3-interleaved",
+        # code identity: keep-best-weather is only valid on byte-identical
+        # code, so the rev is stamped into the result and checked below
+        "rev": _source_rev(),
     }
     if duck:
         # per-query DuckDB single-process comparator: regression canary, not a
@@ -451,7 +483,15 @@ def main() -> None:
                 and set(prev.get("queries", {})) == set(timings)
                 and set(prev.get("failed", {})) == set(failed)
             )
-            keep_existing = same_run_shape and prev_load < load_at_launch
+            # ADVICE r12: "same run shape" alone can't detect a
+            # perf-affecting code change to an EXISTING query — require
+            # the recorded rev to match this build before keeping the
+            # quieter (but possibly stale-code) reading.
+            keep_existing = (
+                same_run_shape
+                and prev.get("rev") == result["rev"]
+                and prev_load < load_at_launch
+            )
         except (OSError, ValueError):
             pass
         if keep_existing:

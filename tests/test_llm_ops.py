@@ -4550,6 +4550,25 @@ def test_bottomk_state_semantics_and_merge_algebra(spark, sf_smoke):
     with pytest.raises(ValueError):
         merge_bottomk_states([], k=16)
 
+    # (5) coverage validation (ADVICE r12): a union gate larger than the
+    # inputs' build k is refused — it would fabricate coverage the inputs
+    # never kept (bottomk_read would misreport truncated keys as exact)
+    small = bottomk_state(tiny, ["event_type"], "user_id", k=4)
+    with pytest.raises(ValueError, match="exceeds input 0's build k=4"):
+        merge_bottomk_states([small, small], k=16)
+    # an unmarked state (storage round-trip loses the Python attribute)
+    # needs the caller's explicit input_k assertion
+    unmarked = spark.createDataFrame(small.collect(), small.schema)
+    with pytest.raises(ValueError, match="no build-k marker"):
+        merge_bottomk_states([unmarked], k=4)
+    assert rows(merge_bottomk_states([unmarked], k=4, input_k=4)) == rows(small)
+    with pytest.raises(ValueError, match="exceeds input 0's build k=4"):
+        merge_bottomk_states([unmarked], k=16, input_k=4)
+    # and the merge output carries its own marker (gate k), so re-merges
+    # at the same k validate without any assertion
+    remerged = merge_bottomk_states([small, small], k=4)
+    assert rows(merge_bottomk_states([remerged, remerged], k=4)) == rows(small)
+
 
 # ------------------------------------ E68 count-min sketch state
 def test_cm_point_estimates_matches_sql_oracle(spark, sf_dir):

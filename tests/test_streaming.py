@@ -572,7 +572,9 @@ def test_new_state_families_stream_through_catalog_seam(spark, sf_smoke, tmp_pat
     catalog = {
         "bottomk": (
             lambda b: bottomk_state(b, ["event_type"], "user_id", k=16),
-            lambda ss: merge_bottomk_states(ss, k=16),
+            # prev snapshots come back from parquet without the build-k
+            # marker — the stream owner asserts how they were built
+            lambda ss: merge_bottomk_states(ss, k=16, input_k=16),
         ),
         "cm": (
             lambda b: cm_state(b, ["event_type"], "user_id"),
