@@ -778,10 +778,16 @@ def chunk_dedup_verdicts(
     drops/flags containments.
 
     Scale shape: only (id, n_tokens, chunk_hash) go on the wire — never
-    chunk text; ONE hash-partitioned exchange feeds the per-hash
-    min-owner window, and the per-doc verdict is a map-side-combined
-    regroup on the id. No joins, no all-pairs anything: cost is linear
-    in chunk count at any corpus size.
+    chunk text. Owners come from a map-side-combined
+    ``groupBy(chunk_hash).agg(min(id))`` joined back on the hash — NOT a
+    min-over-window: a window partition parks EVERY instance of one
+    chunk hash on a single task, and a boilerplate chunk (license
+    header, nav footer) shared by millions of documents is a hot key by
+    construction — precisely what this operator exists to find. The
+    aggregate collapses each hash to one owner row map-side before the
+    exchange, and AQE's skew-join can split the join-back where a
+    window partition cannot be split. Cost stays linear in chunk count
+    at any corpus size.
 
     Returns (id_col, n_chunks, n_tokens, dup_chunks, dup_tokens,
     dup_frac, verdict). Fully SQL-replayable (integer sums + one
@@ -792,10 +798,11 @@ def chunk_dedup_verdicts(
             "dup_threshold <= 1"
         )
     slim = chunks.select(id_col, "n_tokens", "chunk_hash")
-    owner_w = Window.partitionBy("chunk_hash")
-    dup = (F.min(id_col).over(owner_w) < F.col(id_col)).cast("int")
+    owners = slim.groupBy("chunk_hash").agg(F.min(id_col).alias("_owner"))
+    dup = (F.col("_owner") < F.col(id_col)).cast("int")
     per_doc = (
-        slim.withColumn("_dup", dup)
+        slim.join(owners, "chunk_hash")
+        .withColumn("_dup", dup)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
