@@ -691,12 +691,27 @@ def phrase_search(
 
     Returns (id_col, n_matches) for documents with ≥1 occurrence.
     Raises on an empty phrase (after normalization)."""
-    terms = [t for t in re.split(r"[^a-z0-9]+", phrase.lower()) if t]
-    if not terms:
-        raise ValueError("phrase_search needs a non-empty phrase")
+    terms = _phrase_terms(phrase)
     index = df.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
     ).filter(F.col("tok").isin(terms))
+    return _phrase_intersect(index, terms, id_col)
+
+
+def _phrase_terms(phrase: str) -> list[str]:
+    """The engine-wide tokenize rule applied to a query phrase."""
+    terms = [t for t in re.split(r"[^a-z0-9]+", phrase.lower()) if t]
+    if not terms:
+        raise ValueError("phrase search needs a non-empty phrase")
+    return terms
+
+
+def _phrase_intersect(index: DataFrame, terms: list[str], id_col: str) -> DataFrame:
+    """The k-way positional intersection both phrase readers share:
+    ``index`` is a (id_col, pos, tok) stream already restricted to the
+    phrase's terms; term i at position p supports a match starting at
+    p − i, and a match is a (doc, base) present in all k shifted
+    streams."""
     legs = [
         index.filter(F.col("tok") == t).select(
             id_col, (F.col("pos") - i).alias("base")
@@ -709,3 +724,65 @@ def phrase_search(
     return matches.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_matches")
     )
+
+
+def build_phrase_index(
+    df: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Persist the positional token index ``phrase_search`` otherwise
+    rebuilds per query (VERDICT r12 ask #2): the corpus is tokenized
+    ONCE and its postings — one (tok, id, pos) row per token instance —
+    are written as a catalog table hash-bucketed on ``tok`` and sorted
+    by (tok, id, pos) within buckets. Every later phrase probe turns
+    its k terms into a literal ``IN`` on the bucket column, which Spark
+    answers with static bucket pruning (``SelectedBucketsCount`` in the
+    scan, plan-asserted in tests): the probe reads only the terms'
+    buckets and NEVER touches or re-tokenizes document text. At 100 TB
+    the tokenize+explode pass is the dominant cost of a phrase query;
+    this is the interactive-retrieval complement to ``ivf_build_index``
+    (same build-once-probe-many contract, same bucketed machinery as
+    S12's ``write_bucketed_table``).
+
+    ``path`` makes the table external (per-process locations let
+    concurrent sessions rebuild without yanking files from each other —
+    the ivf_build_index precedent)."""
+    from audience_finder_pro_spark.sources.sinks import write_bucketed_table
+
+    spark = df.sparkSession
+    # idempotent rebuild: overwrite-mode saveAsTable still refuses an
+    # existing managed location, so drop the previous index explicitly
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    postings = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    ).select("tok", id_col, "pos")
+    write_bucketed_table(
+        postings,
+        table,
+        ["tok"],
+        n_buckets=n_buckets,
+        sort_cols=["tok", id_col, "pos"],
+        path=path,
+    )
+
+
+def phrase_search_indexed(
+    spark,
+    table: str,
+    phrase: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase retrieval against a prebuilt ``build_phrase_index``
+    table: identical semantics and output to ``phrase_search`` (the
+    shared ``_phrase_intersect`` IS the semantics; only the index
+    source differs) with the corpus scan replaced by a bucket-pruned
+    postings lookup — the literal ``IN`` over the phrase's k terms
+    selects ≤ k of the table's buckets and no document text is read or
+    re-tokenized on the probe path."""
+    terms = _phrase_terms(phrase)
+    index = spark.table(table).filter(F.col("tok").isin(terms))
+    return _phrase_intersect(index, terms, id_col)

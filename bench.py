@@ -238,6 +238,7 @@ def _extra_oracles() -> dict[str, str]:
         "dedup_triangles": _TRIANGLE_ORACLE,
         "rolling_audience": _ROLLING_AUDIENCE_ORACLE,
         "phrase_search": _PHRASE_ORACLE,
+        "phrase_index_search": _PHRASE_ORACLE,
         "exact_quantiles": _QUANTILE_ORACLE,
         "doc_communities": _lp_oracle(),
         "seasonal_trend": _SEASONAL_ORACLE,

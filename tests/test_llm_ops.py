@@ -4821,3 +4821,49 @@ def test_phrase_search_planted_semantics(spark):
 
     with pytest.raises(ValueError):
         phrase_search(df, "  ,, ")
+
+
+def test_phrase_index_search_matches_sql_oracle(spark, sf_dir):
+    """The persisted-index serving path (VERDICT r12 ask #2) under the
+    SAME oracle as phrase_search — identical semantics, different index
+    source. Verified at sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _PHRASE_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["phrase_index_search"](spark, sf_dir), _PHRASE_ORACLE,
+            sf_dir, name="phrase_index_search")
+
+
+def test_phrase_index_probe_is_bucket_pruned_and_tokenize_free(spark, sf_smoke):
+    """THE property the persisted index buys: the probe plan reads only
+    the phrase's terms' buckets (static bucket pruning via the literal
+    IN on the bucket column) and contains NO tokenize/explode — document
+    text is never touched on the serving path. Results must equal the
+    per-query-index phrase_search exactly."""
+    import re as _re
+    import shutil
+
+    from audience_finder_pro_spark.operators.relevance import (
+        build_phrase_index,
+        phrase_search,
+        phrase_search_indexed,
+    )
+    from audience_finder_pro_spark.session import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    shutil.rmtree("spark-warehouse/phrase_idx_test", ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS phrase_idx_test")
+    build_phrase_index(docs, "phrase_idx_test", n_buckets=16)
+
+    got = phrase_search_indexed(spark, "phrase_idx_test", "table part a")
+    want = phrase_search(docs, "table part a")
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(got) == as_set(want) and got.count() > 0
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, "postings scan must report bucket pruning"
+    # 3 terms select at most 3 of the 16 buckets
+    assert int(m.group(1)) <= 3 < int(m.group(2)) == 16
+    assert "Generate" not in plan, "probe path must not re-tokenize"
