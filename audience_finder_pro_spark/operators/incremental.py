@@ -941,10 +941,27 @@ def trend_read(state: DataFrame) -> DataFrame:
     )
 
 
-_CATALOG_FAMILIES = ("decayed", "histogram", "rollup", "theta", "topk", "trend")
+_CATALOG_FAMILIES = (
+    "bottomk",
+    "cm",
+    "decayed",
+    "histogram",
+    "hll",
+    "kll",
+    "rollup",
+    "theta",
+    "topk",
+    "trend",
+)
 
 
-def state_catalog_read(states: dict[str, DataFrame], topk_k: int = 5) -> DataFrame:
+def state_catalog_read(
+    states: dict[str, DataFrame],
+    topk_k: int = 5,
+    bottomk_k: int = 64,
+    cm_probes: DataFrame | None = None,
+    kll_qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
     """Unified read over a CATALOG of merged incremental states (the
     r11 consolidation ask): one tagged frame a standing daily-ingest
     pipeline reads after absorbing a delta into EVERY state family it
@@ -960,21 +977,40 @@ def state_catalog_read(states: dict[str, DataFrame], topk_k: int = 5) -> DataFra
     - ``rollup``  (E41): k2 NULL, n, v1 = sum (4dp), v2 = max (4dp)
     - ``histogram`` (E42): k2 = bin, n = bin count
     - ``theta``   (E48): k2 NULL, n = distinct estimate (exact in
-      exact mode — the only leg whose SQL replay is regime-conditional)
+      exact mode — a regime-conditional SQL replay)
     - ``topk``    (E59): k2 = item, n = w floor, v1 = rank, v2 = w+base
     - ``decayed`` (E63): k2 = ref_date, n, v1 = score
     - ``trend``   (E64): k2 = origin, n, v1 = slope, v2 = intercept
+    - ``bottomk`` (E67): k2 = item, n = rk, v1 = KMV est_distinct
+      (``bottomk_k`` must be the states' build k)
+    - ``cm``      (E68): k2 = probed item, n = est_count (``cm_probes``
+      is the read's one-column ``item`` probe frame — point reads are
+      parameterized by probes, so the caller must supply them)
+    - ``hll``     (E46): k2 NULL, n = sketch distinct estimate
+    - ``kll``     (E51): k2 = q, n = exact stream count, v1 = quantile
+
+    All legs reuse the family read functions, so semantics are
+    identical to the standalone queries. The first eight are SQL-exact
+    in their checked regimes and ride the declared `state_catalog`
+    hash gate; ``hll``/``kll`` are approximate-sketch reads (the E46/
+    E51 taxonomy: error-bound gates, not value hashes) — include them
+    where a dashboard wants one frame, gate them by their bounds.
 
     Unknown family names raise; at least one family is required. The
-    declared `state_catalog` query hash-gates the whole frame against
-    a one-pass SQL recompute, and the streaming e2e gate feeds this
-    same read from states maintained by ONE foreachBatch stream
+    declared `state_catalog` query hash-gates its frame against a
+    one-pass SQL recompute, and the streaming e2e gate feeds this same
+    read from states maintained by ONE foreachBatch stream
     (streaming/jobs.run_stream_state_catalog)."""
     unknown = sorted(set(states) - set(_CATALOG_FAMILIES))
     if unknown:
         raise ValueError(f"state_catalog_read: unknown families {unknown}")
     if not states:
         raise ValueError("state_catalog_read needs at least one state family")
+    if "cm" in states and cm_probes is None:
+        raise ValueError(
+            "state_catalog_read: the 'cm' family needs cm_probes (point "
+            "reads are parameterized by the probe items)"
+        )
 
     legs: list[DataFrame] = []
 
@@ -1021,6 +1057,22 @@ def state_catalog_read(states: dict[str, DataFrame], topk_k: int = 5) -> DataFra
             r = trend_read(st)
             leg(r, "trend", F.col(r.columns[0]), F.col("origin"),
                 F.col("n"), F.col("slope"), F.col("intercept"))
+        elif name == "bottomk":
+            r = bottomk_read(st, k=bottomk_k)
+            leg(r, "bottomk", F.col(r.columns[0]), F.col("item"),
+                F.col("rk"), F.col("est_distinct"), None)
+        elif name == "cm":
+            r = cm_estimate(st, cm_probes, "item")
+            leg(r, "cm", F.col(r.columns[0]), F.col("item"),
+                F.col("est_count"), None, None)
+        elif name == "hll":
+            r = distinct_from_state(st)
+            leg(r, "hll", F.col(r.columns[0]), None,
+                F.col("n_distinct"), None, None)
+        elif name == "kll":
+            r = kll_quantiles_from_state(st, list(kll_qs))
+            leg(r, "kll", F.col(r.columns[0]), F.col("q"),
+                F.col("n"), F.col("quantile"), None)
     out = legs[0]
     for frame in legs[1:]:
         out = out.unionByName(frame)

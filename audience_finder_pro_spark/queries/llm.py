@@ -4264,7 +4264,25 @@ def cdc_chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rank, decayed as the power-of-two integer weights, trend as the
 # closed-form over exact sufficient statistics. The hash match proves
 # all six merge algebras and the unified read in ONE gate.
-_STATE_CATALOG_ORACLE = """
+def _cm_case_sql(expr: str, d_alias: str, depth: int = 4, width: int = 256) -> str:
+    """The count-min bucket CASE over ``depth`` salted hashes — shared
+    by _cm_oracle and the catalog oracle's cm leg."""
+    from audience_finder_pro_spark.operators.sampling import hash_bucket_sql
+
+    arms = " ".join(
+        f"WHEN {d} THEN {hash_bucket_sql(expr, f'cm{d}', width)}"
+        for d in range(depth)
+    )
+    return f"CASE {d_alias}.d {arms} END"
+
+
+# the E4 salted-md5 bigint — identical in both engines (the _bottomk_oracle rule)
+_BK_HV_SQL = (
+    "CAST(concat('0x', substr(md5('bk:' || CAST(item AS VARCHAR)), 1, 15))"
+    " AS BIGINT)"
+)
+
+_STATE_CATALOG_ORACLE = f"""
 WITH c AS (
   SELECT event_type, user_id AS item, count(*) AS n
   FROM events GROUP BY 1, 2
@@ -4295,7 +4313,37 @@ trs AS (
          sum(y) AS sum_y,
          sum(y * CAST(x AS DECIMAL(10,0))) AS sum_xy
   FROM tr GROUP BY 1
-)
+),
+bk_r AS (
+  SELECT event_type, item, hv,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY hv ASC, item ASC) AS rk
+  FROM (SELECT event_type, item, {_BK_HV_SQL} AS hv
+        FROM (SELECT DISTINCT event_type, user_id AS item FROM events
+              WHERE user_id IS NOT NULL))
+),
+bk_s AS (SELECT * FROM bk_r WHERE rk <= 32),
+bk_a AS (
+  SELECT event_type, count(*) AS kept, max(hv) AS kth FROM bk_s GROUP BY 1
+),
+cm_dd AS (SELECT unnest(range(0, 4)) AS d),
+cm_pr AS (SELECT unnest(range(1, 6)) AS item),
+cm_cells AS (
+  SELECT event_type, cm_dd.d AS d, {_cm_case_sql("user_id", "cm_dd")} AS w,
+         count(*) AS cnt
+  FROM events, cm_dd WHERE user_id IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+cm_pc AS (
+  SELECT item, cm_dd.d AS d, {_cm_case_sql("item", "cm_dd")} AS w
+  FROM cm_pr, cm_dd
+),
+cm_hit AS (
+  SELECT c.event_type, p.item, min(c.cnt) AS m, count(*) AS nrows
+  FROM cm_pc p JOIN cm_cells c USING (d, w)
+  GROUP BY 1, 2
+),
+cm_keys AS (SELECT DISTINCT event_type FROM events WHERE user_id IS NOT NULL)
 SELECT 'rollup' AS op, event_type AS k1, CAST(NULL AS VARCHAR) AS k2,
        count(*) AS n,
        round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS v1,
@@ -4346,6 +4394,20 @@ SELECT 'trend', event_type, CAST(DATE '2024-01-01' AS VARCHAR), n,
              / CAST(n AS DOUBLE), 4)
        END
 FROM trs
+UNION ALL
+SELECT 'bottomk', s.event_type, CAST(s.item AS VARCHAR), s.rk,
+       round(CASE WHEN a.kept < 32 THEN CAST(a.kept AS DOUBLE)
+                  ELSE 31.0 * 1152921504606846976.0
+                       / CAST(a.kth AS DOUBLE) END, 4),
+       CAST(NULL AS DOUBLE)
+FROM bk_s s JOIN bk_a a USING (event_type)
+UNION ALL
+SELECT 'cm', k.event_type, CAST(p.item AS VARCHAR),
+       CAST(CASE WHEN coalesce(h.nrows, 0) < 4 THEN 0 ELSE h.m END AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM cm_keys k
+CROSS JOIN cm_pr p
+LEFT JOIN cm_hit h ON h.event_type = k.event_type AND h.item = p.item
 """
 
 
@@ -4369,8 +4431,12 @@ def _catalog_merge_fns() -> dict:
     """family name → merge_fn (list of states → one state) — the other
     half of the ``run_stream_state_catalog`` catalog value."""
     from audience_finder_pro_spark.operators.incremental import (
+        merge_bottomk_states,
+        merge_cm_states,
         merge_decayed_states,
+        merge_distinct_states,
         merge_histogram_states,
+        merge_kll_states,
         merge_rollup_states,
         merge_theta_states,
         merge_topk_states,
@@ -4384,6 +4450,14 @@ def _catalog_merge_fns() -> dict:
         "topk": lambda ss: merge_topk_states(ss, capacity=2000),
         "decayed": merge_decayed_states,
         "trend": merge_trend_states,
+        # r13 additions (VERDICT r12 ask #4): the remaining state families
+        # through the same seam. Streamed prev-snapshots come back from
+        # parquet without the bottom-k build marker, so the catalog owner
+        # asserts the build k explicitly.
+        "bottomk": lambda ss: merge_bottomk_states(ss, k=32, input_k=32),
+        "cm": merge_cm_states,
+        "hll": merge_distinct_states,
+        "kll": merge_kll_states,
     }
 
 
@@ -4392,8 +4466,12 @@ def _catalog_family_fns() -> dict:
     value, ts) frame — the dict run_stream_state_catalog consumes (the
     merge side pairs with the merge fns in ``_build_catalog_states``)."""
     from audience_finder_pro_spark.operators.incremental import (
+        bottomk_state,
+        cm_state,
         decayed_state,
+        distinct_state,
         histogram_state,
+        kll_state,
         rollup_state,
         theta_state,
         topk_state,
@@ -4416,26 +4494,44 @@ def _catalog_family_fns() -> dict:
         "trend": lambda b: trend_state(
             b, ["event_type"], "ts", "value", origin_date="2024-01-01"
         ),
+        # r13 additions (VERDICT r12 ask #4): k=32 keeps the bottom-k
+        # sampled/KMV regime live at every checked SF (the bottomk_sample
+        # geometry); hll/kll are the approximate-sketch families — their
+        # catalog reads are gated by error bounds, not value hashes.
+        "bottomk": lambda b: bottomk_state(b, ["event_type"], "user_id", k=32),
+        "cm": lambda b: cm_state(b, ["event_type"], "user_id"),
+        "hll": lambda b: distinct_state(b, ["event_type"], "user_id"),
+        "kll": lambda b: kll_state(b, ["event_type"], "value"),
     }
 
 
 @_q("state_catalog", None)  # declared past the 50-slot cap; standalone gate
 def state_catalog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The incremental tier consolidated (VERDICT r11 ask #2,
-    operators/incremental.state_catalog_read): SIX state families —
-    E41 rollup, E42 histogram, E48 theta audience, E59 heavy hitters,
-    E63 decayed engagement, E64 trend — each built the incremental way
-    (three event_id%3 slices merged by its own algebra) and read back
-    as ONE tagged (op, k1, k2, n, v1, v2) frame, the single dashboard
-    query a standing daily-ingest pipeline runs after absorbing a
-    delta. Exact regimes throughout at the checked SFs (theta ≤1,500
-    distinct vs 2^14; topk capacity 2000), so every leg is SQL-exact.
-    The streaming e2e gate (tests/test_streaming.py) feeds the SAME
-    read from states maintained by ONE foreachBatch stream
-    (streaming/jobs.run_stream_state_catalog) and matches this batch
-    frame bit-for-bit. ``_STATE_CATALOG_ORACLE`` recomputes all six
-    legs from the full table in one pass (pytest hash gate at sf0.01
-    and sf0.1 + bench comparator)."""
+    """The incremental tier consolidated (VERDICT r11 ask #2, grown to
+    the full family set in r13 per VERDICT r12 ask #4 —
+    operators/incremental.state_catalog_read): EIGHT SQL-exact state
+    families — E41 rollup, E42 histogram, E48 theta audience, E59
+    heavy hitters, E63 decayed engagement, E64 trend, E67 bottom-k
+    sample/KMV, E68 count-min point reads (probes 1–5) — each built
+    the incremental way (three event_id%3 slices merged by its own
+    algebra) and read back as ONE tagged (op, k1, k2, n, v1, v2)
+    frame, the single dashboard query a standing daily-ingest pipeline
+    runs after absorbing a delta. Exact regimes throughout at the
+    checked SFs (theta ≤1,500 distinct vs 2^14; topk capacity 2000;
+    bottom-k KMV over exact integer hashes; cm cells exact integer
+    sums), so every leg is SQL-exact. The two APPROXIMATE-sketch
+    families (E46 HLL, E51 KLL) ride the same read function and the
+    same one-stream maintenance seam but NOT this hash gate — HLL's
+    estimate is measurably inexact at sf0.1 (1488 vs 1500, inside its
+    1.6% bound) and KLL's quantiles depend on compaction history, so
+    their catalog legs are gated by their error-bound taxonomies in
+    pytest instead (tests/test_streaming.py, tests/test_llm_ops.py).
+    The streaming e2e gate feeds the SAME read from states maintained
+    by ONE foreachBatch stream (streaming/jobs.run_stream_state_catalog)
+    and matches this batch frame bit-for-bit on the exact families.
+    ``_STATE_CATALOG_ORACLE`` recomputes all eight legs from the full
+    table in one pass (pytest hash gate at sf0.01 and sf0.1 + bench
+    comparator)."""
     from audience_finder_pro_spark.operators.incremental import (
         state_catalog_read,
     )
@@ -4443,7 +4539,17 @@ def state_catalog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "user_id", "value", "ts", "event_id"
     )
-    return state_catalog_read(_build_catalog_states(ev), topk_k=5)
+    states = _build_catalog_states(ev)
+    # the approximate-sketch families are built through the same seam but
+    # read outside the hash gate (never-executed lazy plans cost nothing)
+    states.pop("hll")
+    states.pop("kll")
+    return state_catalog_read(
+        states,
+        topk_k=5,
+        bottomk_k=32,
+        cm_probes=spark.range(1, 6).select(F.col("id").alias("item")),
+    )
 
 
 # ------------------------------------------- E67 bottom-k sample state

@@ -4488,6 +4488,69 @@ def test_state_catalog_read_validates(spark):
         state_catalog_read({"bogus": spark.range(1)})
     with pytest.raises(ValueError, match="at least one"):
         state_catalog_read({})
+    with pytest.raises(ValueError, match="cm_probes"):
+        state_catalog_read({"cm": spark.range(1)})
+
+
+def test_state_catalog_sketch_legs_within_bounds(spark, sf_dir):
+    """The hll/kll catalog legs (r13: the two APPROXIMATE families the
+    declared hash gate excludes by taxonomy) read through the SAME
+    state_catalog_read and are gated by their error-bound contracts:
+    hll's per-key estimate within the sketch's 3-sigma band of the
+    exact distinct count (~1.6% SE at lg_k=12 — sf0.1 measures 0.8%
+    off, so the regime where the bound BITES is exercised); kll's
+    per-(key, q) quantile within ±2% RANK error of the exact quantile
+    (compaction is live at sf0.01: ~2,000 values/key vs k=800) and its
+    n column exactly the key's value count (KLL tracks n losslessly)."""
+    from audience_finder_pro_spark.operators.incremental import (
+        state_catalog_read,
+    )
+    from audience_finder_pro_spark.queries.llm import _build_catalog_states
+    from audience_finder_pro_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value", "ts", "event_id"
+    )
+    states = _build_catalog_states(ev)
+    got = state_catalog_read(
+        {"hll": states["hll"], "kll": states["kll"]},
+        kll_qs=(0.25, 0.5, 0.75),
+    ).collect()
+
+    exact_distinct = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    vals: dict[str, list[float]] = {}
+    for r in ev.filter(F.col("value").isNotNull()).select(
+        "event_type", "value"
+    ).collect():
+        vals.setdefault(r.event_type, []).append(float(r.value))
+    for v in vals.values():
+        v.sort()
+
+    hll = [r for r in got if r.op == "hll"]
+    kll = [r for r in got if r.op == "kll"]
+    assert {r.k1 for r in hll} == set(exact_distinct)
+    for r in hll:
+        true = exact_distinct[r.k1]
+        assert abs(r.n - true) <= max(3, 0.05 * true), (r.k1, r.n, true)
+    assert len(kll) == 3 * len(vals)
+    for r in kll:
+        v = vals[r.k1]
+        assert r.n == len(v)  # exact stream count
+        q = float(r.k2)
+        # rank of the returned quantile within the exact sorted values
+        import bisect
+
+        lo_rank = bisect.bisect_left(v, r.v1)
+        hi_rank = bisect.bisect_right(v, r.v1)
+        target = q * len(v)
+        assert lo_rank - 0.02 * len(v) <= target <= hi_rank + 0.02 * len(v), (
+            r.k1, q, r.v1, lo_rank, hi_rank, target,
+        )
 
 
 # ------------------------------------ E67 bottom-k sample state

@@ -471,15 +471,20 @@ def test_stream_decontaminate_equals_batch(spark, sf_smoke):
 
 
 def test_state_catalog_through_one_stream(spark, sf_smoke, tmp_path):
-    """The r11 consolidation ask, end-to-end: ONE foreachBatch stream
+    """The r11 consolidation ask, end-to-end (grown to ALL TEN families
+    in r13 per VERDICT r12 ask #4): ONE foreachBatch stream
     (streaming/jobs.run_stream_state_catalog) absorbs every micro-batch
-    into SIX state families at once — rollup, histogram, theta, topk,
-    decayed, trend — and the unified state_catalog_read over the
-    streamed states equals the declared `state_catalog` query's batch
-    frame row-for-row (which is itself hash-gated against the one-pass
-    SQL oracle at both SFs, so this differential chains the stream to
-    the oracle). A second full redelivery with a fresh checkpoint
-    changes nothing (per-family idempotent snapshots)."""
+    into every state family at once — rollup, histogram, theta, topk,
+    decayed, trend, bottomk, cm, hll, kll — and the unified
+    state_catalog_read over the streamed states equals the batch frame
+    row-for-row (the eight exact families chain to the declared
+    `state_catalog` hash gate; the hll/kll sketch families are
+    compared at the READ because their binaries are history-dependent —
+    at smoke scale both sit in their exact regimes: HLL sparse at 15
+    distinct vs 2^12 registers, KLL uncompacted at ~200 values/key vs
+    k=800, so the reads are replay-deterministic and row-equal too).
+    A second full redelivery with a fresh checkpoint changes nothing
+    (per-family idempotent snapshots)."""
     import os
 
     from audience_finder_pro_spark.operators.incremental import (
@@ -521,27 +526,28 @@ def test_state_catalog_through_one_stream(spark, sf_smoke, tmp_path):
     def rows(df):
         return sorted(tuple(r) for r in df.collect())
 
-    streamed = rows(
-        state_catalog_read(
-            latest_catalog_states(spark, state_root, sorted(fns)), topk_k=5
+    def read(states):
+        return state_catalog_read(
+            states,
+            topk_k=5,
+            bottomk_k=32,
+            cm_probes=spark.range(1, 6).select(F.col("id").alias("item")),
         )
-    )
+
+    streamed = rows(read(latest_catalog_states(spark, state_root, sorted(fns))))
     batch = rows(
-        state_catalog_read(
+        read(
             _build_catalog_states(
                 base.select("event_type", "user_id", "value", "ts", "event_id")
-            ),
-            topk_k=5,
+            )
         )
     )
     assert streamed == batch
-    assert {r[0] for r in streamed} == set(fns)  # all six legs populated
+    assert {r[0] for r in streamed} == set(fns)  # all ten legs populated
 
     replay(str(tmp_path / "ck2"))  # full redelivery: idempotent
     assert rows(
-        state_catalog_read(
-            latest_catalog_states(spark, state_root, sorted(fns)), topk_k=5
-        )
+        read(latest_catalog_states(spark, state_root, sorted(fns)))
     ) == streamed
 
 
