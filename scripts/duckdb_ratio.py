@@ -3,9 +3,18 @@
 (VERDICT r1 lead 5: manufacture the honest 2×-gate comparator).
 
 Runs every oracle-backed declared query in both engines at the given SF
-(best-of-2 after a warmup pass in each engine) and prints a markdown
-table sorted by ratio. Paste into BASELINE.md; rerun per round so
-per-query regressions are visible, not just the bench total.
+(best-of-N in each engine, N=8 by default — r13 protocol, VERDICT r12
+ask #1: more runs tighten both engines' minima against scheduling
+weather; override with RATIO_RUNS) and prints a markdown table sorted
+by ratio plus a summary block: total, median, 10%-trimmed, and the
+driver-50 ex-outlier reading in BOTH forms — RAW, and the
+floor-corrected COMPANION that subtracts this session's measured
+per-action scheduling floor (a 1-row noop write timed best-of-N at
+launch; local-mode Spark pays 0.088-0.168s of pure stage orchestration
+per action that a single-process engine does not, and that amortizes
+to noise at any real SF). The companion is reported ALONGSIDE the raw
+number, never instead of it. Paste into BASELINE.md; rerun per round
+so per-query regressions are visible, not just the bench total.
 
 Usage: python scripts/duckdb_ratio.py [sf_dir] (default /root/testdata/sf0.1)
 """
@@ -23,14 +32,33 @@ import duckdb
 from audience_finder_pro_spark.queries import ORACLES, QUERIES
 from audience_finder_pro_spark.session import TABLES, get_spark
 
+RUNS = int(os.environ.get("RATIO_RUNS", "8"))
 
-def best_of(fn, runs: int = 4) -> float:
+# stage-floor legs measured incomparably by design (BASELINE.md r10):
+# similarity_pagerank / knn_graph pit checkpointed Pregel sweeps and a
+# BLAS path against unrolled-CTE / per-element-fold oracles
+_OUTLIERS = ("similarity_pagerank", "knn_graph")
+
+
+def best_of(fn, runs: int = RUNS) -> float:
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
         fn()
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def measure_action_floor(spark) -> float:
+    """This session's per-action scheduling floor: a 1-row noop write —
+    no data work, pure driver/scheduler round trip. The conservative
+    (smallest) correction unit: most queries' actions also pay shuffle
+    stage launches on top of this."""
+    one = spark.range(1)
+    one.write.format("noop").mode("overwrite").save()  # warm the path
+    return best_of(
+        lambda: one.write.format("noop").mode("overwrite").save()
+    )
 
 
 def main() -> None:
@@ -101,6 +129,42 @@ def main() -> None:
     ts = sum(r[1] for r in rows)
     td = sum(r[2] for r in rows)
     print(f"| **total ({len(rows)} queries)** | **{ts:.2f}** | **{td:.2f}** | **{ts / td:.1f}** |")
+
+    # ------- summary block (r13 protocol: the driver-50 bar, both forms)
+    from statistics import median
+
+    floor_s = measure_action_floor(spark)
+    ex = [r for r in rows if r[0] not in _OUTLIERS]
+    exs, exd = sum(r[1] for r in ex), sum(r[2] for r in ex)
+    # one timed action per query run; the correction can never push a
+    # query below zero
+    exs_fc = sum(max(r[1] - floor_s, 0.0) for r in ex)
+    ratios = sorted(r[3] for r in rows)
+    k = len(ratios) // 10
+    trimmed = ratios[k: len(ratios) - k] if len(ratios) > 2 * k else ratios
+    print(f"\nruns_per_engine: {RUNS} (best-of)")
+    print(f"measured per-action floor (1-row noop, best-of-{RUNS}): {floor_s:.3f}s")
+    print(f"total: {ts:.2f} / {td:.2f} = {ts / td:.2f}x over {len(rows)} queries")
+    print(
+        f"ex-outlier ({', '.join(_OUTLIERS)} excluded) RAW: "
+        f"{exs:.2f} / {exd:.2f} = {exs / exd:.2f}x"
+    )
+    print(
+        f"ex-outlier FLOOR-CORRECTED companion (raw minus {floor_s:.3f}s "
+        f"x 1 action/query, alongside — never instead of — the raw): "
+        f"{exs_fc:.2f} / {exd:.2f} = {exs_fc / exd:.2f}x"
+    )
+    print(f"median per-query ratio: {median(r[3] for r in rows):.2f}")
+    print(f"10%-trimmed mean ratio: {sum(trimmed) / len(trimmed):.2f}")
+    # bench.py's exact ratio triple, for continuity with BENCH_DETAIL.json
+    from bench import ratio_metrics
+
+    print(
+        "bench-rule metrics:",
+        ratio_metrics(
+            {r[0]: r[1] for r in rows}, {r[0]: r[2] for r in rows}
+        ),
+    )
 
 
 if __name__ == "__main__":
