@@ -264,6 +264,108 @@ def quantiles_from_state(
     return out
 
 
+def psi_from_histogram_states(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    n_bins: int,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between two histogram STATES (E72):
+    the standard drift gate a standing ingest runs between reference
+    and current windows of every monitored measure — PSI < 0.1 stable,
+    < 0.25 moderate, else drifted (the credit-scoring rule of thumb) —
+    computed ENTIRELY from the E42 mergeable states: once the per-key
+    histograms are maintained incrementally, drift between ANY two
+    windows is a read over ≤ keys × n_bins persisted integer rows,
+    never a re-scan of either window's raw data. That is the complement
+    of `distribution_drift` (op/profile.py), which compares token
+    distributions by scanning both corpus slices.
+
+    PSI = Σ_bins (p_b − p_a)·ln(p_b/p_a) over the FULL bin skeleton
+    0..n_bins−1 with Jeffreys smoothing p = (cnt + s) / (n + s·n_bins)
+    (``smoothing`` = s): absent bins count 0, so a bin present on one
+    side only contributes a finite, replayable term instead of ±inf.
+    Both states must share key columns and binning geometry (``n_bins``
+    is the binning model the state does not carry — the
+    quantiles_from_state rule). Returns (keys..., n_a, n_b, psi,
+    verdict), psi rounded to 4dp (sums of ≤ n_bins O(1)-magnitude
+    terms — far inside round(4) cross-engine).
+
+    Scale shape: one map-side-combined aggregate per side (the states
+    are already aggregates; re-keying is a ≤ keys × n_bins frame), one
+    join on (key, bin) over those bounded frames, one per-key regroup.
+    No raw data is touched."""
+    if n_bins < 1:
+        raise ValueError("psi_from_histogram_states needs n_bins >= 1")
+    if smoothing <= 0:
+        raise ValueError(
+            "psi_from_histogram_states needs smoothing > 0 (zero bins "
+            "would read ln(0))"
+        )
+    key_cols = [c for c in state_a.columns if c not in ("bin", "bin_n")]
+    if key_cols != [c for c in state_b.columns if c not in ("bin", "bin_n")]:
+        raise ValueError("psi_from_histogram_states: key columns differ")
+    spark = state_a.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    keys = (
+        state_a.select(*key_cols)
+        .unionByName(state_b.select(*key_cols))
+        .distinct()
+    )
+    skeleton = keys.crossJoin(F.broadcast(bins))
+    joined = (
+        skeleton.join(
+            state_a.withColumnRenamed("bin_n", "_ca"), [*key_cols, "bin"], "left"
+        )
+        .join(
+            state_b.withColumnRenamed("bin_n", "_cb"), [*key_cols, "bin"], "left"
+        )
+        .select(
+            *key_cols,
+            "bin",
+            F.coalesce("_ca", F.lit(0)).cast("long").alias("_ca"),
+            F.coalesce("_cb", F.lit(0)).cast("long").alias("_cb"),
+        )
+    )
+    s = float(smoothing)
+    per_key = joined.groupBy(*key_cols).agg(
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+        # bin leads the struct so sort_array gives a CANONICAL fold order
+        # (collect_list order is partition-dependent; the psi sum must be
+        # bit-deterministic on our side)
+        F.sort_array(F.collect_list(F.struct("bin", "_ca", "_cb"))).alias(
+            "_cells"
+        ),
+    )
+    # the smoothed shares need the key totals, so the psi sum runs as a
+    # second pass over the collected ≤ n_bins cells per key (bounded
+    # model state per row, the E42 read discipline) — an expression
+    # aggregate, no UDF
+    p = lambda c, n: (c.cast("double") + F.lit(s)) / (  # noqa: E731
+        n.cast("double") + F.lit(s * n_bins)
+    )
+    term = lambda cell: (  # noqa: E731
+        p(cell["_cb"], F.col("n_b")) - p(cell["_ca"], F.col("n_a"))
+    ) * F.log(p(cell["_cb"], F.col("n_b")) / p(cell["_ca"], F.col("n_a")))
+    psi = F.round(
+        F.aggregate(
+            "_cells", F.lit(0.0), lambda acc, cell: acc + term(cell)
+        ),
+        4,
+    )
+    return per_key.select(
+        *key_cols,
+        "n_a",
+        "n_b",
+        psi.alias("psi"),
+        F.when(psi < 0.1, "stable")
+        .when(psi < 0.25, "moderate")
+        .otherwise("drifted")
+        .alias("verdict"),
+    )
+
+
 def theta_state(
     df: DataFrame,
     key_cols: list[str],
@@ -1224,6 +1326,158 @@ def bottomk_read(state: DataFrame, k: int = 64) -> DataFrame:
                 ),
                 4,
             ).alias("est_distinct"),
+        )
+    )
+
+
+def weighted_bottomk_state(
+    df: DataFrame,
+    key_cols: list[str],
+    item_col: str,
+    weight_col: str,
+    k: int = 64,
+    salt: str = "wbk",
+) -> DataFrame:
+    """Mergeable per-key WEIGHTED sample state (E73): priority sampling
+    (Duffield–Lund–Thorup, JACM 2007) with the coordination-free salted
+    hash as the uniform draw — the weighted complement of E67's
+    bottom-k. A token-budget-aware curation pipeline samples documents
+    proportional to TOKEN COUNT, not per-document ("show me
+    representative bytes, not representative row ids"); DLT priorities
+    q = w / u with u uniform in (0, 1] make the k largest-priority
+    items exactly that sample, and the threshold estimator turns the
+    same k rows into an unbiased total-weight estimate. The draw
+    u = (hv + 1) / 2^60 comes from the E4 salted-md5 machinery, so the
+    sample is a pure function of the (item, weight) set: deterministic
+    on any partitioning or engine, and the merge (union + re-take-k) is
+    associative, commutative, and idempotent.
+
+    Item weights: an item appearing with several weights inside or
+    across slices contributes its MAX weight (a deterministic rule the
+    merge preserves: priorities grow with w, so max-priority dedup IS
+    max-weight dedup). NULL items drop; weights must be positive —
+    non-positive or NULL weights raise at read because they would make
+    priorities meaningless, so they are filtered here by contract.
+
+    State: (keys..., item, w, hv, rk) with rk the (q desc, item asc)
+    rank ≤ k. Like E67: the distinct pre-aggregate shuffles the
+    (key, item, max w) frame once (hash-partitioned, map-side
+    partials), and WindowGroupLimit pre-truncates each map task to its
+    local top-k before the rank exchange. No transcendentals anywhere —
+    q is one multiply + one divide over exact integers-in-doubles, so a
+    SQL oracle replays the sample bit-for-bit."""
+    if k < 2:
+        raise ValueError(
+            "weighted_bottomk_state needs k >= 2 (the estimator needs a "
+            "threshold row)"
+        )
+    items = (
+        df.filter(
+            F.col(item_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+        )
+        .groupBy(*key_cols, F.col(item_col).alias("item"))
+        .agg(F.max(F.col(weight_col).cast("double")).alias("w"))
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col("item").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    q = F.col("w") * F.lit(_BK_RANGE) / (F.col("hv").cast("double") + 1.0)
+    w = Window.partitionBy(*key_cols).orderBy(q.desc(), F.col("item").asc())
+    out = (
+        items.withColumn("hv", hv)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+    out._afp_wbottomk_k = k
+    return out
+
+
+def merge_weighted_bottomk_states(
+    states: list[DataFrame], k: int = 64, input_k: int | None = None
+) -> DataFrame:
+    """Merge ``weighted_bottomk_state`` frames: union, dedup items to
+    (max w, shared hv), re-rank by priority, keep k — the exact max-k
+    union. Coverage validation is the E67 contract verbatim: ``k`` must
+    not exceed each input's build k (marker on fresh builds and merge
+    outputs; explicit ``input_k`` assertion for storage round-trips;
+    refused otherwise)."""
+    if not states:
+        raise ValueError(
+            "merge_weighted_bottomk_states needs at least one state frame"
+        )
+    if k < 2:
+        raise ValueError("merge_weighted_bottomk_states needs k >= 2")
+    for i, s in enumerate(states):
+        built_k = getattr(s, "_afp_wbottomk_k", None)
+        if built_k is None:
+            built_k = input_k
+        if built_k is None:
+            raise ValueError(
+                f"merge_weighted_bottomk_states input {i} carries no build-k "
+                f"marker (round-tripped through storage?); pass input_k=<its "
+                f"build k> to assert coverage"
+            )
+        if k > built_k:
+            raise ValueError(
+                f"merge_weighted_bottomk_states k={k} exceeds input {i}'s "
+                f"build k={built_k}; a larger union gate would fabricate "
+                f"coverage"
+            )
+    merged = states[0].drop("rk")
+    for s in states[1:]:
+        merged = merged.unionByName(s.drop("rk"))
+    key_cols = [c for c in merged.columns if c not in ("item", "w", "hv")]
+    dedup = merged.groupBy(*key_cols, "item").agg(
+        F.max("w").alias("w"), F.min("hv").alias("hv")
+    )
+    q = F.col("w") * F.lit(_BK_RANGE) / (F.col("hv").cast("double") + 1.0)
+    w = Window.partitionBy(*key_cols).orderBy(q.desc(), F.col("item").asc())
+    out = (
+        dedup.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    )
+    out._afp_wbottomk_k = k
+    return out
+
+
+def weighted_bottomk_read(state: DataFrame, k: int = 64) -> DataFrame:
+    """Sample + total-weight read off a (possibly merged) weighted
+    bottom-k state, the DLT threshold-estimator form: when a key kept
+    fewer than k items the state IS the item set and every row reads
+    ``est_w = w`` exactly (exact regime); at k kept rows the k-th
+    priority becomes the threshold τ, the k−1 higher rows are the
+    sample, and each reads ``est_w = max(w, τ)`` — an unbiased
+    estimator of that item's share of the key's total weight, so
+    ``sum(est_w)`` per key estimates the key's total. Returns
+    (keys..., item, rk, w, est_w) with est_w rounded to 4dp."""
+    if k < 2:
+        raise ValueError("weighted_bottomk_read needs k >= 2")
+    key_cols = [c for c in state.columns if c not in ("item", "w", "hv", "rk")]
+    win = Window.partitionBy(*key_cols)
+    q = F.col("w") * F.lit(_BK_RANGE) / (F.col("hv").cast("double") + 1.0)
+    read = (
+        state.withColumn("_kept", F.count(F.lit(1)).over(win))
+        .withColumn("_q", q)
+        .withColumn("_tau", F.min("_q").over(win))
+    )
+    return (
+        read.filter((F.col("_kept") < k) | (F.col("rk") < k))
+        .select(
+            *key_cols,
+            "item",
+            "rk",
+            "w",
+            F.round(
+                F.when(F.col("_kept") < k, F.col("w")).otherwise(
+                    F.greatest(F.col("w"), F.col("_tau"))
+                ),
+                4,
+            ).alias("est_w"),
         )
     )
 

@@ -4552,6 +4552,94 @@ def state_catalog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- E72 PSI drift over histogram states
+# The oracle replays the clamped-IEEE-floor binning, the full-skeleton
+# Jeffreys smoothing, and the PSI closed form (s=0.5, n_bins=20 →
+# denominator +10.0); the smoothed terms are O(1)-magnitude and ≤20 per
+# key, so cross-engine float drift sits far inside round(4).
+_PSI_ORACLE = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(least(greatest(floor(CAST(value AS DOUBLE) / 25.0), 0), 19)
+              AS INT) AS bin,
+         CAST(ts AS DATE) < DATE '2024-01-16' AS in_a
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+cells AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS cb
+  FROM ev GROUP BY 1, 2
+),
+skel AS (
+  SELECT k.event_type, b.bin
+  FROM (SELECT DISTINCT event_type FROM ev) k,
+       (SELECT unnest(range(0, 20)) AS bin) b
+),
+filled AS (
+  SELECT s.event_type, s.bin,
+         coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+  FROM skel s LEFT JOIN cells c USING (event_type, bin)
+),
+tot AS (SELECT event_type, sum(ca) AS na, sum(cb) AS nb FROM filled GROUP BY 1),
+terms AS (
+  SELECT f.event_type, t.na, t.nb,
+         ((cb + 0.5) / (nb + 10.0) - (ca + 0.5) / (na + 10.0))
+         * ln(((cb + 0.5) / (nb + 10.0)) / ((ca + 0.5) / (na + 10.0))) AS term
+  FROM filled f JOIN tot t USING (event_type)
+)
+SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(sum(term), 4) AS psi,
+       CASE WHEN round(sum(term), 4) < 0.1 THEN 'stable'
+            WHEN round(sum(term), 4) < 0.25 THEN 'moderate'
+            ELSE 'drifted' END AS verdict
+FROM terms GROUP BY 1, 2, 3
+"""
+
+
+@_q("psi_drift", None)  # declared past the 50-slot cap; standalone gate
+def psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift gate (E72,
+    operators/incremental.psi_from_histogram_states): per-event-type
+    value distributions of the first fixture fortnight vs the rest,
+    compared ENTIRELY from E42 mergeable histogram states — each side
+    built the incremental way (three event_id%3 slices merged by exact
+    bin addition) and the PSI read touching only the ≤ keys × 20
+    persisted integer rows, never the raw events. The standing-monitor
+    complement of `corpus_drift` (which scans both slices).
+    ``_PSI_ORACLE`` replays binning, smoothing and the closed form
+    (pytest hash gate at sf0.01 and sf0.1 + bench comparator)."""
+    from audience_finder_pro_spark.operators.incremental import (
+        histogram_state,
+        merge_histogram_states,
+        psi_from_histogram_states,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "ts", "event_id"
+    ).filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+    in_a = F.to_date("ts") < F.lit("2024-01-16").cast("date")
+
+    def side(cond):
+        return merge_histogram_states(
+            [
+                histogram_state(
+                    ev.filter(cond & (F.col("event_id") % 3 == i)).drop(
+                        "event_id", "ts"
+                    ),
+                    ["event_type"],
+                    "value",
+                    lo=0.0,
+                    hi=500.0,
+                    n_bins=20,
+                )
+                for i in range(3)
+            ]
+        )
+
+    return psi_from_histogram_states(side(in_a), side(~in_a), n_bins=20)
+
+
 # ------------------------------------------- E67 bottom-k sample state
 # The oracle replays the salted-md5 order (the E4 machinery — identical
 # bigint in both engines), the per-key rank, and the KMV read: exact
@@ -4618,6 +4706,79 @@ def bottomk_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(3)
     ]
     return bottomk_read(merge_bottomk_states(states, k=32), k=32)
+
+
+# ------------------------------------------- E73 weighted priority sample state
+# The oracle replays max-weight dedup, the salted-md5 draw, the DLT
+# priority q = w * 2^60 / (hv + 1), the (q desc, item asc) rank, and the
+# threshold read — pure IEEE multiply/divide over exact integers, so the
+# sample and estimates agree bit-for-bit.
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH it AS (
+  SELECT source, doc_id AS item, max(CAST(n_chars AS DOUBLE)) AS w
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+  GROUP BY 1, 2
+),
+h AS (
+  SELECT source, item, w,
+         CAST(concat('0x', substr(md5('wbk:' || CAST(item AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM it
+),
+r AS (
+  SELECT source, item, w, hv,
+         w * 1152921504606846976.0 / (CAST(hv AS DOUBLE) + 1.0) AS q,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY w * 1152921504606846976.0 / (CAST(hv AS DOUBLE) + 1.0)
+                    DESC, item ASC) AS rk
+  FROM h
+),
+s AS (SELECT * FROM r WHERE rk <= 8),
+a AS (SELECT source, count(*) AS kept, min(q) AS tau FROM s GROUP BY 1)
+SELECT s.source, s.item, CAST(s.rk AS INT) AS rk, s.w,
+       round(CASE WHEN a.kept < 8 THEN s.w
+                  ELSE greatest(s.w, a.tau) END, 4) AS est_w
+FROM s JOIN a USING (source)
+WHERE a.kept < 8 OR s.rk < 8
+"""
+
+
+@_q("weighted_sample", None)  # declared past the 50-slot cap; standalone gate
+def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source priority sample of documents weighted by length (E73,
+    operators/incremental.weighted_bottomk_state): the 7 highest-
+    priority docs per source under DLT priorities q = n_chars/u — a
+    deterministic, seed-free "representative BYTES, not representative
+    row ids" sample a token-budgeted curation pipeline draws per
+    source — built the incremental way (three doc_id%3 slices
+    max-k-union-merged, k=8) with each sampled row carrying the DLT
+    threshold estimate of its weight share. The sampled regime is live
+    at every checked SF (25–250 docs/source vs k=8).
+    ``_WEIGHTED_SAMPLE_ORACLE`` replays draw, priority, rank, and
+    threshold read (pytest hash gate at sf0.01 and sf0.1 + bench
+    comparator)."""
+    from audience_finder_pro_spark.operators.incremental import (
+        merge_weighted_bottomk_states,
+        weighted_bottomk_read,
+        weighted_bottomk_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    states = [
+        weighted_bottomk_state(
+            docs.filter(F.col("doc_id") % 3 == i),
+            ["source"],
+            "doc_id",
+            "n_chars",
+            k=8,
+        )
+        for i in range(3)
+    ]
+    return weighted_bottomk_read(merge_weighted_bottomk_states(states, k=8), k=8)
 
 
 # ------------------------------------------- E68 count-min sketch state

@@ -198,9 +198,11 @@ def _extra_oracles() -> dict[str, str]:
         _HASHED_EMB_ORACLE,
         _HISTOGRAM_ORACLE,
         _INCREMENTAL_ORACLE,
+        _PSI_ORACLE,
         _ROLLING_AUDIENCE_ORACLE,
         _STATE_CATALOG_ORACLE,
         _TRIANGLE_ORACLE,
+        _WEIGHTED_SAMPLE_ORACLE,
         _AUDIENCE_OVERLAP_ORACLE,
         _HEAVY_HITTERS_ORACLE,
         _PRIVACY_ORACLE,
@@ -234,9 +236,11 @@ def _extra_oracles() -> dict[str, str]:
         "cdc_chunk_dedup": _cdc_dedup_oracle(),
         "state_catalog": _STATE_CATALOG_ORACLE,
         "bottomk_sample": _bottomk_oracle(),
+        "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
         "cm_point_estimates": _cm_oracle(),
         "dedup_triangles": _TRIANGLE_ORACLE,
         "rolling_audience": _ROLLING_AUDIENCE_ORACLE,
+        "psi_drift": _PSI_ORACLE,
         "phrase_search": _PHRASE_ORACLE,
         "phrase_index_search": _PHRASE_ORACLE,
         "exact_quantiles": _QUANTILE_ORACLE,

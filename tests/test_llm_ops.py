@@ -4553,6 +4553,61 @@ def test_state_catalog_sketch_legs_within_bounds(spark, sf_dir):
         )
 
 
+# ------------------------------------ E72 PSI drift over histogram states
+def test_psi_drift_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _PSI_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["psi_drift"](spark, sf_dir), _PSI_ORACLE,
+            sf_dir, name="psi_drift")
+
+
+def test_psi_from_histogram_states_planted(spark):
+    """The fixture has no drift (every sf0.1 key reads 'stable'), so the
+    verdict thresholds are pinned on planted states: (1) identical
+    states read psi 0.0 / stable; (2) a hard distribution shift (all
+    mass moved across bins) reads 'drifted'; (3) PSI is symmetric under
+    side swap ((p-q)ln(p/q) is); (4) a bin present on one side only
+    contributes a finite smoothed term, not inf; (5) geometry/smoothing
+    validation raises."""
+    import pytest
+
+    from audience_finder_pro_spark.operators.incremental import (
+        psi_from_histogram_states,
+    )
+
+    def st(rows):
+        return spark.createDataFrame(rows, "k string, bin int, bin_n long")
+
+    a = st([("x", 0, 80), ("x", 1, 20)])
+    same = psi_from_histogram_states(a, a, n_bins=4).collect()
+    assert [(r.psi, r.verdict) for r in same] == [(0.0, "stable")]
+
+    b = st([("x", 2, 50), ("x", 3, 50)])  # disjoint support (4)
+    ab = psi_from_histogram_states(a, b, n_bins=4).collect()[0]
+    assert ab.verdict == "drifted" and ab.psi > 0.25
+    assert ab.n_a == 100 and ab.n_b == 100
+    ba = psi_from_histogram_states(b, a, n_bins=4).collect()[0]
+    assert ba.psi == ab.psi  # (3)
+
+    mild = st([("x", 0, 75), ("x", 1, 25)])
+    m = psi_from_histogram_states(a, mild, n_bins=4).collect()[0]
+    assert m.verdict == "stable" and 0 < m.psi < 0.1
+
+    with pytest.raises(ValueError, match="n_bins"):
+        psi_from_histogram_states(a, b, n_bins=0)
+    with pytest.raises(ValueError, match="smoothing"):
+        psi_from_histogram_states(a, b, n_bins=4, smoothing=0.0)
+    with pytest.raises(ValueError, match="key columns"):
+        psi_from_histogram_states(
+            a, b.withColumnRenamed("k", "kk"), n_bins=4
+        )
+
+
 # ------------------------------------ E67 bottom-k sample state
 def test_bottomk_sample_matches_sql_oracle(spark, sf_dir):
     """Declared past the 50-slot driver cap — this is its correctness
@@ -4660,6 +4715,110 @@ def test_bottomk_state_semantics_and_merge_algebra(spark, sf_smoke):
     # at the same k validate without any assertion
     remerged = merge_bottomk_states([small, small], k=4)
     assert rows(merge_bottomk_states([remerged, remerged], k=4)) == rows(small)
+
+
+# ------------------------------------ E73 weighted priority sample state
+def test_weighted_sample_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _WEIGHTED_SAMPLE_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["weighted_sample"](spark, sf_dir),
+            _WEIGHTED_SAMPLE_ORACLE, sf_dir, name="weighted_sample")
+
+
+def test_weighted_bottomk_semantics_and_merge_algebra(spark, sf_smoke):
+    """Pins the E73 contract: (1) merge of slices equals the one-pass
+    build bit-for-bit (max-k union is order-free) and re-merge is
+    idempotent; (2) exact regime — a key with < k items reads every
+    item with est_w = w exactly; (3) max-weight dedup — an item seen
+    with several weights samples under its max; (4) the DLT threshold
+    estimator is unbiased: over 40 independent salts, the mean per-key
+    est_w total lands within 25% of the true total weight; (5) coverage
+    validation is the E67 contract (build-k markers, input_k assertion,
+    refusal)."""
+    import pytest
+
+    from audience_finder_pro_spark.operators.incremental import (
+        merge_weighted_bottomk_states,
+        weighted_bottomk_read,
+        weighted_bottomk_state,
+    )
+    from audience_finder_pro_spark.session import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # (1) one-pass vs 3-slice merge
+    one = weighted_bottomk_state(docs, ["source"], "doc_id", "n_chars", k=6)
+    sliced = merge_weighted_bottomk_states(
+        [
+            weighted_bottomk_state(
+                docs.filter(F.col("doc_id") % 3 == i),
+                ["source"], "doc_id", "n_chars", k=6,
+            )
+            for i in range(3)
+        ],
+        k=6,
+    )
+    assert rows(one) == rows(sliced)
+    assert rows(merge_weighted_bottomk_states([sliced, sliced], k=6)) == rows(one)
+
+    # (2) exact regime + (3) max-weight dedup on a planted frame
+    tiny = spark.createDataFrame(
+        [("t", 1, 10.0), ("t", 1, 30.0), ("t", 2, 5.0), ("t", 3, 7.0)],
+        "source string, doc_id long, n_chars double",
+    )
+    r = weighted_bottomk_read(
+        weighted_bottomk_state(tiny, ["source"], "doc_id", "n_chars", k=6), k=6
+    ).collect()
+    got = {x.item: (x.w, x.est_w) for x in r}
+    assert got == {1: (30.0, 30.0), 2: (5.0, 5.0), 3: (7.0, 7.0)}
+
+    # (4) estimator unbiasedness across salts (deterministic given salts)
+    true = {
+        r.source: r.t
+        for r in docs.groupBy("source")
+        .agg(F.sum("n_chars").alias("t"))
+        .collect()
+    }
+    sums: dict[str, float] = {s: 0.0 for s in true}
+    n_salts = 40
+    for i in range(n_salts):
+        st = weighted_bottomk_state(
+            docs, ["source"], "doc_id", "n_chars", k=8, salt=f"wbk{i}"
+        )
+        for row in (
+            weighted_bottomk_read(st, k=8)
+            .groupBy("source")
+            .agg(F.sum("est_w").alias("e"))
+            .collect()
+        ):
+            sums[row.source] += row.e
+    for s, t in true.items():
+        mean = sums[s] / n_salts
+        assert abs(mean - t) <= 0.25 * t, (s, mean, t)
+
+    # (5) coverage validation (the E67 contract)
+    with pytest.raises(ValueError, match="exceeds input 0's build k=6"):
+        merge_weighted_bottomk_states([one, one], k=8)
+    unmarked = spark.createDataFrame(one.collect(), one.schema)
+    with pytest.raises(ValueError, match="no build-k marker"):
+        merge_weighted_bottomk_states([unmarked], k=6)
+    assert rows(
+        merge_weighted_bottomk_states([unmarked], k=6, input_k=6)
+    ) == rows(one)
+    with pytest.raises(ValueError):
+        weighted_bottomk_state(tiny, ["source"], "doc_id", "n_chars", k=1)
+    with pytest.raises(ValueError):
+        merge_weighted_bottomk_states([], k=6)
 
 
 # ------------------------------------ E68 count-min sketch state
