@@ -114,3 +114,99 @@ def hashed_embedding(
             ).alias(out_col),
         )
     )
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    salt: str = "cn",
+    oversample: int | None = None,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training (E75):
+    for every anchor row, up to ``k`` pseudo-random rows with a
+    DIFFERENT label — the (anchor, negative) pairs an embedding-model
+    trainer exports alongside its positives. Seed-free and
+    partitioning-proof: probe j of anchor a targets id
+    ``pmod(md5('{salt}:a:j'), max_id+1)`` (the E4 salted-hash
+    machinery), so the same corpus yields the same pairs on any engine
+    — the property that makes the export reproducible and the SQL
+    oracle exact.
+
+    Contract: the id domain should be DENSE integers in [0, max_id]
+    (the natural shape of a pipeline-assigned row id; `pack_sequences`
+    order output or a parquet row index both qualify). Probes landing
+    on a missing id, on the anchor itself, or on the anchor's own label
+    are dropped; ``2k + 4`` probes are drawn per anchor (override with
+    ``oversample``) so a per-anchor shortfall below k needs heavy id
+    sparsity or a dominant label — possible, documented, and visible in
+    the output (fewer than k rows for that anchor), never silently
+    padded. Duplicate hits of one candidate keep the earliest probe.
+
+    Returns (id_col, neg_id, neg_label, pick) with pick = 1..k in probe
+    order. Scale shape: anchors × (2k+4) probe rows equi-joined to the
+    corpus on the id — two linear hash-partitioned exchanges; max_id is
+    a 1-row broadcast; no global window, no all-pairs anything."""
+    if k < 1:
+        raise ValueError("contrastive_negatives needs k >= 1")
+    m = oversample if oversample is not None else 2 * k + 4
+    if m < k:
+        raise ValueError("contrastive_negatives needs oversample >= k")
+    anchors = df.select(
+        F.col(id_col).alias("_a"), F.col(label_col).alias("_al")
+    ).filter(F.col("_a").isNotNull())
+    bound = df.agg(F.max(id_col).alias("_maxid"))
+    probes = (
+        anchors.crossJoin(F.broadcast(bound))
+        .select(
+            "_a",
+            "_al",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_j"),
+            "_maxid",
+        )
+        .withColumn(
+            "_pos",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{salt}:"),
+                                F.col("_a").cast("string"),
+                                F.lit(":"),
+                                F.col("_j").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("_maxid") + 1,
+            ),
+        )
+    )
+    cands = df.select(
+        F.col(id_col).alias("_c"), F.col(label_col).alias("_cl")
+    )
+    hits = (
+        probes.join(cands, probes["_pos"] == cands["_c"])
+        .filter((F.col("_cl") != F.col("_al")) & (F.col("_c") != F.col("_a")))
+        .groupBy("_a", "_c", "_cl")
+        .agg(F.min("_j").alias("_j"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_a").orderBy(F.col("_j").asc(), F.col("_c").asc())
+    return (
+        hits.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= k)
+        .select(
+            F.col("_a").alias(id_col),
+            F.col("_c").alias("neg_id"),
+            F.col("_cl").alias("neg_label"),
+            "pick",
+        )
+    )

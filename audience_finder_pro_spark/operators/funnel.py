@@ -238,3 +238,106 @@ def top_paths(
     return counted.orderBy(
         F.col("n_sessions").desc(), F.col("path").asc()
     ).limit(k)
+
+
+def touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_type: str = "click",
+    horizon_days: int = 7,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch conversion attribution (E74): every conversion's
+    value credited to the user's preceding touch events within a
+    horizon, under the three staple models in ONE pass — first_touch
+    (all credit to the earliest eligible touch), last_touch (to the
+    latest), linear (split evenly) — plus an 'unattributed' leg for
+    conversions with no eligible touch, so the output's per-model value
+    totals reconcile exactly to the conversion total (the audit
+    property ad-measurement teams actually check). Output grain:
+    (model, touch_date, attributed, n_conv) — attributed value and
+    distinct converting users' conversions per touch day per model;
+    the unattributed leg carries a NULL touch_date.
+
+    Ties and determinism: eligible touches order by (ts asc, id asc)
+    for first and (ts desc, id asc) for last; horizon is the closed
+    interval [conv_ts − horizon_days, conv_ts]. Money discipline (the
+    q27 float-sum lesson): each per-touch contribution is the IEEE
+    double ``value / n`` rounded to 6dp and cast DECIMAL(18,6) — the
+    same double in either engine — so the day sums are exact decimal
+    addition, partition-order-free, then rounded to 4dp.
+
+    Scale shape: one user-keyed equi-join between the two type-filtered
+    scans (both filters pushed to the scan; AQE splits skewed users),
+    one window over each conversion's ≤ horizon touches, one final
+    (model, day)-keyed aggregate. No all-pairs anything: the join is
+    bounded by touches-per-user within the horizon."""
+    if horizon_days < 0:
+        raise ValueError("touch_attribution needs horizon_days >= 0")
+    conv = events.filter(
+        (F.col(type_col) == conversion_type)
+        & F.col(value_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("_cid"),
+        F.col(ts_col).alias("_cts"),
+        F.col(value_col).alias("_v"),
+    )
+    touch = events.filter(
+        (F.col(type_col) == touch_type) & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("_tid"),
+        F.col(ts_col).alias("_tts"),
+    )
+    pairs = conv.join(touch, "_u").filter(
+        (F.col("_tts") <= F.col("_cts"))
+        & (
+            F.col("_tts")
+            >= F.col("_cts") - F.expr(f"INTERVAL {int(horizon_days)} DAYS")
+        )
+    )
+    w = Window.partitionBy("_cid")
+    first_w = w.orderBy(F.col("_tts").asc(), F.col("_tid").asc())
+    last_w = w.orderBy(F.col("_tts").desc(), F.col("_tid").asc())
+    marked = (
+        pairs.withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn("_rf", F.row_number().over(first_w))
+        .withColumn("_rl", F.row_number().over(last_w))
+    )
+
+    def contrib(div):
+        return F.round(F.col("_v") / div, 6).cast("decimal(18,6)")
+
+    day = F.to_date("_tts")
+    legs = [
+        marked.filter(F.col("_rf") == 1).select(
+            F.lit("first_touch").alias("model"), day.alias("touch_date"),
+            contrib(F.lit(1.0)).alias("_c"), F.col("_cid"),
+        ),
+        marked.filter(F.col("_rl") == 1).select(
+            F.lit("last_touch").alias("model"), day.alias("touch_date"),
+            contrib(F.lit(1.0)).alias("_c"), F.col("_cid"),
+        ),
+        marked.select(
+            F.lit("linear").alias("model"), day.alias("touch_date"),
+            contrib(F.col("_n").cast("double")).alias("_c"), F.col("_cid"),
+        ),
+        conv.join(pairs.select("_cid").distinct(), "_cid", "left_anti").select(
+            F.lit("unattributed").alias("model"),
+            F.lit(None).cast("date").alias("touch_date"),
+            contrib(F.lit(1.0)).alias("_c"), F.col("_cid"),
+        ),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.groupBy("model", "touch_date").agg(
+        F.round(F.sum("_c").cast("double"), 4).alias("attributed"),
+        F.countDistinct("_cid").alias("n_conv"),
+    )

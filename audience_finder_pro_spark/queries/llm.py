@@ -4781,6 +4781,54 @@ def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_bottomk_read(merge_weighted_bottomk_states(states, k=8), k=8)
 
 
+# ------------------------------------------- E75 contrastive negative sampling
+# The oracle replays the salted-md5 probe targets (positive 60-bit
+# bigints, so % equals pmod), the dense-id join, the self/same-label
+# drops, earliest-probe dedup, and the (j, id) pick order.
+_NEGATIVES_ORACLE = """
+WITH anchors AS (
+  SELECT vec_id AS a, label AS al FROM embeddings WHERE vec_id IS NOT NULL
+),
+b AS (SELECT max(vec_id) AS maxid FROM embeddings),
+probes AS (
+  SELECT a, al, j,
+         CAST(concat('0x', substr(md5('cn:' || CAST(a AS VARCHAR) || ':'
+                                       || CAST(j AS VARCHAR)), 1, 15))
+              AS BIGINT) % (maxid + 1) AS pos
+  FROM anchors, b, (SELECT unnest(range(0, 12)) AS j) js
+),
+hits AS (
+  SELECT p.a, c.vec_id AS c, c.label AS cl, min(p.j) AS j
+  FROM probes p JOIN embeddings c ON c.vec_id = p.pos
+  WHERE c.label <> p.al AND c.vec_id <> p.a
+  GROUP BY 1, 2, 3
+)
+SELECT a AS vec_id, c AS neg_id, cl AS neg_label, pick FROM (
+  SELECT a, c, cl,
+         row_number() OVER (PARTITION BY a ORDER BY j ASC, c ASC) AS pick
+  FROM hits
+) WHERE pick <= 4
+"""
+
+
+@_q("contrastive_negatives", None)  # declared past the 50-slot cap; standalone gate
+def contrastive_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling (E75,
+    operators/embedding.contrastive_negatives): up to 4 different-label
+    negatives per embedding row via salted-hash modular probes into the
+    dense vec_id domain — the reproducible (anchor, negative) pair
+    export an embedding-model trainer consumes, seed-free and identical
+    on any partitioning or engine. ``_NEGATIVES_ORACLE`` replays
+    probes, drops, dedup and pick order (pytest hash gate at sf0.01 and
+    sf0.1 + bench comparator)."""
+    from audience_finder_pro_spark.operators.embedding import (
+        contrastive_negatives,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return contrastive_negatives(emb, k=4)
+
+
 # ------------------------------------------- E68 count-min sketch state
 # The oracle recomputes the sketch cells from the full table (exact
 # integer sums of the salted-md5 bucketing, one salt per depth row) and

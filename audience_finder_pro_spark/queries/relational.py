@@ -1756,6 +1756,117 @@ def top_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_paths(ev, k=20, max_len=5)
 
 
+# ------------------------------------------- E74 multi-touch attribution
+# The oracle replays the horizon range-join, the (ts, id) tiebreak picks
+# for first/last, the per-touch round(value/n, 6) decimal contributions
+# (exact decimal day sums — the q27 money discipline), and the
+# unattributed anti-join leg.
+_ATTRIBUTION_ORACLE = """
+WITH conv AS (
+  SELECT user_id AS u, event_id AS cid, ts AS cts, value AS v
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL AND ts IS NOT NULL
+),
+touch AS (
+  SELECT user_id AS u, event_id AS tid, ts AS tts
+  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+),
+pairs AS (
+  SELECT c.cid, c.v, t.tid, t.tts,
+         count(*) OVER (PARTITION BY c.cid) AS n,
+         row_number() OVER (PARTITION BY c.cid
+                            ORDER BY t.tts ASC, t.tid ASC) AS rf,
+         row_number() OVER (PARTITION BY c.cid
+                            ORDER BY t.tts DESC, t.tid ASC) AS rl
+  FROM conv c JOIN touch t
+    ON t.u = c.u AND t.tts <= c.cts AND t.tts >= c.cts - INTERVAL 7 DAY
+),
+legs AS (
+  SELECT 'first_touch' AS model, CAST(tts AS DATE) AS touch_date,
+         CAST(round(v, 6) AS DECIMAL(18,6)) AS c, cid
+  FROM pairs WHERE rf = 1
+  UNION ALL
+  SELECT 'last_touch', CAST(tts AS DATE),
+         CAST(round(v, 6) AS DECIMAL(18,6)), cid
+  FROM pairs WHERE rl = 1
+  UNION ALL
+  SELECT 'linear', CAST(tts AS DATE),
+         CAST(round(v / n, 6) AS DECIMAL(18,6)), cid
+  FROM pairs
+  UNION ALL
+  SELECT 'unattributed', CAST(NULL AS DATE),
+         CAST(round(v, 6) AS DECIMAL(18,6)), cid
+  FROM conv WHERE cid NOT IN (SELECT cid FROM pairs)
+)
+SELECT model, touch_date,
+       round(CAST(sum(c) AS DOUBLE), 4) AS attributed,
+       count(DISTINCT cid) AS n_conv
+FROM legs GROUP BY 1, 2
+"""
+
+
+@_q("touch_attribution", None)  # declared past the 50-slot cap; standalone gate
+def touch_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution (E74,
+    operators/funnel.touch_attribution): purchase value credited to the
+    user's clicks of the preceding 7 days under first-touch /
+    last-touch / linear in one pass, plus the unattributed leg that
+    makes every model's total reconcile to the conversion total — the
+    ad-measurement staple funnel_steps (completion counts) and
+    transition_matrix (one-step edges) don't answer: WHICH touch day
+    earned the value. ``_ATTRIBUTION_ORACLE`` replays the horizon
+    range-join, tiebreak picks and decimal contribution sums (pytest
+    hash gate at sf0.01 and sf0.1 + bench comparator)."""
+    from audience_finder_pro_spark.operators.funnel import touch_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return touch_attribution(ev, "purchase", "click", horizon_days=7)
+
+
+# ------------------------------------------- E76 SCD2 dimension history
+# The oracle replays the (ts, id) ordering, the null-safe run collapse
+# (IS NOT DISTINCT FROM), and the lead() validity intervals.
+_SCD2_ORACLE = """
+WITH upd AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         (lag(ts) OVER w IS NULL
+          OR NOT (event_type IS NOT DISTINCT FROM lag(event_type) OVER w))
+         AS chg
+  FROM upd
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       row_number() OVER w2 AS version,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM marked WHERE chg
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+@_q("scd2_history", None)  # declared past the 50-slot cap; standalone gate
+def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history (E76, operators/timeseries.scd2_history):
+    each user's event_type treated as a slowly-changing segment
+    attribute — the change log collapsed to versioned validity
+    intervals (valid_from/valid_to/version/is_current) that an as-of
+    join (J7) probes for time-correct dimension lookups. Re-asserted
+    values open no version (null-safe run collapse); (ts, event_id)
+    ordering makes ties deterministic. ``_SCD2_ORACLE`` replays
+    ordering, collapse and intervals (pytest hash gate at sf0.01 and
+    sf0.1 + bench comparator)."""
+    from audience_finder_pro_spark.operators.timeseries import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    return scd2_history(ev, "user_id", ["event_type"])
+
+
 # ------------------------------------------- S12 bucketed fact×fact join
 # The oracle is the PLAIN join over the raw parquet — physical layout
 # never changes semantics, so the exact same SQL verifies the bucketed

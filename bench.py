@@ -155,7 +155,9 @@ def _extra_oracles() -> dict[str, str]:
         _SNAPSHOT_DIFF_ORACLE,
     )
     from audience_finder_pro_spark.queries.relational import (
+        _ATTRIBUTION_ORACLE,
         _BUCKETED_CONV_ORACLE,
+        _SCD2_ORACLE,
         _COHORT_ORACLE,
         _SALTED_JOIN_ORACLE,
         _ZORDER_SCAN_ORACLE,
@@ -197,6 +199,7 @@ def _extra_oracles() -> dict[str, str]:
         _TREND_ORACLE,
         _HASHED_EMB_ORACLE,
         _HISTOGRAM_ORACLE,
+        _NEGATIVES_ORACLE,
         _INCREMENTAL_ORACLE,
         _PSI_ORACLE,
         _ROLLING_AUDIENCE_ORACLE,
@@ -221,6 +224,8 @@ def _extra_oracles() -> dict[str, str]:
         "score_calibration": _CALIBRATION_ORACLE,
         "hashed_embedding": _HASHED_EMB_ORACLE,
         "transition_matrix": _TRANSITION_ORACLE,
+        "touch_attribution": _ATTRIBUTION_ORACLE,
+        "scd2_history": _SCD2_ORACLE,
         "split_leakage": _leakage_audit_oracle(),
         "audience_overlap": _AUDIENCE_OVERLAP_ORACLE,
         "audience_retention": _RETENTION_ORACLE,
@@ -241,6 +246,7 @@ def _extra_oracles() -> dict[str, str]:
         "dedup_triangles": _TRIANGLE_ORACLE,
         "rolling_audience": _ROLLING_AUDIENCE_ORACLE,
         "psi_drift": _PSI_ORACLE,
+        "contrastive_negatives": _NEGATIVES_ORACLE,
         "phrase_search": _PHRASE_ORACLE,
         "phrase_index_search": _PHRASE_ORACLE,
         "exact_quantiles": _QUANTILE_ORACLE,

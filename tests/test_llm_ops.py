@@ -5089,3 +5089,74 @@ def test_phrase_index_probe_is_bucket_pruned_and_tokenize_free(spark, sf_smoke):
     # 3 terms select at most 3 of the 16 buckets
     assert int(m.group(1)) <= 3 < int(m.group(2)) == 16
     assert "Generate" not in plan, "probe path must not re-tokenize"
+
+
+# ------------------------------------ E75 contrastive negative sampling
+def test_contrastive_negatives_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _NEGATIVES_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["contrastive_negatives"](spark, sf_dir),
+            _NEGATIVES_ORACLE, sf_dir, name="contrastive_negatives")
+
+
+def test_contrastive_negatives_planted_semantics(spark):
+    """Pins the E75 contract: (1) no negative ever shares the anchor's
+    label or id; (2) results are partitioning-independent (same pairs
+    at 1 and 7 partitions); (3) a dominant label produces an HONEST
+    shortfall (minority anchors still find negatives, majority anchors
+    may read < k — never padded, never same-label); (4) id-sparsity
+    drops probes (max_id >> row count -> fewer hits), still correct;
+    (5) validation raises."""
+    import pytest
+
+    from audience_finder_pro_spark.operators.embedding import (
+        contrastive_negatives,
+    )
+
+    # 20 dense ids, two labels 50/50
+    rows = [(i, i % 2) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, label int")
+    by_parts = []
+    for parts in (1, 7):
+        out = contrastive_negatives(df.repartition(parts), k=3).collect()
+        for r in out:
+            assert r.neg_label != r.vec_id % 2 and r.neg_id != r.vec_id
+            assert 1 <= r.pick <= 3
+        by_parts.append(sorted(map(tuple, out)))
+    assert by_parts[0] == by_parts[1]  # (2)
+
+    # (3) dominant label: 19 of 20 rows share label 0
+    dom = spark.createDataFrame(
+        [(i, 0 if i else 1) for i in range(20)], "vec_id long, label int"
+    )
+    out = contrastive_negatives(dom, k=3).collect()
+    minority = [r for r in out if r.vec_id == 0]
+    assert len(minority) == 3  # label-1 anchor finds label-0 negatives
+    for r in out:
+        assert r.neg_label != (0 if r.vec_id else 1)
+    majority_counts = {}
+    for r in out:
+        if r.vec_id != 0:
+            majority_counts[r.vec_id] = majority_counts.get(r.vec_id, 0) + 1
+    # every majority anchor's only possible negative is vec 0
+    assert all(v == 1 for v in majority_counts.values())
+    assert all(r.neg_id == 0 for r in out if r.vec_id != 0)
+
+    # (4) sparse ids: same rows but ids spread x50 — hits drop, none wrong
+    sparse = spark.createDataFrame(
+        [(i * 50, i % 2) for i in range(20)], "vec_id long, label int"
+    )
+    sout = contrastive_negatives(sparse, k=3).collect()
+    assert len(sout) < 60  # honest shortfall under sparsity
+    for r in sout:
+        assert r.neg_id % 50 == 0 and r.neg_id != r.vec_id
+
+    with pytest.raises(ValueError):
+        contrastive_negatives(df, k=0)
+    with pytest.raises(ValueError):
+        contrastive_negatives(df, k=4, oversample=2)

@@ -1621,3 +1621,145 @@ def test_top_paths_semantics(spark):
         ("a>b>c", 1),             # the tie-broken session (b before c)
         ("a>b>c>a>b", 1),         # truncated at 5 of 6 steps
     ]
+
+
+# ------------------------------------ E74 multi-touch attribution
+def test_touch_attribution_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.relational import _ATTRIBUTION_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["touch_attribution"](spark, sf_dir), _ATTRIBUTION_ORACLE,
+            sf_dir, name="touch_attribution")
+
+
+def test_touch_attribution_planted_semantics(spark):
+    """Pins the E74 contract on a hand-walked event log: (1) first vs
+    last picks with (ts, id) tiebreaks; (2) linear split across the
+    eligible touches only; (3) the closed horizon — a touch exactly
+    horizon_days before counts, one second earlier does not, and a
+    touch AFTER the conversion never does; (4) conversions with no
+    eligible touch land in the unattributed leg; (5) every model's
+    value total reconciles exactly to the conversion total; (6)
+    negative horizon raises."""
+    import datetime as dt
+
+    import pytest
+
+    from audience_finder_pro_spark.operators.funnel import touch_attribution
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def s(**kw):
+        return t0 + dt.timedelta(**kw)
+
+    rows = [
+        # user 1: two clicks then a purchase of 90 -> first=d-2, last=d-1,
+        # linear 45/45; a click AFTER the purchase must not count
+        (1, s(days=-2), "click", None, 10),
+        (1, s(days=-1), "click", None, 11),
+        (1, s(), "purchase", 90.0, 12),
+        (1, s(hours=1), "click", None, 13),
+        # user 2: one click exactly 7 days before (closed horizon: in),
+        # purchase of 50
+        (2, s(days=-7), "click", None, 20),
+        (2, s(), "purchase", 50.0, 21),
+        # user 3: click 7 days + 1 second before (out) -> unattributed 30
+        (3, s(days=-7, seconds=-1), "click", None, 30),
+        (3, s(), "purchase", 30.0, 31),
+        # user 4: same-ts clicks -> id tiebreak picks 40 first, 41 last...
+        # same ts, first_w orders (ts asc, id asc) -> 40; last_w
+        # (ts desc, id asc) -> 40 too: same-ts ties give the LOWEST id
+        # for both models (deterministic, documented by this test)
+        (4, s(minutes=-5), "click", None, 40),
+        (4, s(minutes=-5), "click", None, 41),
+        (4, s(), "purchase", 20.0, 42),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, "
+              "value double, event_id long"
+    )
+    out = touch_attribution(df, "purchase", "click", horizon_days=7)
+    got = {(r.model, r.touch_date): (r.attributed, r.n_conv) for r in out.collect()}
+
+    d = lambda **kw: (t0 + dt.timedelta(**kw)).date()  # noqa: E731
+    assert got[("first_touch", d(days=-2))] == (90.0, 1)
+    assert got[("first_touch", d(days=-7))] == (50.0, 1)
+    assert got[("first_touch", d(minutes=-5))] == (20.0, 1)
+    assert got[("last_touch", d(days=-1))] == (90.0, 1)
+    assert got[("last_touch", d(days=-7))] == (50.0, 1)
+    assert got[("last_touch", d(minutes=-5))] == (20.0, 1)
+    assert got[("linear", d(days=-2))] == (45.0, 1)
+    assert got[("linear", d(days=-1))] == (45.0, 1)
+    assert got[("unattributed", None)] == (30.0, 1)
+
+    # (5) reconciliation: every model totals to 90+50+20 (+30 unattributed)
+    totals: dict[str, float] = {}
+    for (model, _), (v, _n) in got.items():
+        totals[model] = round(totals.get(model, 0.0) + v, 4)
+    assert totals["first_touch"] == totals["last_touch"] == totals["linear"] == 160.0
+    assert totals["unattributed"] == 30.0
+
+    with pytest.raises(ValueError):
+        touch_attribution(df, horizon_days=-1)
+
+
+# ------------------------------------ E76 SCD2 dimension history
+def test_scd2_history_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.relational import _SCD2_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["scd2_history"](spark, sf_dir), _SCD2_ORACLE,
+            sf_dir, name="scd2_history")
+
+
+def test_scd2_history_planted_semantics(spark):
+    """Pins the E76 contract on a hand-walked change log: (1) value
+    changes open versions with touching [valid_from, valid_to)
+    intervals; (2) a re-asserted value opens NO version (null-safe:
+    NULL->NULL collapses, NULL->value and value->NULL are changes);
+    (3) same-ts ties order by id; (4) the last version is open
+    (valid_to NULL, is_current); (5) empty attr list raises."""
+    import datetime as dt
+
+    import pytest
+
+    from audience_finder_pro_spark.operators.timeseries import scd2_history
+
+    t = lambda m: dt.datetime(2024, 3, 1, 12, m)  # noqa: E731
+    rows = [
+        (1, "a", t(0), 10),
+        (1, "a", t(1), 11),      # re-asserted -> collapsed
+        (1, "b", t(2), 12),      # change -> v2
+        (1, None, t(3), 13),     # value->NULL -> v3
+        (1, None, t(4), 14),     # NULL->NULL -> collapsed
+        (1, "b", t(5), 15),      # NULL->value -> v4
+        # user 2: same-ts tie — id order makes 'y' the later update
+        (2, "x", t(0), 20),
+        (2, "y", t(0), 21),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, seg string, ts timestamp, event_id long"
+    )
+    out = scd2_history(df, "user_id", ["seg"]).collect()
+    u1 = sorted([r for r in out if r.user_id == 1], key=lambda r: r.version)
+    assert [(r.seg, r.valid_from.minute, r.version) for r in u1] == [
+        ("a", 0, 1), ("b", 2, 2), (None, 3, 3), ("b", 5, 4)
+    ]
+    assert [r.valid_to.minute for r in u1[:-1]] == [2, 3, 5]  # touching
+    assert u1[-1].valid_to is None and u1[-1].is_current
+    assert all(not r.is_current for r in u1[:-1])
+    u2 = sorted([r for r in out if r.user_id == 2], key=lambda r: r.version)
+    assert [(r.seg, r.version, r.is_current) for r in u2] == [
+        ("x", 1, False), ("y", 2, True)
+    ]
+
+    with pytest.raises(ValueError):
+        scd2_history(df, "user_id", [])
