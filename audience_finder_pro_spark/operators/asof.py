@@ -163,3 +163,83 @@ def range_join(
     for k in extra_keys:
         cond = cond & (lb[k] == rb[k])
     return lb.join(rb, cond & residual).drop("_bkt")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str] | None,
+    bucket_width: int,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Interval OVERLAP join (E77): every (left, right) pair of
+    half-open integer intervals [s, e) with max(s_l, s_r) < min(e_l,
+    e_r) — the interval×interval complement of `range_join`'s
+    point-in-interval probe (concurrent sessions, overlapping
+    maintenance windows, co-active experiments). A non-equi overlap
+    join is a nested loop unless one side broadcasts; the scalable form
+    replicates each interval to the fixed-width buckets it covers and
+    equi-joins on (keys..., bucket), turning it into a standard
+    shuffle-hash/sort-merge join.
+
+    De-duplication without a second shuffle: an overlapping pair
+    co-occurs in every bucket both cover, so the join keeps only the
+    bucket equal to ``greatest(floor(s_l/w), floor(s_r/w))`` — the
+    first bucket both intervals inhabit (overlap means max(s) <
+    min(e), so both sides replicated a copy there) — and each pair
+    emits exactly once, with no distinct step.
+
+    Contract: starts/ends are INTEGERS (epoch days/seconds/micros —
+    cast dates/timestamps first; integer bucket arithmetic is exact
+    cross-engine where fractional epochs are not), intervals are
+    half-open, and empty intervals (e <= s) never match.
+    ``bucket_width`` is the declared layout model: an interval spanning
+    B buckets replicates B times, so pick the width near the TYPICAL
+    interval length (replication ≈ 2×) — a long-tail interval still
+    joins correctly, it just replicates more.
+
+    Returns left columns suffixed ``suffixes[0]`` + right columns
+    suffixed ``suffixes[1]`` (keys unsuffixed, once). Self-joins: pass
+    the same frame twice and filter the output on an id ordering."""
+    if bucket_width < 1:
+        raise ValueError("interval_join needs bucket_width >= 1")
+    keys = keys or []
+
+    def prep(df, start, end, suffix):
+        out = df
+        for c in df.columns:
+            if c not in keys:
+                out = out.withColumnRenamed(c, c + suffix)
+        s, e = F.col(start + suffix).cast("long"), F.col(end + suffix).cast("long")
+        return (
+            out.filter(e > s)
+            .withColumn("_sb" + suffix, F.floor(s / F.lit(bucket_width)))
+            .withColumn(
+                "_bkt",
+                F.explode(
+                    F.sequence(
+                        F.col("_sb" + suffix),
+                        F.floor((e - 1) / F.lit(bucket_width)),
+                    )
+                ),
+            )
+        )
+
+    lb = prep(left, left_start, left_end, suffixes[0])
+    rb = prep(right, right_start, right_end, suffixes[1])
+    sl, el = F.col(left_start + suffixes[0]), F.col(left_end + suffixes[0])
+    sr, er = F.col(right_start + suffixes[1]), F.col(right_end + suffixes[1])
+    joined = lb.join(rb, [*keys, "_bkt"]).filter(
+        (F.greatest(sl, sr) < F.least(el, er))
+        & (
+            F.col("_bkt")
+            == F.greatest(
+                F.col("_sb" + suffixes[0]), F.col("_sb" + suffixes[1])
+            )
+        )
+    )
+    return joined.drop("_bkt", "_sb" + suffixes[0], "_sb" + suffixes[1])

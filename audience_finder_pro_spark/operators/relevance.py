@@ -786,3 +786,107 @@ def phrase_search_indexed(
     terms = _phrase_terms(phrase)
     index = spark.table(table).filter(F.col("tok").isin(terms))
     return _phrase_intersect(index, terms, id_col)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lambda_: float = 0.5,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (E78; Carbonell & Goldstein,
+    SIGIR 1998): greedily re-order each query's candidate set so every
+    pick maximizes λ·relevance − (1−λ)·max-cosine-to-already-picked —
+    the diversity pass a retrieval stack runs AFTER BM25/RRF/ANN
+    scoring (E36/E37/A10) so the final k results aren't k paraphrases
+    of the same hit. λ=1 is pure relevance, λ=0 pure diversity.
+
+    Deterministic: the first pick is the highest score (ties → lowest
+    id), every later pick the highest MMR value (ties → lowest id);
+    float comparisons are pure IEEE, so the same candidates give the
+    same ranking anywhere. Zero-norm vectors contribute similarity 0.
+
+    Scale shape: ONE applyInPandas group exchange on the query id —
+    the greedy loop is inherently sequential PER QUERY but each query's
+    candidate set is bounded by the upstream retriever's k (hundreds,
+    not corpus-sized: this operator re-ranks shortlists, it does not
+    search), so the per-group work is a tiny dense matmul + k argmax
+    passes at BLAS speed, queries in parallel. Iterative-greedy
+    taxonomy (the E62 k-center precedent): no SQL oracle — gated by
+    planted geometry, a pure-python reference equality, and
+    partitioning independence.
+
+    Returns (query_col, id_col, score_col, mmr_score, pick) — the
+    selected ≤k rows per query, pick = 1..k in selection order."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    if k < 1:
+        raise ValueError("mmr_rerank needs k >= 1")
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError("mmr_rerank needs 0 <= lambda_ <= 1")
+
+    qf = next(f for f in candidates.schema.fields if f.name == query_col)
+    idf = next(f for f in candidates.schema.fields if f.name == id_col)
+    out_schema = StructType(
+        [
+            StructField(query_col, qf.dataType),
+            StructField(id_col, idf.dataType),
+            StructField(score_col, DoubleType()),
+            StructField("mmr_score", DoubleType()),
+            StructField("pick", IntegerType()),
+        ]
+    )
+    lam = float(lambda_)
+
+    def pick_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic candidate order: by id (ties in the argmax then
+        # resolve to the lowest id via first-occurrence argmax)
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        scores = pdf[score_col].to_numpy(dtype="float64")
+        vecs = np.array(pdf[vec_col].tolist(), dtype="float64")
+        norms = np.linalg.norm(vecs, axis=1)
+        safe = np.where(norms == 0.0, 1.0, norms)
+        unit = vecs / safe[:, None]
+        unit[norms == 0.0] = 0.0
+        picked: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        mmr_vals: list[float] = []
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            if not picked:
+                objective = scores.copy()
+            else:
+                objective = lam * scores - (1.0 - lam) * max_sim
+            masked = np.where(avail, objective, -np.inf)
+            i = int(np.argmax(masked))  # first occurrence = lowest id
+            picked.append(i)
+            mmr_vals.append(float(masked[i]))
+            avail[i] = False
+            sims = unit @ unit[i]
+            max_sim = np.maximum(max_sim, sims)  # -inf start → first = sims
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[picked].to_numpy(),
+                id_col: pdf[id_col].iloc[picked].to_numpy(),
+                score_col: scores[picked],
+                "mmr_score": mmr_vals,
+                "pick": np.arange(1, len(picked) + 1, dtype="int32"),
+            }
+        )
+
+    return (
+        candidates.select(query_col, id_col, score_col, vec_col)
+        .groupBy(query_col)
+        .applyInPandas(pick_group, schema=out_schema)
+    )

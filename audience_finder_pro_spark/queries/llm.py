@@ -4781,6 +4781,30 @@ def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_bottomk_read(merge_weighted_bottomk_states(states, k=8), k=8)
 
 
+@_q("mmr_rerank", None)  # iterative-greedy taxonomy: no SQL oracle (E62 precedent)
+def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware re-ranking (E78, operators/relevance.mmr_rerank):
+    each query's exact cosine top-20 (A10) re-ordered by Maximal
+    Marginal Relevance (λ=0.7) down to 5 — the retrieval stack's final
+    pass so the served results aren't five near-copies of the best hit.
+    Iterative greedy per query (no SQL oracle by taxonomy — like E62's
+    k-center): gated by planted-geometry, python-reference equality,
+    and partitioning-independence tests; this declared entry is the
+    rows-only driver check over the real fixture."""
+    from audience_finder_pro_spark.operators.relevance import mmr_rerank
+    from audience_finder_pro_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = brute_force_topk(emb, queries, k=20, dim=64)
+    cands = top.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "query_id", "vec_id", F.col("cosine_sim").alias("score"), "embedding"
+    )
+    return mmr_rerank(cands, k=5, lambda_=0.7)
+
+
 # ------------------------------------------- E75 contrastive negative sampling
 # The oracle replays the salted-md5 probe targets (positive 60-bit
 # bigints, so % equals pmod), the dense-id join, the self/same-label

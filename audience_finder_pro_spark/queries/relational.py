@@ -1823,6 +1823,75 @@ def touch_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(ev, "purchase", "click", horizon_days=7)
 
 
+# ------------------------------------------- E77 interval overlap join
+# The oracle is the PLAIN theta self-join over the derived fulfillment
+# intervals — the bucket replication + first-common-bucket dedup must
+# produce exactly the pairs the quadratic form produces.
+_INTERVAL_OVERLAP_ORACLE = """
+WITH iv AS (
+  SELECT o.o_custkey AS custkey, o.o_orderkey AS okey,
+         date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS s,
+         date_diff('day', DATE '1970-01-01', CAST(max(l.l_shipdate) AS DATE))
+           + 1 AS e
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, o.o_orderdate
+)
+SELECT a.custkey, a.okey AS okey_a, b.okey AS okey_b,
+       CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_days
+FROM iv a JOIN iv b ON a.custkey = b.custkey AND a.okey < b.okey
+WHERE greatest(a.s, b.s) < least(a.e, b.e)
+"""
+
+
+@_q("order_overlap_pairs", None)  # declared past the 50-slot cap; standalone gate
+def order_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-fulfillment detection via the interval OVERLAP join
+    (E77, operators/asof.interval_join): each order's fulfillment
+    window [orderdate, last shipment + 1d) self-joined per customer for
+    pairs of orders in flight simultaneously — the interval×interval
+    join `range_join` (point-in-interval) and `asof_join` (latest-at-
+    point) cannot express. The scalable form: intervals replicate to
+    512-day buckets (the width sits near the fixture's ~720-day typical
+    window, keeping replication ~2×) and equi-join on (custkey, bucket)
+    with the first-common-bucket rule deduplicating pairs without a
+    distinct. The fixture's wide windows make overlap dense (~377k
+    pairs at sf0.1) — the honest regime for a dedup-rule stress.
+    ``_INTERVAL_OVERLAP_ORACLE`` is the quadratic theta join the bucket
+    plan must reproduce exactly (pytest hash gate at sf0.01 and sf0.1
+    + bench comparator)."""
+    from audience_finder_pro_spark.operators.asof import interval_join
+
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("_od")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("_sd")
+    )
+    iv = (
+        ords.join(li, ords["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_custkey", "o_orderkey", "_od")
+        .agg(F.max("_sd").alias("_last"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("okey"),
+            F.datediff("_od", F.lit("1970-01-01")).cast("long").alias("s"),
+            (F.datediff("_last", F.lit("1970-01-01")) + 1).cast("long").alias("e"),
+        )
+    )
+    pairs = interval_join(
+        iv, iv, keys=["custkey"], bucket_width=512,
+        left_start="s", left_end="e", right_start="s", right_end="e",
+    )
+    return pairs.filter(F.col("okey_l") < F.col("okey_r")).select(
+        "custkey",
+        F.col("okey_l").alias("okey_a"),
+        F.col("okey_r").alias("okey_b"),
+        (
+            F.least("e_l", "e_r") - F.greatest("s_l", "s_r")
+        ).cast("long").alias("overlap_days"),
+    )
+
+
 # ------------------------------------------- E76 SCD2 dimension history
 # The oracle replays the (ts, id) ordering, the null-safe run collapse
 # (IS NOT DISTINCT FROM), and the lead() validity intervals.

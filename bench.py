@@ -157,6 +157,7 @@ def _extra_oracles() -> dict[str, str]:
     from audience_finder_pro_spark.queries.relational import (
         _ATTRIBUTION_ORACLE,
         _BUCKETED_CONV_ORACLE,
+        _INTERVAL_OVERLAP_ORACLE,
         _SCD2_ORACLE,
         _COHORT_ORACLE,
         _SALTED_JOIN_ORACLE,
@@ -226,6 +227,7 @@ def _extra_oracles() -> dict[str, str]:
         "transition_matrix": _TRANSITION_ORACLE,
         "touch_attribution": _ATTRIBUTION_ORACLE,
         "scd2_history": _SCD2_ORACLE,
+        "order_overlap_pairs": _INTERVAL_OVERLAP_ORACLE,
         "split_leakage": _leakage_audit_oracle(),
         "audience_overlap": _AUDIENCE_OVERLAP_ORACLE,
         "audience_retention": _RETENTION_ORACLE,

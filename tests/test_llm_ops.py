@@ -5160,3 +5160,104 @@ def test_contrastive_negatives_planted_semantics(spark):
         contrastive_negatives(df, k=0)
     with pytest.raises(ValueError):
         contrastive_negatives(df, k=4, oversample=2)
+
+
+# ------------------------------------ E78 MMR diversified re-ranking
+def test_mmr_rerank_planted_geometry(spark):
+    """Pins the E78 contract on a hand-built geometry: two tight
+    clusters of relevant vectors plus one orthogonal outlier. Pure
+    relevance (λ=1) picks the top cluster twice before the outlier;
+    diversity-weighted MMR (λ=0.5) picks one vector per cluster then
+    the outlier — the exact behavior the operator exists for. Ties
+    break to the lowest id; k > n returns all n; validation raises."""
+    import pytest
+
+    from audience_finder_pro_spark.operators.relevance import mmr_rerank
+
+    rows = [
+        # query 9: cluster A (ids 1, 2 — near-identical, highest scores),
+        # cluster B (ids 3, 4), orthogonal outlier id 5 (lowest score)
+        (9, 1, 0.99, [1.0, 0.01, 0.0]),
+        (9, 2, 0.98, [1.0, 0.02, 0.0]),
+        (9, 3, 0.90, [0.0, 1.0, 0.01]),
+        (9, 4, 0.89, [0.0, 1.0, 0.02]),
+        (9, 5, 0.50, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, vec_id long, score double, embedding array<double>"
+    )
+    rel = {r.pick: r.vec_id for r in mmr_rerank(df, k=3, lambda_=1.0).collect()}
+    assert rel == {1: 1, 2: 2, 3: 3}  # pure relevance order
+    div = {r.pick: r.vec_id for r in mmr_rerank(df, k=3, lambda_=0.5).collect()}
+    assert div == {1: 1, 2: 3, 3: 5}  # one per cluster, then the outlier
+
+    # tie on score and identical vectors -> lowest id first
+    tie = spark.createDataFrame(
+        [(9, 7, 0.9, [1.0, 0.0]), (9, 6, 0.9, [1.0, 0.0])],
+        "query_id long, vec_id long, score double, embedding array<double>",
+    )
+    t = {r.pick: r.vec_id for r in mmr_rerank(tie, k=2, lambda_=0.5).collect()}
+    assert t == {1: 6, 2: 7}
+
+    assert mmr_rerank(df, k=99).count() == 5  # k > n returns all
+    with pytest.raises(ValueError):
+        mmr_rerank(df, k=0)
+    with pytest.raises(ValueError):
+        mmr_rerank(df, k=3, lambda_=1.5)
+
+
+def test_mmr_rerank_python_reference_and_partitioning(spark, sf_smoke):
+    """The Spark result equals a pure-python greedy reference on real
+    fixture candidates, and is identical at 1 and 7 input partitions
+    (the applyInPandas group exchange is the only shuffle)."""
+    import numpy as np
+
+    from audience_finder_pro_spark.operators.relevance import mmr_rerank
+    from audience_finder_pro_spark.operators.similarity import brute_force_topk
+    from audience_finder_pro_spark.session import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cands = (
+        brute_force_topk(emb, queries, k=15, dim=64)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("query_id", "vec_id", F.col("cosine_sim").alias("score"),
+                "embedding")
+    )
+    lam = 0.7
+
+    def reference(rows, k):
+        rows = sorted(rows, key=lambda r: r.vec_id)
+        ids = [r.vec_id for r in rows]
+        scores = np.array([r.score for r in rows])
+        v = np.array([r.embedding for r in rows], dtype="float64")
+        n = np.linalg.norm(v, axis=1)
+        u = v / np.where(n == 0, 1, n)[:, None]
+        u[n == 0] = 0
+        picked, maxsim, out = [], np.full(len(ids), -np.inf), []
+        avail = np.ones(len(ids), bool)
+        for _ in range(min(k, len(ids))):
+            obj = scores if not picked else lam * scores - (1 - lam) * maxsim
+            obj = np.where(avail, obj, -np.inf)
+            i = int(np.argmax(obj))
+            picked.append(i); avail[i] = False
+            out.append(ids[i])
+            maxsim = np.maximum(maxsim, u @ u[i])
+        return out
+
+    want = {}
+    for r in cands.collect():
+        want.setdefault(r.query_id, []).append(r)
+    expect = {q: reference(rs, 5) for q, rs in want.items()}
+
+    for parts in (1, 7):
+        got: dict = {}
+        for r in mmr_rerank(
+            cands.repartition(parts), k=5, lambda_=lam
+        ).collect():
+            got.setdefault(r.query_id, {})[r.pick] = r.vec_id
+        assert {
+            q: [d[p] for p in sorted(d)] for q, d in got.items()
+        } == expect, parts

@@ -1763,3 +1763,60 @@ def test_scd2_history_planted_semantics(spark):
 
     with pytest.raises(ValueError):
         scd2_history(df, "user_id", [])
+
+
+# ------------------------------------ E77 interval overlap join
+def test_order_overlap_pairs_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.relational import (
+        _INTERVAL_OVERLAP_ORACLE,
+    )
+    from tests.oracle import compare
+
+    compare(QUERIES["order_overlap_pairs"](spark, sf_dir),
+            _INTERVAL_OVERLAP_ORACLE, sf_dir, name="order_overlap_pairs")
+
+
+def test_interval_join_planted_semantics(spark):
+    """Pins the E77 contract: (1) half-open semantics — touching
+    intervals ([0,10) vs [10,20)) do NOT overlap, one shared unit does;
+    (2) the first-common-bucket rule emits each overlapping pair EXACTLY
+    once at every bucket width (1, 3, 7, 100 — spanning sub-interval to
+    super-interval widths) and on any partitioning; (3) empty intervals
+    (e <= s) never match; (4) keys scope the join; (5) width validation
+    raises."""
+    import pytest
+
+    from audience_finder_pro_spark.operators.asof import interval_join
+
+    rows = [
+        # key 'a': [0,10) [10,20) touch; [5,15) overlaps both
+        ("a", 1, 0, 10), ("a", 2, 10, 20), ("a", 3, 5, 15),
+        # long interval spanning many buckets overlaps a short one
+        ("a", 4, 0, 100), ("a", 5, 98, 99),
+        # empty interval never matches anything
+        ("a", 6, 50, 50),
+        # key 'b': identical span to a's 1 — keys must scope
+        ("b", 7, 0, 10),
+    ]
+    df = spark.createDataFrame(rows, "k string, id long, start long, end long")
+    want = {
+        (1, 3), (2, 3),          # the 5..15 bridge
+        (1, 4), (2, 4), (3, 4),  # the long interval covers them
+        (4, 5),                  # and the short tail probe
+    }
+    for width in (1, 3, 7, 100):
+        for parts in (1, 5):
+            out = interval_join(
+                df.repartition(parts), df.repartition(parts),
+                keys=["k"], bucket_width=width,
+            ).filter(F.col("id_l") < F.col("id_r"))
+            got = [(r.id_l, r.id_r) for r in out.collect()]
+            assert len(got) == len(set(got)), (width, parts, "duplicate pair")
+            assert set(got) == want, (width, parts)
+
+    with pytest.raises(ValueError):
+        interval_join(df, df, keys=["k"], bucket_width=0)
