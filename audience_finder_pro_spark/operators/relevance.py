@@ -890,3 +890,82 @@ def mmr_rerank(
         .groupBy(query_col)
         .applyInPandas(pick_group, schema=out_schema)
     )
+
+
+def pmi_cooccurrence(
+    docs: DataFrame,
+    vocab_k: int = 100,
+    top_k: int = 50,
+    min_pairs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top document-level token co-occurrences by pointwise mutual
+    information (E79): which token PAIRS appear together in documents
+    far more than their individual frequencies predict — the collocation
+    / topic-seed miner (Church & Hanks 1990 applied at document grain;
+    TF-IDF (E11) characterizes docs by single terms, c-TF-IDF (E32)
+    clusters, this finds the ASSOCIATIONS). PMI = ln(df_pair · N /
+    (df_a · df_b)) over document frequencies, requiring df_pair ≥
+    ``min_pairs`` (PMI's classic low-count instability guard), top
+    ``top_k`` by (pmi desc, pair asc).
+
+    The all-pairs trap and its declared bound: per-doc token pairing is
+    quadratic in distinct tokens per doc, so the stream is first
+    restricted to the ``vocab_k`` highest-document-frequency tokens
+    (ties df desc, token asc — deterministic; the vocabulary is bounded
+    model state, broadcast back as a semi-join filter). Pair fan-out is
+    then ≤ vocab_k²/2 per doc regardless of document size, and the
+    pair aggregate is map-side combined. One explode + distinct, one
+    broadcast semi-join, one per-doc self-join over ≤ vocab_k rows per
+    doc, two bounded aggregates — no step is corpus-quadratic.
+
+    Integer counts + one ln per OUTPUT row → cross-engine exact at
+    round(4). Returns (token_a, token_b, n_pair, pmi, rnk)."""
+    if vocab_k < 2 or top_k < 1 or min_pairs < 1:
+        raise ValueError(
+            "pmi_cooccurrence needs vocab_k >= 2, top_k >= 1, min_pairs >= 1"
+        )
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).distinct()
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    wv = Window.orderBy(F.col("df").desc(), F.col("tok").asc())
+    # vocab_k rows through the rank — bounded by the vocabulary, and
+    # WindowGroupLimit pre-truncates each map task to its local top-k
+    vocab = (
+        dfreq.withColumn("_r", F.row_number().over(wv))
+        .filter(F.col("_r") <= vocab_k)
+        .select("tok", "df")
+    )
+    kept = toks.join(F.broadcast(vocab), "tok")
+    a = kept.select(F.col(id_col), F.col("tok").alias("token_a"),
+                    F.col("df").alias("_dfa"))
+    b = kept.select(F.col(id_col), F.col("tok").alias("token_b"),
+                    F.col("df").alias("_dfb"))
+    pairs = (
+        a.join(b, id_col)
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b", "_dfa", "_dfb")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pairs)
+    )
+    n = docs.agg(F.countDistinct(id_col).alias("_n"))  # 1 row → broadcast NLJ
+    pmi = F.round(
+        F.log(
+            F.col("n_pair").cast("double") * F.col("_n").cast("double")
+            / (F.col("_dfa").cast("double") * F.col("_dfb").cast("double"))
+        ),
+        4,
+    )
+    scored = pairs.crossJoin(F.broadcast(n)).select(
+        "token_a", "token_b", F.col("n_pair").cast("long").alias("n_pair"),
+        pmi.alias("pmi"),
+    )
+    wt = Window.orderBy(
+        F.col("pmi").desc(), F.col("token_a").asc(), F.col("token_b").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wt))
+        .filter(F.col("rnk") <= top_k)
+    )

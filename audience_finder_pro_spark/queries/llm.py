@@ -4781,6 +4781,67 @@ def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_bottomk_read(merge_weighted_bottomk_states(states, k=8), k=8)
 
 
+# ------------------------------------------- E79 PMI co-occurrence mining
+# The oracle replays the engine-wide tokenize rule, the deterministic
+# top-df vocabulary, the per-doc pair self-join, and the rounded-PMI
+# ordering.
+_PMI_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> length(x) > 0)) AS tok
+    FROM documents
+  )
+),
+dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+vocab AS (
+  SELECT tok, df FROM (
+    SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok ASC) AS r
+    FROM dfreq
+  ) WHERE r <= 100
+),
+kept AS (SELECT t.doc_id, t.tok, v.df FROM toks t JOIN vocab v USING (tok)),
+pairs AS (
+  SELECT a.tok AS token_a, b.tok AS token_b, a.df AS dfa, b.df AS dfb,
+         count(*) AS n_pair
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) >= 5
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT token_a, token_b, CAST(n_pair AS BIGINT) AS n_pair,
+         round(ln(CAST(n_pair AS DOUBLE) * CAST(n AS DOUBLE)
+                  / (CAST(dfa AS DOUBLE) * CAST(dfb AS DOUBLE))), 4) AS pmi
+  FROM pairs, nd
+)
+SELECT token_a, token_b, n_pair, pmi, rnk FROM (
+  SELECT token_a, token_b, n_pair, pmi,
+         row_number() OVER (ORDER BY pmi DESC, token_a ASC, token_b ASC)
+           AS rnk
+  FROM scored
+) WHERE rnk <= 50
+"""
+
+
+@_q("pmi_cooccurrence", None)  # declared past the 50-slot cap; standalone gate
+def pmi_cooccurrence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top token co-occurrences by PMI (E79,
+    operators/relevance.pmi_cooccurrence): the 50 strongest document-
+    level token associations within the 100 highest-df vocabulary —
+    the collocation/topic-seed miner alongside TF-IDF (per-doc terms)
+    and c-TF-IDF (per-cluster terms). The vocabulary restriction is the
+    declared all-pairs bound (≤ vocab_k²/2 pair fan-out per doc
+    regardless of document size). ``_PMI_ORACLE`` replays tokenize,
+    vocabulary, pair counts and the rounded-PMI ordering (pytest hash
+    gate at sf0.01 and sf0.1 + bench comparator)."""
+    from audience_finder_pro_spark.operators.relevance import pmi_cooccurrence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_cooccurrence(docs, vocab_k=100, top_k=50, min_pairs=5)
+
+
 @_q("mmr_rerank", None)  # iterative-greedy taxonomy: no SQL oracle (E62 precedent)
 def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware re-ranking (E78, operators/relevance.mmr_rerank):

@@ -202,6 +202,7 @@ def _extra_oracles() -> dict[str, str]:
         _HISTOGRAM_ORACLE,
         _NEGATIVES_ORACLE,
         _INCREMENTAL_ORACLE,
+        _PMI_ORACLE,
         _PSI_ORACLE,
         _ROLLING_AUDIENCE_ORACLE,
         _STATE_CATALOG_ORACLE,
@@ -249,6 +250,7 @@ def _extra_oracles() -> dict[str, str]:
         "rolling_audience": _ROLLING_AUDIENCE_ORACLE,
         "psi_drift": _PSI_ORACLE,
         "contrastive_negatives": _NEGATIVES_ORACLE,
+        "pmi_cooccurrence": _PMI_ORACLE,
         "phrase_search": _PHRASE_ORACLE,
         "phrase_index_search": _PHRASE_ORACLE,
         "exact_quantiles": _QUANTILE_ORACLE,

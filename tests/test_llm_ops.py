@@ -5261,3 +5261,55 @@ def test_mmr_rerank_python_reference_and_partitioning(spark, sf_smoke):
         assert {
             q: [d[p] for p in sorted(d)] for q, d in got.items()
         } == expect, parts
+
+
+# ------------------------------------ E79 PMI co-occurrence mining
+def test_pmi_cooccurrence_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _PMI_ORACLE
+    from tests.oracle import compare
+
+    compare(QUERIES["pmi_cooccurrence"](spark, sf_dir), _PMI_ORACLE,
+            sf_dir, name="pmi_cooccurrence")
+
+
+def test_pmi_cooccurrence_planted_semantics(spark):
+    """Pins the E79 contract on a planted collocation: (1) a pair that
+    always co-occurs scores ln(N/df) — positive and top-ranked — while
+    independent-ish pairs score near ln(1)=0; (2) document grain — a
+    token repeated inside one doc counts once; (3) min_pairs prunes
+    rare pairs; (4) the vocab_k bound excludes low-df tokens entirely;
+    (5) validation raises."""
+    import math
+
+    import pytest
+
+    from audience_finder_pro_spark.operators.relevance import pmi_cooccurrence
+
+    # 20 docs: 'alpha beta' always together (10 docs, alpha repeated);
+    # 'gamma' in all 20 (ubiquitous); 'rare' in one doc only
+    rows = [(i, "alpha alpha beta gamma") for i in range(10)]
+    rows += [(10 + i, "delta gamma") for i in range(10)]
+    rows[19] = (19, "delta gamma rare")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = pmi_cooccurrence(df, vocab_k=4, top_k=10, min_pairs=2).collect()
+    got = {(r.token_a, r.token_b): r for r in out}
+    # alpha/beta: df 10 each (repeats count once), pair 10, N 20 ->
+    # pmi = ln(10*20/100) = ln 2
+    ab = got[("alpha", "beta")]
+    assert ab.n_pair == 10 and abs(ab.pmi - round(math.log(2), 4)) < 1e-9
+    assert ab.rnk == 1
+    # beta/gamma: pair 10, dfs 10 and 20 -> ln(10*20/200) = 0
+    assert got[("beta", "gamma")].pmi == 0.0
+    # 'rare' (df 1) is outside the top-4 vocab: never appears
+    assert not any("rare" in p for p in got)
+
+    # min_pairs prunes: with min_pairs=11 nothing survives
+    assert pmi_cooccurrence(df, vocab_k=4, top_k=10, min_pairs=11).count() == 0
+
+    with pytest.raises(ValueError):
+        pmi_cooccurrence(df, vocab_k=1)
