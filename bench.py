@@ -125,6 +125,15 @@ BENCH_QUERIES = [
     "dedup_triangles",
     "rolling_audience",
     "phrase_search",
+    "phrase_index_search",  # build-once memoized: passes 2-3 time the probe
+    "psi_drift",
+    "weighted_sample",
+    "touch_attribution",
+    "contrastive_negatives",
+    "scd2_history",
+    "order_overlap_pairs",
+    "mmr_rerank",  # Spark-only stage (iterative-greedy taxonomy - no comparator)
+    "pmi_cooccurrence",
     "pq_search",  # Spark-only stage (trained quantizer - no comparator)
     "exact_quantiles",
     "kll_quantiles",  # Spark-only stage (sketch taxonomy - no comparator)
