@@ -4842,16 +4842,96 @@ def pmi_cooccurrence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_cooccurrence(docs, vocab_k=100, top_k=50, min_pairs=5)
 
 
-@_q("mmr_rerank", None)  # iterative-greedy taxonomy: no SQL oracle (E62 precedent)
+def _mmr_oracle(k: int = 5, lam: float = 0.7, n_cand: int = 20) -> str:
+    """Unrolled-greedy SQL replay of the declared `mmr_rerank` query:
+    the greedy loop has a FIXED depth (k picks), so — like the
+    label-propagation oracle's unrolled sweeps (_lp_oracle) — each pick
+    becomes one CTE pair: p{i} selects the argmax of the running MMR
+    objective (rounded-score relevance, unit-vector cosine penalty,
+    lowest-id ties), m{i} re-scores the remaining candidates with the
+    updated max-similarity. Vectors are unit-normalized once (zero-norm
+    → all-zero, the operator's rule); the only cross-engine float risk
+    is summation ORDER inside the 64-term dot products (~1e-15), far
+    inside the round(4) hash and the measure-zero tie window."""
+    dot = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> {a}.u[i] * {b}.u[i]))"
+    )
+    mmr = f"{lam} * s - {round(1.0 - lam, 10)} * ms"
+    parts = [
+        """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+sc AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+         AS sim
+  FROM embeddings e CROSS JOIN q
+),
+top AS (
+  SELECT query_id, vec_id, round(sim, 4) AS s
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk FROM sc)
+  WHERE rnk <= """ + str(n_cand) + """
+),
+un AS (
+  SELECT vec_id,
+         CASE WHEN nrm = 0 THEN list_transform(emb, x -> 0.0)
+              ELSE list_transform(emb, x -> CAST(x AS DOUBLE) / nrm) END AS u
+  FROM (SELECT vec_id, embedding AS emb,
+               sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        FROM embeddings)
+),
+cand AS (SELECT t.query_id, t.vec_id, t.s, un.u FROM top t JOIN un USING (vec_id)),
+p1 AS (
+  SELECT query_id, vec_id, s, u, s AS mmr
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS r FROM cand)
+  WHERE r = 1
+),
+m1 AS (
+  SELECT c.query_id, c.vec_id, c.s, c.u, """
+        + dot.format(a="c", b="p") + """ AS ms
+  FROM cand c JOIN p1 p USING (query_id) WHERE c.vec_id <> p.vec_id
+)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(f""",
+p{i} AS (
+  SELECT query_id, vec_id, s, u, ms, {mmr} AS mmr
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY {mmr} DESC, vec_id) AS r
+        FROM m{i - 1})
+  WHERE r = 1
+)""")
+        if i < k:
+            parts.append(f""",
+m{i} AS (
+  SELECT m.query_id, m.vec_id, m.s, m.u,
+         greatest(m.ms, {dot.format(a="m", b="p")}) AS ms
+  FROM m{i - 1} m JOIN p{i} p USING (query_id) WHERE m.vec_id <> p.vec_id
+)""")
+    legs = " UNION ALL ".join(
+        f"SELECT query_id, vec_id, s, round(mmr, 4) AS mmr_score, "
+        f"{i} AS pick FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + f"""
+SELECT query_id, vec_id, s AS score, mmr_score, pick FROM ({legs})
+"""
+
+
+@_q("mmr_rerank", None)  # declared past the 50-slot cap; standalone gate
 def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware re-ranking (E78, operators/relevance.mmr_rerank):
     each query's exact cosine top-20 (A10) re-ordered by Maximal
     Marginal Relevance (λ=0.7) down to 5 — the retrieval stack's final
     pass so the served results aren't five near-copies of the best hit.
-    Iterative greedy per query (no SQL oracle by taxonomy — like E62's
-    k-center): gated by planted-geometry, python-reference equality,
-    and partitioning-independence tests; this declared entry is the
-    rows-only driver check over the real fixture."""
+    The greedy loop has fixed depth, so ``_mmr_oracle()`` replays it as
+    unrolled argmax CTEs (the _lp_oracle precedent) — pytest hash gate
+    at sf0.01 and sf0.1 + bench comparator, on top of the planted-
+    geometry, python-reference and partitioning-independence gates."""
     from audience_finder_pro_spark.operators.relevance import mmr_rerank
     from audience_finder_pro_spark.operators.similarity import brute_force_topk
 

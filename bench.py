@@ -132,7 +132,7 @@ BENCH_QUERIES = [
     "contrastive_negatives",
     "scd2_history",
     "order_overlap_pairs",
-    "mmr_rerank",  # Spark-only stage (iterative-greedy taxonomy - no comparator)
+    "mmr_rerank",
     "pmi_cooccurrence",
     "pq_search",  # Spark-only stage (trained quantizer - no comparator)
     "exact_quantiles",
@@ -196,6 +196,7 @@ def _extra_oracles() -> dict[str, str]:
     from audience_finder_pro_spark.queries.llm import (
         _ab_lift_oracle,
         _bottomk_oracle,
+        _mmr_oracle,
         _cdc_dedup_oracle,
         _cdc_oracle,
         _cm_oracle,
@@ -260,6 +261,7 @@ def _extra_oracles() -> dict[str, str]:
         "psi_drift": _PSI_ORACLE,
         "contrastive_negatives": _NEGATIVES_ORACLE,
         "pmi_cooccurrence": _PMI_ORACLE,
+        "mmr_rerank": _mmr_oracle(),
         "phrase_search": _PHRASE_ORACLE,
         "phrase_index_search": _PHRASE_ORACLE,
         "exact_quantiles": _QUANTILE_ORACLE,

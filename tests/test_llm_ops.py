@@ -5313,3 +5313,15 @@ def test_pmi_cooccurrence_planted_semantics(spark):
 
     with pytest.raises(ValueError):
         pmi_cooccurrence(df, vocab_k=1)
+
+
+def test_mmr_rerank_matches_sql_oracle(spark, sf_dir):
+    """The r13 upgrade from rows-only to hash-gated: the greedy loop has
+    FIXED depth, so _mmr_oracle() unrolls it (the _lp_oracle precedent).
+    Verified at sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _mmr_oracle
+    from tests.oracle import compare
+
+    compare(QUERIES["mmr_rerank"](spark, sf_dir), _mmr_oracle(),
+            sf_dir, name="mmr_rerank")
