@@ -1820,3 +1820,81 @@ def test_interval_join_planted_semantics(spark):
 
     with pytest.raises(ValueError):
         interval_join(df, df, keys=["k"], bucket_width=0)
+
+
+def test_interval_join_closed_form_stress(spark):
+    """Scale evidence for E77 (the salted-join-stress precedent): 1M
+    synthetic intervals (10 keys x 100k) in a regular overlap geometry
+    whose pair count has a CLOSED FORM — interval i = [10i, 10i+40)
+    overlaps exactly the m-1 = 3 neighbors on each side, so ordered
+    pairs per key = 3N - 6. The bucketed plan must produce the exact
+    count (first-common-bucket dedup at 1M-row scale, replication ~2x
+    at width 64), and a run at a deliberately BAD width (512, ~13x
+    replication) must produce the same count — width is a performance
+    model, never a correctness knob."""
+    from audience_finder_pro_spark.operators.asof import interval_join
+
+    N, K = 100_000, 10
+    iv = (
+        spark.range(N * K)
+        .select(
+            (F.col("id") % K).alias("k"),
+            F.col("id").alias("iid"),
+            ((F.col("id") / K).cast("long") * 10).alias("start"),
+            ((F.col("id") / K).cast("long") * 10 + 40).alias("end"),
+        )
+    )
+    want = K * (3 * N - 6)
+    for width in (64, 512):
+        got = (
+            interval_join(iv, iv, keys=["k"], bucket_width=width)
+            .filter(F.col("iid_l") < F.col("iid_r"))
+            .count()
+        )
+        assert got == want, (width, got, want)
+
+
+def test_touch_attribution_hot_user(spark):
+    """Skew evidence for E74: one user carries 100x every other user's
+    events (the hot join key by construction — AQE's skew-join splits
+    the user-keyed exchange at runtime). Semantics must be exact and
+    partitioning-independent: the hot user's single conversion linearly
+    splits over ALL its horizon clicks, and the reconciliation identity
+    holds."""
+    import datetime as dt
+
+    from audience_finder_pro_spark.operators.funnel import touch_attribution
+
+    t0 = dt.datetime(2024, 2, 1, 12, 0, 0)
+    rows = []
+    # hot user 1: 2,000 clicks inside the horizon, one purchase of 100
+    for i in range(2000):
+        rows.append((1, t0 - dt.timedelta(minutes=i + 1), "click", None, i))
+    rows.append((1, t0, "purchase", 100.0, 99999))
+    # 20 cold users: one click + one purchase each
+    for u in range(2, 22):
+        rows.append((u, t0 - dt.timedelta(hours=1), "click", None, 100000 + u))
+        rows.append((u, t0, "purchase", 10.0, 200000 + u))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, "
+              "value double, event_id long"
+    )
+    for parts in (1, 8):
+        out = touch_attribution(
+            df.repartition(parts), "purchase", "click", horizon_days=7
+        ).collect()
+        tot = {}
+        for r in out:
+            tot[r.model] = round(tot.get(r.model, 0.0) + r.attributed, 4)
+        # reconciliation: every model totals 100 + 20*10 = 300
+        assert tot["first_touch"] == tot["last_touch"] == tot["linear"] == 300.0
+        assert "unattributed" not in tot
+        # the hot user's linear split: 2,000 contributions of
+        # 100/2000 = 0.05; minutes 1..720 before noon land on t0's date
+        # (720 x 0.05 = 36.0), plus the 20 cold single-click users'
+        # full 10.0 each (same day) -> linear day-0 total = 236.0 exactly
+        linear_day0 = [
+            r for r in out
+            if r.model == "linear" and r.touch_date == t0.date()
+        ]
+        assert len(linear_day0) == 1 and linear_day0[0].attributed == 236.0
