@@ -1054,6 +1054,7 @@ _CATALOG_FAMILIES = (
     "theta",
     "topk",
     "trend",
+    "wbottomk",
 )
 
 
@@ -1063,6 +1064,7 @@ def state_catalog_read(
     bottomk_k: int = 64,
     cm_probes: DataFrame | None = None,
     kll_qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    wbottomk_k: int = 64,
 ) -> DataFrame:
     """Unified read over a CATALOG of merged incremental states (the
     r11 consolidation ask): one tagged frame a standing daily-ingest
@@ -1090,9 +1092,11 @@ def state_catalog_read(
       parameterized by probes, so the caller must supply them)
     - ``hll``     (E46): k2 NULL, n = sketch distinct estimate
     - ``kll``     (E51): k2 = q, n = exact stream count, v1 = quantile
+    - ``wbottomk`` (E73): k2 = item, n = rk, v1 = w, v2 = DLT est_w
+      (``wbottomk_k`` must be the states' build k)
 
     All legs reuse the family read functions, so semantics are
-    identical to the standalone queries. The first eight are SQL-exact
+    identical to the standalone queries. Nine families are SQL-exact
     in their checked regimes and ride the declared `state_catalog`
     hash gate; ``hll``/``kll`` are approximate-sketch reads (the E46/
     E51 taxonomy: error-bound gates, not value hashes) — include them
@@ -1175,6 +1179,10 @@ def state_catalog_read(
             r = kll_quantiles_from_state(st, list(kll_qs))
             leg(r, "kll", F.col(r.columns[0]), F.col("q"),
                 F.col("n"), F.col("quantile"), None)
+        elif name == "wbottomk":
+            r = weighted_bottomk_read(st, k=wbottomk_k)
+            leg(r, "wbottomk", F.col(r.columns[0]), F.col("item"),
+                F.col("rk"), F.col("w"), F.col("est_w"))
     out = legs[0]
     for frame in legs[1:]:
         out = out.unionByName(frame)

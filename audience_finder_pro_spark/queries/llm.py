@@ -4281,6 +4281,12 @@ _BK_HV_SQL = (
     "CAST(concat('0x', substr(md5('bk:' || CAST(item AS VARCHAR)), 1, 15))"
     " AS BIGINT)"
 )
+_WBK_HV_SQL = (
+    "CAST(concat('0x', substr(md5('wbk:' || CAST(item AS VARCHAR)), 1, 15))"
+    " AS BIGINT)"
+)
+_WBK_Q_SQL = "w * 1152921504606846976.0 / (CAST(hv AS DOUBLE) + 1.0)"
+
 
 _STATE_CATALOG_ORACLE = f"""
 WITH c AS (
@@ -4343,7 +4349,22 @@ cm_hit AS (
   FROM cm_pc p JOIN cm_cells c USING (d, w)
   GROUP BY 1, 2
 ),
-cm_keys AS (SELECT DISTINCT event_type FROM events WHERE user_id IS NOT NULL)
+cm_keys AS (SELECT DISTINCT event_type FROM events WHERE user_id IS NOT NULL),
+wb_r AS (
+  SELECT event_type, item, w, hv, {_WBK_Q_SQL} AS q,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY {_WBK_Q_SQL} DESC, item ASC) AS rk
+  FROM (SELECT event_type, item, w, {_WBK_HV_SQL} AS hv
+        FROM (SELECT event_type, user_id AS item,
+                     max(CAST(value AS DOUBLE)) AS w
+              FROM events
+              WHERE user_id IS NOT NULL AND value IS NOT NULL AND value > 0
+              GROUP BY 1, 2))
+),
+wb_s AS (SELECT * FROM wb_r WHERE rk <= 16),
+wb_a AS (
+  SELECT event_type, count(*) AS kept, min(q) AS tau FROM wb_s GROUP BY 1
+)
 SELECT 'rollup' AS op, event_type AS k1, CAST(NULL AS VARCHAR) AS k2,
        count(*) AS n,
        round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS v1,
@@ -4408,6 +4429,12 @@ SELECT 'cm', k.event_type, CAST(p.item AS VARCHAR),
 FROM cm_keys k
 CROSS JOIN cm_pr p
 LEFT JOIN cm_hit h ON h.event_type = k.event_type AND h.item = p.item
+UNION ALL
+SELECT 'wbottomk', s.event_type, CAST(s.item AS VARCHAR), s.rk, s.w,
+       round(CASE WHEN a.kept < 16 THEN s.w
+                  ELSE greatest(s.w, a.tau) END, 4)
+FROM wb_s s JOIN wb_a a USING (event_type)
+WHERE a.kept < 16 OR s.rk < 16
 """
 
 
@@ -4441,6 +4468,7 @@ def _catalog_merge_fns() -> dict:
         merge_theta_states,
         merge_topk_states,
         merge_trend_states,
+        merge_weighted_bottomk_states,
     )
 
     return {
@@ -4458,6 +4486,9 @@ def _catalog_merge_fns() -> dict:
         "cm": merge_cm_states,
         "hll": merge_distinct_states,
         "kll": merge_kll_states,
+        "wbottomk": lambda ss: merge_weighted_bottomk_states(
+            ss, k=16, input_k=16
+        ),
     }
 
 
@@ -4476,6 +4507,7 @@ def _catalog_family_fns() -> dict:
         theta_state,
         topk_state,
         trend_state,
+        weighted_bottomk_state,
     )
 
     return {
@@ -4502,6 +4534,10 @@ def _catalog_family_fns() -> dict:
         "cm": lambda b: cm_state(b, ["event_type"], "user_id"),
         "hll": lambda b: distinct_state(b, ["event_type"], "user_id"),
         "kll": lambda b: kll_state(b, ["event_type"], "value"),
+        # E73: per-type member sample weighted by engagement value
+        "wbottomk": lambda b: weighted_bottomk_state(
+            b, ["event_type"], "user_id", "value", k=16
+        ),
     }
 
 
@@ -4509,10 +4545,11 @@ def _catalog_family_fns() -> dict:
 def state_catalog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental tier consolidated (VERDICT r11 ask #2, grown to
     the full family set in r13 per VERDICT r12 ask #4 —
-    operators/incremental.state_catalog_read): EIGHT SQL-exact state
+    operators/incremental.state_catalog_read): NINE SQL-exact state
     families — E41 rollup, E42 histogram, E48 theta audience, E59
     heavy hitters, E63 decayed engagement, E64 trend, E67 bottom-k
-    sample/KMV, E68 count-min point reads (probes 1–5) — each built
+    sample/KMV, E68 count-min point reads (probes 1–5), E73 weighted
+    member sample (value-weighted, k=16) — each built
     the incremental way (three event_id%3 slices merged by its own
     algebra) and read back as ONE tagged (op, k1, k2, n, v1, v2)
     frame, the single dashboard query a standing daily-ingest pipeline
@@ -4529,7 +4566,7 @@ def state_catalog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     The streaming e2e gate feeds the SAME read from states maintained
     by ONE foreachBatch stream (streaming/jobs.run_stream_state_catalog)
     and matches this batch frame bit-for-bit on the exact families.
-    ``_STATE_CATALOG_ORACLE`` recomputes all eight legs from the full
+    ``_STATE_CATALOG_ORACLE`` recomputes all nine legs from the full
     table in one pass (pytest hash gate at sf0.01 and sf0.1 + bench
     comparator)."""
     from audience_finder_pro_spark.operators.incremental import (
@@ -4549,6 +4586,7 @@ def state_catalog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_k=5,
         bottomk_k=32,
         cm_probes=spark.range(1, 6).select(F.col("id").alias("item")),
+        wbottomk_k=16,
     )
 
 

@@ -471,11 +471,11 @@ def test_stream_decontaminate_equals_batch(spark, sf_smoke):
 
 
 def test_state_catalog_through_one_stream(spark, sf_smoke, tmp_path):
-    """The r11 consolidation ask, end-to-end (grown to ALL TEN families
-    in r13 per VERDICT r12 ask #4): ONE foreachBatch stream
+    """The r11 consolidation ask, end-to-end (grown to ALL ELEVEN
+    families in r13 per VERDICT r12 ask #4): ONE foreachBatch stream
     (streaming/jobs.run_stream_state_catalog) absorbs every micro-batch
     into every state family at once — rollup, histogram, theta, topk,
-    decayed, trend, bottomk, cm, hll, kll — and the unified
+    decayed, trend, bottomk, cm, hll, kll, wbottomk — and the unified
     state_catalog_read over the streamed states equals the batch frame
     row-for-row (the eight exact families chain to the declared
     `state_catalog` hash gate; the hll/kll sketch families are
@@ -532,6 +532,7 @@ def test_state_catalog_through_one_stream(spark, sf_smoke, tmp_path):
             topk_k=5,
             bottomk_k=32,
             cm_probes=spark.range(1, 6).select(F.col("id").alias("item")),
+            wbottomk_k=16,
         )
 
     streamed = rows(read(latest_catalog_states(spark, state_root, sorted(fns))))
@@ -543,7 +544,7 @@ def test_state_catalog_through_one_stream(spark, sf_smoke, tmp_path):
         )
     )
     assert streamed == batch
-    assert {r[0] for r in streamed} == set(fns)  # all ten legs populated
+    assert {r[0] for r in streamed} == set(fns)  # all eleven legs populated
 
     replay(str(tmp_path / "ck2"))  # full redelivery: idempotent
     assert rows(
