@@ -94,6 +94,66 @@ def stream_static_join(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     return events.join(F.broadcast(user_dim), "user_id", "left")
 
 
+def stream_touch_pairs(
+    conversions: DataFrame,
+    touches: DataFrame,
+    horizon_days: int = 7,
+    conversion_type: str = "purchase",
+    touch_type: str = "click",
+    watermark: str = "14 days",
+) -> DataFrame:
+    """T-tier × E74: the attribution join as a STREAM-STREAM time-interval
+    join — the canonical structured-streaming shape this tier had not yet
+    exercised (T1/T2 are windowed aggs, T4 is stream-static): two live
+    event streams joined on the user with a time-bound predicate
+    (touch within [conversion − horizon, conversion]), watermarks on
+    BOTH sides so Spark can age out join state — without the interval
+    bound + watermarks a stream-stream join must buffer both streams
+    forever. Emits the eligible (conversion, touch) PAIRS in append mode
+    as each pair becomes provable; the batch `touch_attribution`
+    aggregation is a downstream read over the emitted pairs (kept out of
+    the stream: chaining another stateful aggregate after a stream-stream
+    join narrows the supported output modes, and the pair stream is the
+    reusable artifact). Completeness contract: pairs whose touch arrives
+    within the watermark horizon of the conversion (and vice versa) are
+    guaranteed; later-than-watermark arrivals are best-effort (the T3
+    rule). The replay test asserts streamed pairs ≡ the batch join's
+    pairs on the same fixture."""
+    c = (
+        conversions.filter(
+            (F.col("event_type") == conversion_type)
+            & F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("conv_id"),
+            F.col("ts").alias("conv_ts"),
+            F.col("value").alias("conv_value"),
+        )
+        .withWatermark("conv_ts", watermark)
+    )
+    t = (
+        touches.filter(
+            (F.col("event_type") == touch_type) & F.col("ts").isNotNull()
+        )
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("event_id").alias("touch_id"),
+            F.col("ts").alias("touch_ts"),
+        )
+        .withWatermark("touch_ts", watermark)
+    )
+    return c.join(
+        t,
+        F.expr(
+            f"c_user = t_user AND touch_ts <= conv_ts "
+            f"AND touch_ts >= conv_ts - INTERVAL {int(horizon_days)} DAYS"
+        ),
+        "inner",
+    ).select("conv_id", "conv_ts", "conv_value", "touch_id", "touch_ts")
+
+
 def stream_decontaminate(docs: DataFrame, benchmark: DataFrame) -> DataFrame:
     """T4 × E7: continuous-ingest decontamination — drop streamed documents
     whose normalized-text fingerprint appears in the (static, broadcast)

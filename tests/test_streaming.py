@@ -605,3 +605,41 @@ def test_new_state_families_stream_through_catalog_seam(spark, sf_smoke, tmp_pat
     assert rows(streamed["cm"]) == rows(
         cm_state(base, ["event_type"], "user_id")
     )
+
+
+def test_stream_stream_interval_join_touch_pairs(spark, sf_smoke, events_dir):
+    """T-tier x E74 (r13): the attribution join as a STREAM-STREAM
+    time-interval join with watermarks on both sides — the streamed
+    (conversion, touch) pair set must equal the batch join's pairs on
+    the same fixture (watermark wider than the fixture span, so nothing
+    ages out mid-replay), and every pair must satisfy the closed
+    horizon."""
+    from audience_finder_pro_spark.streaming.jobs import stream_touch_pairs
+
+    conv = _read_stream(spark, events_dir)
+    touch = _read_stream(spark, events_dir)
+    name = run_stream_to_memory(
+        stream_touch_pairs(conv, touch, watermark="3650 days"),
+        "t_ssj_out",
+        output_mode="append",
+    )
+    got = {(r.conv_id, r.touch_id) for r in spark.table(name).collect()}
+
+    ev = load_table(spark, sf_smoke, "events")
+    c = ev.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(F.col("user_id").alias("u"), F.col("event_id").alias("cid"),
+             F.col("ts").alias("cts"))
+    t = ev.filter(
+        (F.col("event_type") == "click") & F.col("ts").isNotNull()
+    ).select(F.col("user_id").alias("u"), F.col("event_id").alias("tid"),
+             F.col("ts").alias("tts"))
+    want = {
+        (r.cid, r.tid)
+        for r in c.join(t, "u")
+        .filter((F.col("tts") <= F.col("cts"))
+                & (F.col("tts") >= F.col("cts") - F.expr("INTERVAL 7 DAYS")))
+        .collect()
+    }
+    assert got == want and len(got) > 0
