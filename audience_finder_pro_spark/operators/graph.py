@@ -469,3 +469,80 @@ def triangle_counts(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int = 2,
+    n_sweeps: int = 3,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Fixed-sweep k-core peeling over an undirected pair list (E80):
+    the fifth leg of the graph tier — CC answers reachability, pagerank
+    centrality, LP communities, triangles local cohesion; the k-core
+    answers GLOBAL density membership: repeatedly delete nodes with
+    degree < k, and what survives is the maximal subgraph where every
+    node keeps ≥ k neighbors INSIDE the subgraph. On a near-dup graph
+    that is the "dense family" extractor — a transitivity chain peels
+    away entirely at k=2 (its endpoints always have degree 1), while a
+    copied-around family survives — the global complement of E69's
+    per-node triangle diagnostic.
+
+    Declared semantics: a FIXED number of peel sweeps (the E52
+    label-propagation rule — synchronous peeling converges in a few
+    sweeps on dedup-shaped graphs, and a fixed horizon is deterministic
+    and SQL-replayable via unrolled CTEs even when it hasn't converged;
+    the planted tests pin a case that converges inside the horizon and
+    asserts it equals the true fixpoint k-core). Each sweep is one
+    map-side-combined degree aggregate + two semi-joins filtering the
+    edge list to surviving endpoints — no window, no driver state, and
+    the edge list only ever SHRINKS, so sweep cost is monotonically
+    decreasing at any scale. Lineage is checkpoint-truncated on the
+    LP cadence.
+
+    Returns (node, degree) for nodes surviving ``n_sweeps`` sweeps,
+    with their degree in the surviving subgraph. Self-loops and
+    duplicate pairs drop; k < 1 or n_sweeps < 1 raise."""
+    if k < 1:
+        raise ValueError("k_core needs k >= 1")
+    if n_sweeps < 1:
+        raise ValueError("k_core needs n_sweeps >= 1")
+    base = (
+        pairs.filter(F.col(id_a) != F.col(id_b))
+        .select(
+            F.least(id_a, id_b).alias("a"), F.greatest(id_a, id_b).alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges, prev_ckpt = base, None
+    for sweep in range(n_sweeps):
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .unionByName(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        new = (
+            edges.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+        )
+        # the LP lineage rule: checkpoint on a cadence (and always on the
+        # final sweep), free the superseded blocks once the new ones exist
+        if sweep % 2 == 1 or sweep == n_sweeps - 1:
+            new = new.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                _free_checkpoint(prev_ckpt)
+            prev_ckpt = new
+        edges = new
+    # the final sweep's checkpoint is the only data source the result
+    # needs — release the initial edge blocks (the CC rule)
+    _free_checkpoint(base)
+    return (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )

@@ -41,6 +41,7 @@ _STATEFUL_PLANS = {
     "quarantine_report",
     "split_leakage",  # builds ngram_jaccard_pairs (checkpointed shingle index)
     "dedup_triangles",  # builds ngram_jaccard_pairs (checkpointed shingle index)
+    "dedup_kcore",  # jaccard pairs + its own eager peel-sweep checkpoints
     # validate_corpus left this set in r11: the 'leak' leg (and its
     # checkpointed jaccard build) was demoted by the carrier-economics
     # rule, so the carrier is a pure 4-leg plan again

@@ -5132,6 +5132,62 @@ SELECT node AS doc_id, count(*) AS n_triangles FROM corners GROUP BY 1
 """
 
 
+def _kcore_oracle(k: int = 2, n_sweeps: int = 3) -> str:
+    """Unrolled fixed-sweep peel over the proven jaccard-pair CTEs (the
+    _lp_oracle/_mmr_oracle precedent): each sweep is one degree CTE +
+    one surviving-edge CTE. Every sweep CTE is MATERIALIZED — each level
+    references the previous one three times, and DuckDB's default CTE
+    inlining would re-evaluate the whole upstream jaccard pipeline
+    exponentially in the sweep depth (measured 427s vs sub-second at
+    sf0.01)."""
+    parts = [f"""
+WITH {_JACCARD_CTES},
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM jpairs WHERE id_a <> id_b
+)"""]
+    for s in range(1, n_sweeps + 1):
+        parts.append(f""",
+d{s} AS MATERIALIZED (
+  SELECT node, count(*) AS dg
+  FROM (SELECT a AS node FROM e{s - 1} UNION ALL SELECT b FROM e{s - 1})
+  GROUP BY 1
+),
+e{s} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{s - 1} e
+  WHERE e.a IN (SELECT node FROM d{s} WHERE dg >= {k})
+    AND e.b IN (SELECT node FROM d{s} WHERE dg >= {k})
+)""")
+    return "".join(parts) + f"""
+SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS degree
+FROM (SELECT a AS node FROM e{n_sweeps} UNION ALL SELECT b FROM e{n_sweeps})
+GROUP BY 1
+"""
+
+
+@_q("dedup_kcore", None)  # declared past the 50-slot cap; standalone gate
+def dedup_kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-family extraction via fixed-sweep 2-core peeling (E80,
+    operators/graph.k_core) over the near-dup graph — the graph tier's
+    fifth leg: CC reachability, pagerank centrality, LP communities,
+    triangles local cohesion, k-core GLOBAL density membership. A
+    transitivity chain peels away entirely (endpoints always read
+    degree 1), a copied-around family survives with its in-subgraph
+    degree — the before-E24 "is this cluster dense or manufactured"
+    gate at corpus grain. Three peel sweeps (the declared fixed
+    horizon, the E52 rule); ``_kcore_oracle()`` unrolls them over the
+    proven jaccard-pair CTEs (pytest hash gate at sf0.01 and sf0.1 +
+    bench comparator)."""
+    from audience_finder_pro_spark.operators.dedup import ngram_jaccard_pairs
+    from audience_finder_pro_spark.operators.graph import k_core
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, df_cap_frac=0.05)
+    return k_core(pairs, k=2, n_sweeps=3).select(
+        F.col("node").alias("doc_id"), "degree"
+    )
+
+
 @_q("dedup_triangles", None)  # declared past the 50-slot cap; standalone gate
 def dedup_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle counts over the near-dup graph (E69,

@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "bottomk_sample",
     "cm_point_estimates",
     "dedup_triangles",
+    "dedup_kcore",
     "rolling_audience",
     "phrase_search",
     "phrase_index_search",  # build-once memoized: passes 2-3 time the probe
@@ -196,6 +197,7 @@ def _extra_oracles() -> dict[str, str]:
     from audience_finder_pro_spark.queries.llm import (
         _ab_lift_oracle,
         _bottomk_oracle,
+        _kcore_oracle,
         _mmr_oracle,
         _cdc_dedup_oracle,
         _cdc_oracle,
@@ -257,6 +259,7 @@ def _extra_oracles() -> dict[str, str]:
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
         "cm_point_estimates": _cm_oracle(),
         "dedup_triangles": _TRIANGLE_ORACLE,
+        "dedup_kcore": _kcore_oracle(),
         "rolling_audience": _ROLLING_AUDIENCE_ORACLE,
         "psi_drift": _PSI_ORACLE,
         "contrastive_negatives": _NEGATIVES_ORACLE,

@@ -5325,3 +5325,76 @@ def test_mmr_rerank_matches_sql_oracle(spark, sf_dir):
 
     compare(QUERIES["mmr_rerank"](spark, sf_dir), _mmr_oracle(),
             sf_dir, name="mmr_rerank")
+
+
+# ------------------------------------ E80 k-core peeling
+def test_dedup_kcore_matches_sql_oracle(spark, sf_dir):
+    """Declared past the 50-slot driver cap — this is its correctness
+    gate, plus the bench comparator via _extra_oracles. Verified at
+    sf0.1 too on landing (NOTES audit rule)."""
+    from audience_finder_pro_spark.queries import QUERIES
+    from audience_finder_pro_spark.queries.llm import _kcore_oracle
+    from tests.oracle import compare
+
+    compare(QUERIES["dedup_kcore"](spark, sf_dir), _kcore_oracle(),
+            sf_dir, name="dedup_kcore")
+
+
+def test_k_core_planted_geometry(spark):
+    """Pins the E80 contract: (1) a 5-clique survives 2-core peeling
+    intact (degree 4 each) while an attached chain peels away entirely;
+    (2) the planted case converges inside the fixed horizon and equals
+    the true fixpoint k-core (python reference peel-to-fixpoint);
+    (3) CASCADING peel — a path's endpoints die first, then their
+    neighbors, needing multiple sweeps; (4) k=3 on the same graph keeps
+    only the clique; (5) partitioning independence; (6) validation."""
+    import pytest
+
+    from audience_finder_pro_spark.operators.graph import k_core
+
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12)]  # tail hanging off the clique
+    df = spark.createDataFrame(clique + chain, "id_a long, id_b long")
+
+    def reference(edges, k):
+        es = {tuple(sorted(e)) for e in edges}
+        while True:
+            deg: dict = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            new = {e for e in es if e[0] in keep and e[1] in keep}
+            if new == es:
+                deg = {}
+                for a, b in es:
+                    deg[a] = deg.get(a, 0) + 1
+                    deg[b] = deg.get(b, 0) + 1
+                return deg
+            es = new
+
+    want2 = reference(clique + chain, 2)
+    for parts in (1, 6):
+        got = {
+            r.node: r.degree
+            for r in k_core(df.repartition(parts), k=2, n_sweeps=3).collect()
+        }
+        assert got == want2  # == the true fixpoint (converged in horizon)
+    assert set(want2) == {0, 1, 2, 3, 4}  # the clique; chain fully peeled
+    assert all(d == 4 for d in want2.values())
+
+    got3 = {r.node: r.degree for r in k_core(df, k=3, n_sweeps=3).collect()}
+    assert got3 == reference(clique + chain, 3)
+
+    # duplicate/reversed/self edges collapse
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (1, 2), (2, 3), (1, 3)],
+        "id_a long, id_b long",
+    )
+    gm = {r.node: r.degree for r in k_core(messy, k=2, n_sweeps=2).collect()}
+    assert gm == {1: 2, 2: 2, 3: 2}  # the triangle
+
+    with pytest.raises(ValueError):
+        k_core(df, k=0)
+    with pytest.raises(ValueError):
+        k_core(df, k=2, n_sweeps=0)
