@@ -713,40 +713,40 @@ def topk_state(
     top_plus = counts.withColumn("_r", F.row_number().over(w_rank)).filter(
         F.col("_r") <= capacity + 1
     )
-    # t = the (capacity+1)-th largest count per key (0 if none): the
-    # decrement that turns exact counts into a capacity-bounded summary
-    t_per_key = (
-        top_plus.filter(F.col("_r") == capacity + 1)
-        .select(*key_cols, F.col("_n").alias("_t"))
-    )
-    joined = top_plus.filter(F.col("_r") <= capacity).join(
-        F.broadcast(t_per_key), list(key_cols), "left"
-    )
-    kept = (
-        joined.withColumn("_tz", F.coalesce(F.col("_t"), F.lit(0)))
-        .filter(F.col("_n") > F.col("_tz"))
-        .select(
-            *key_cols,
-            "item",
-            (F.col("_n") - F.col("_tz")).alias("w"),
-            F.col("_tz").cast("bigint").alias("base"),
-        )
-    )
+    # Single-subtree reduction (r13 opt): t (the (capacity+1)-th largest
+    # count, 0 if none) and the key's max count come from a SECOND,
+    # unordered window over the SAME partitioning — no re-sort, no new
+    # exchange — instead of a broadcast self-join + anti-join that
+    # re-executed the count aggregate (and its scan) three more times.
+    # Every output row then derives from one filter+CASE pass:
+    #   kept row  ⟺ _r ≤ capacity AND _n > t       → (item, _n − t, t)
+    #   sentinel  ⟺ _r = capacity+1 AND max(_n) = t → (NULL, 0, t)
+    # (max(_n) = t means every top capacity+1 count tied at t, i.e. the
+    # key kept no item rows — exactly the old anti-join's sentinel set,
+    # and at most one row per key can satisfy _r = capacity+1.)
+    w_key = Window.partitionBy(*key_cols)
+    flagged = top_plus.withColumn(
+        "_t", F.max(F.when(F.col("_r") == capacity + 1, F.col("_n"))).over(w_key)
+    ).withColumn("_mx", F.max("_n").over(w_key))
     item_type = counts.schema["item"].dataType
-    # keys whose every top-(capacity+1) count tied at t lose all item
-    # rows above — preserve their decrement as a sentinel (see docstring)
-    sentinels = (
-        t_per_key.join(
-            kept.select(*key_cols).distinct(), list(key_cols), "left_anti"
+    tz = F.coalesce(F.col("_t"), F.lit(0))
+    return (
+        flagged.filter(
+            ((F.col("_r") <= capacity) & (F.col("_n") > tz))
+            | ((F.col("_r") == capacity + 1) & (F.col("_mx") == F.col("_t")))
         )
         .select(
             *key_cols,
-            F.lit(None).cast(item_type).alias("item"),
-            F.lit(0).cast("bigint").alias("w"),
-            F.col("_t").cast("bigint").alias("base"),
+            F.when(F.col("_r") <= capacity, F.col("item"))
+            .otherwise(F.lit(None).cast(item_type))
+            .alias("item"),
+            F.when(F.col("_r") <= capacity, F.col("_n") - tz)
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("w"),
+            tz.cast("bigint").alias("base"),
         )
     )
-    return kept.unionByName(sentinels)
 
 
 def merge_topk_states(states: list[DataFrame], capacity: int = 64) -> DataFrame:
@@ -795,50 +795,44 @@ def merge_topk_states(states: list[DataFrame], capacity: int = 64) -> DataFrame:
     top_plus = sums.withColumn("_r", F.row_number().over(w_rank)).filter(
         F.col("_r") <= capacity + 1
     )
-    t_per_key = (
-        top_plus.filter(F.col("_r") == capacity + 1)
-        .select(*key_cols, F.col("_w").alias("_t"))
-    )
-    joined = (
-        top_plus.filter(F.col("_r") <= capacity)
-        .join(F.broadcast(t_per_key), list(key_cols), "left")
-        .join(F.broadcast(bases), list(key_cols), "left")
-    )
-    kept = (
-        joined.withColumn("_tz", F.coalesce(F.col("_t"), F.lit(0)))
-        .filter(F.col("_w") > F.col("_tz"))
-        .select(
-            *key_cols,
-            "item",
-            (F.col("_w") - F.col("_tz")).alias("w"),
-            (F.coalesce(F.col("_base_in"), F.lit(0)) + F.col("_tz"))
-            .cast("bigint")
-            .alias("base"),
-        )
-    )
+    # Single-subtree reduction (r13 opt, mirroring topk_state): t and the
+    # key's max merged count via a second unordered window on the same
+    # partitioning, then ONE right-outer join to `bases` — the complete
+    # key universe (every input row, sentinel or item, lands in bases),
+    # so keys whose rows were all sentinels surface as unmatched rows.
+    # One filter+CASE then replaces the old t_per_key/bases broadcast
+    # joins + kept.distinct() anti-join, each of which re-executed the
+    # slice-state subtrees behind `merged`:
+    #   kept      ⟺ _r ≤ capacity AND _w > t        → (item, _w−t, b+t)
+    #   sentinel  ⟺ (_r = capacity+1 AND max(_w)=t)  → (NULL, 0, b+t)
+    #               (degenerate reduction: every merged count tied at t)
+    #   sentinel  ⟺ no item rows at all AND b > 0    → (NULL, 0, b)
+    w_key = Window.partitionBy(*key_cols)
+    flagged = top_plus.withColumn(
+        "_t", F.max(F.when(F.col("_r") == capacity + 1, F.col("_w"))).over(w_key)
+    ).withColumn("_mx", F.max("_w").over(w_key))
     item_type = merged.schema["item"].dataType
-    # keys with a positive merged base but no surviving items (all input
-    # rows were sentinels, or every merged count tied at t) keep their
-    # bound through a sentinel row
-    base_out = bases.join(
-        F.broadcast(t_per_key), list(key_cols), "left"
-    ).select(
-        *key_cols,
-        (F.coalesce(F.col("_base_in"), F.lit(0)) + F.coalesce(F.col("_t"), F.lit(0)))
-        .cast("bigint")
-        .alias("base"),
-    )
-    sentinels = (
-        base_out.filter(F.col("base") > 0)
-        .join(kept.select(*key_cols).distinct(), list(key_cols), "left_anti")
+    tz = F.coalesce(F.col("_t"), F.lit(0))
+    base = (F.col("_base_in") + tz).cast("bigint")
+    return (
+        flagged.join(bases, list(key_cols), "right")
+        .filter(
+            ((F.col("_r") <= capacity) & (F.col("_w") > tz))
+            | ((F.col("_r") == capacity + 1) & (F.col("_mx") == F.col("_t")))
+            | (F.col("_r").isNull() & (F.col("_base_in") > 0))
+        )
         .select(
             *key_cols,
-            F.lit(None).cast(item_type).alias("item"),
-            F.lit(0).cast("bigint").alias("w"),
-            "base",
+            F.when(F.col("_r") <= capacity, F.col("item"))
+            .otherwise(F.lit(None).cast(item_type))
+            .alias("item"),
+            F.when(F.col("_r") <= capacity, F.col("_w") - tz)
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("w"),
+            base.alias("base"),
         )
     )
-    return kept.unionByName(sentinels)
 
 
 def topk_from_state(state: DataFrame, k: int = 10) -> DataFrame:
