@@ -420,10 +420,18 @@ def triangle_counts(
     pairs are dropped. Returns (node, n_triangles), nodes with ≥1
     triangle only (the frame stays sparse)."""
     a, b = F.col(id_a), F.col(id_b)
+    # Materialize the canonical edge list ONCE (r13 opt): the degree
+    # aggregate, the orientation join and the wedge/closing sides all
+    # re-consume it, and without a checkpoint each consumption re-executes
+    # the whole upstream pair pipeline (for a jaccard-pair input that is
+    # the shingle self-join — measured 3.7→1.9s re-execution storms at
+    # sf0.1). The edge list is the SMALL frame here (near-dup pairs, not
+    # the corpus); the k_core/CC/LP legs already follow this rule.
     e = (
         pairs.filter(a != b)
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -440,11 +448,15 @@ def triangle_counts(
     a_first = (F.col("_da") < F.col("_db")) | (
         (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
     )
+    # oriented feeds BOTH wedge sides and the closing-edge probe (3
+    # consumers); checkpoint it (same size as e) and release e's blocks —
+    # oriented's materialization is now the only data source downstream
     oriented = ed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("dst_deg"),
-    )
+    ).localCheckpoint(eager=True)
+    _free_checkpoint(e)
     e1 = oriented.select(
         F.col("src"), F.col("dst").alias("v1"), F.col("dst_deg").alias("d1")
     )
