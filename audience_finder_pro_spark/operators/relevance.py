@@ -478,15 +478,17 @@ def bm25_retrieve(
 
     Scale shape (pure DataFrame, zero Python):
     - ONE tokenize pass builds the (doc, token, tf) postings aggregate
-      (map-side combined); doc length comes from re-aggregating THOSE
-      combined rows (sum of tf per doc), never a second pass over the
-      raw stream; document frequency likewise (count per token).
+      (map-side combined); doc length (sum of tf per doc) and document
+      frequency (count per token) ride the postings rows as window
+      aggregates over their natural partitionings — two keyed exchanges
+      of the combined postings, never a second pass over the raw stream
+      and never a branch that re-executes the tokenizer.
     - The query-term table is exploded, DISTINCT'd, and BROADCAST
       (explicit hint: a retrieval query set is bounded — thousands of
       terms — while the postings side scales with the corpus); the
-      broadcast semi-prunes the postings to candidate rows BEFORE the
-      df/dl model joins, so at 100 TB the token- and doc-keyed joins
-      move only postings that contain query terms.
+      broadcast prunes the postings to candidate rows in the same
+      codegen stage, so at 100 TB nothing token-irrelevant reaches the
+      scoring aggregate.
     - Corpus constants (N, total tokens) enter as a broadcast NLJ of
       1-row aggregates; per-query top-k is a rank-filtered window whose
       partial group-limit pushes below the exchange
@@ -509,12 +511,24 @@ def bm25_retrieve(
     so the surviving ranking equals the stopword-free query's exactly.
     Default None = off (the SQL-oracle spec scores every term).
     """
+    # ONE tokenize pass for the whole postings model (r13 opt): dl and df
+    # used to be separate aggregates re-consuming `tf`, and each branch
+    # re-executed the scan+tokenize+aggregate pipeline (documents was
+    # tokenized three times per action). They now ride the postings rows
+    # as window aggregates over their natural partitionings — two keyed
+    # exchanges of the combined postings, zero re-tokenization — and the
+    # corpus constants (N, total tokens) come from one extra scan that
+    # tokenizes without exploding (sum of per-doc token counts).
     tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    n = docs.agg(F.count("*").alias("n_docs"))  # 1 row → broadcast NLJ
-    tot = dl.agg(F.sum("dl").alias("total_tokens"))  # 1 row → broadcast NLJ
+    post = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy(id_col))
+    ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).alias("total_tokens"),
+    )  # 1 row → broadcast NLJ (empty/NULL texts tokenize to empty arrays,
+    #    contributing 0 — identical to the old sum-of-dl total)
     qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -522,49 +536,38 @@ def bm25_retrieve(
         )
         .distinct()
     )
+    cand = post.join(F.broadcast(qterms), "token").crossJoin(F.broadcast(stats))
     if max_df_frac is not None:
-        # df of the query's own terms only (dfreq semi-pruned by the
-        # bounded query vocabulary — a cheap broadcast join), then drop
-        # hot terms before they can mint an O(corpus) candidate set
-        cool = (
-            dfreq.join(F.broadcast(qterms.select("token").distinct()), "token")
-            .crossJoin(F.broadcast(n))
-            .filter(F.col("df") <= F.lit(float(max_df_frac)) * F.col("n_docs"))
-            .select("token")
+        # hot-term guard: df now rides every posting row, so the prune is
+        # an inline filter in the same codegen stage as the broadcast
+        # join — a corpus-saturating term's postings never reach an
+        # exchange (the old form dropped the term from qterms instead;
+        # identical surviving ranking either way)
+        cand = cand.filter(
+            F.col("df") <= F.lit(float(max_df_frac)) * F.col("n_docs")
         )
-        qterms = qterms.join(F.broadcast(cool), "token")
-    cand = tf.join(F.broadcast(qterms), "token")
-    idf = dfreq.crossJoin(F.broadcast(n)).select(
-        "token",
-        F.log(
-            1.0
-            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-        ).alias("idf"),
-        F.col("n_docs"),
-    )
-    scored = (
-        cand.join(idf, "token")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "query_id",
-            F.col(id_col),
-            (
-                F.col("idf")
-                * (F.col("tf") * (k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + k1
-                    * (
-                        1.0
-                        - b
-                        + b
-                        * F.col("dl")
-                        / (F.col("total_tokens").cast("double") / F.col("n_docs"))
-                    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col),
+        (
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1
+                * (
+                    1.0
+                    - b
+                    + b
+                    * F.col("dl")
+                    / (F.col("total_tokens").cast("double") / F.col("n_docs"))
                 )
-            ).alias("contrib"),
-        )
+            )
+        ).alias("contrib"),
     )
     scores = scored.groupBy("query_id", id_col).agg(
         F.round(F.sum("contrib"), 4).alias("score")
