@@ -4227,7 +4227,7 @@ def cdc_chunk_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate at sf0.01 and sf0.1 + bench comparator)."""
     from audience_finder_pro_spark.operators.packing import cdc_chunks
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return cdc_chunks(docs, avg_tokens=16).drop("chunk_text")
 
 
@@ -4250,7 +4250,7 @@ def cdc_chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_finder_pro_spark.operators.dedup import chunk_dedup_verdicts
     from audience_finder_pro_spark.operators.packing import cdc_chunks
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return chunk_dedup_verdicts(cdc_chunks(docs, avg_tokens=16))
 
 
@@ -5181,7 +5181,7 @@ def dedup_kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_finder_pro_spark.operators.dedup import ngram_jaccard_pairs
     from audience_finder_pro_spark.operators.graph import k_core
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     pairs = ngram_jaccard_pairs(docs, threshold=0.8, df_cap_frac=0.05)
     return k_core(pairs, k=2, n_sweeps=3).select(
         F.col("node").alias("doc_id"), "degree"
@@ -5204,7 +5204,7 @@ def dedup_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_finder_pro_spark.operators.dedup import ngram_jaccard_pairs
     from audience_finder_pro_spark.operators.graph import triangle_counts
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     pairs = ngram_jaccard_pairs(docs, threshold=0.8, df_cap_frac=0.05)
     return triangle_counts(pairs).select(
         F.col("node").alias("doc_id"), "n_triangles"
