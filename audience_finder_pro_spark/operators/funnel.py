@@ -295,18 +295,30 @@ def touch_attribution(
         F.col(id_col).alias("_tid"),
         F.col(ts_col).alias("_tts"),
     )
-    pairs = conv.join(touch, "_u").filter(
-        (F.col("_tts") <= F.col("_cts"))
+    # Single-subtree form (r13 opt): a LEFT join with the horizon in the
+    # join condition keeps no-touch conversions as one NULL-touch row, so
+    # the old anti-join leg disappears; the four model legs then emit
+    # from ONE pass as a conditional struct array exploded per row —
+    # the old four-branch union re-executed the join+window chain three
+    # times and the pair join a fourth time for the anti-join (events
+    # was scanned 9× per action). Same rows: each matched pair row
+    # yields its linear entry plus first/last entries where its rank is
+    # 1, each NULL-touch row yields exactly the old unattributed entry.
+    pairs = conv.join(
+        touch,
+        (conv["_u"] == touch["_u"])
+        & (F.col("_tts") <= F.col("_cts"))
         & (
             F.col("_tts")
             >= F.col("_cts") - F.expr(f"INTERVAL {int(horizon_days)} DAYS")
-        )
-    )
+        ),
+        "left",
+    ).drop(touch["_u"])
     w = Window.partitionBy("_cid")
     first_w = w.orderBy(F.col("_tts").asc(), F.col("_tid").asc())
     last_w = w.orderBy(F.col("_tts").desc(), F.col("_tid").asc())
     marked = (
-        pairs.withColumn("_n", F.count(F.lit(1)).over(w))
+        pairs.withColumn("_n", F.count("_tid").over(w))
         .withColumn("_rf", F.row_number().over(first_w))
         .withColumn("_rl", F.row_number().over(last_w))
     )
@@ -315,29 +327,31 @@ def touch_attribution(
         return F.round(F.col("_v") / div, 6).cast("decimal(18,6)")
 
     day = F.to_date("_tts")
-    legs = [
-        marked.filter(F.col("_rf") == 1).select(
-            F.lit("first_touch").alias("model"), day.alias("touch_date"),
-            contrib(F.lit(1.0)).alias("_c"), F.col("_cid"),
-        ),
-        marked.filter(F.col("_rl") == 1).select(
-            F.lit("last_touch").alias("model"), day.alias("touch_date"),
-            contrib(F.lit(1.0)).alias("_c"), F.col("_cid"),
-        ),
-        marked.select(
-            F.lit("linear").alias("model"), day.alias("touch_date"),
-            contrib(F.col("_n").cast("double")).alias("_c"), F.col("_cid"),
-        ),
-        conv.join(pairs.select("_cid").distinct(), "_cid", "left_anti").select(
-            F.lit("unattributed").alias("model"),
-            F.lit(None).cast("date").alias("touch_date"),
-            contrib(F.lit(1.0)).alias("_c"), F.col("_cid"),
-        ),
-    ]
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out.groupBy("model", "touch_date").agg(
-        F.round(F.sum("_c").cast("double"), 4).alias("attributed"),
+
+    def entry(model, date_col, div):
+        return F.struct(
+            F.lit(model).alias("model"),
+            date_col.alias("touch_date"),
+            contrib(div).alias("_c"),
+        )
+
+    matched = F.col("_tid").isNotNull()
+    contribs = F.array_compact(
+        F.array(
+            F.when(matched & (F.col("_rf") == 1), entry("first_touch", day, F.lit(1.0))),
+            F.when(matched & (F.col("_rl") == 1), entry("last_touch", day, F.lit(1.0))),
+            F.when(matched, entry("linear", day, F.col("_n").cast("double"))),
+            F.when(
+                ~matched,
+                entry("unattributed", F.lit(None).cast("date"), F.lit(1.0)),
+            ),
+        )
+    )
+    out = marked.select(F.col("_cid"), F.explode(contribs).alias("e"))
+    return out.groupBy(
+        F.col("e.model").alias("model"),
+        F.col("e.touch_date").alias("touch_date"),
+    ).agg(
+        F.round(F.sum("e._c").cast("double"), 4).alias("attributed"),
         F.countDistinct("_cid").alias("n_conv"),
     )

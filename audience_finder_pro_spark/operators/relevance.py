@@ -115,44 +115,63 @@ def lm_score_docs(
         .groupBy(id_col, "t0", "t1")
         .agg(F.count("*").alias("n"))
     )
-    model = (
-        m_train.select(
-            F.expr(
-                "stack(2, 'uni', t0, cast(null as string), 'bi', t0, t1)"
-                " as (kind, k1, k2)"
-            ),
-            "n",
-        )
-        .filter(~((F.col("kind") == "bi") & F.col("k2").isNull()))
-        .groupBy("kind", "k1", "k2")
-        .agg(F.sum("n").alias("c"))
-    )
-    bim = model.filter(F.col("kind") == "bi").select(
-        F.col("k1").alias("w1"), F.col("k2").alias("w2"), F.col("c").alias("c2")
-    )
-    uni = model.filter(F.col("kind") == "uni").select(
-        F.col("k1").alias("w1"), F.col("c").alias("c1")
-    )
-    vocab = uni.agg(F.count("*").alias("v"))  # 1 row → broadcast NLJ
+    vocab = (
+        m_train.select("t0").distinct().agg(F.count("*").alias("v"))
+    )  # 1 row → broadcast NLJ (distinct t0 = the train vocabulary)
 
     if score is train:
-        m_score = m_train.filter(F.col("t1").isNotNull())
-    else:
+        # Self-scoring fast path (r13 opt; the common declared shape):
+        # the scored rows ARE the model's distinct-bigram rows, so the
+        # model counts ride them as window aggregates over their natural
+        # partitionings — c1 = Σn over t0 (computed BEFORE the doc-tail
+        # filter, so final-token unigram occurrences still count), c2 =
+        # Σn over (t0, t1) — instead of two model joins whose branches
+        # re-ran the stacked aggregate. Same integers, same logp.
         m_score = (
+            m_train.withColumn(
+                "c1", F.sum("n").over(Window.partitionBy("t0"))
+            )
+            .filter(F.col("t1").isNotNull())
+            .withColumn(
+                "c2", F.sum("n").over(Window.partitionBy("t0", "t1"))
+            )
+        )
+    else:
+        model = (
+            m_train.select(
+                F.expr(
+                    "stack(2, 'uni', t0, cast(null as string), 'bi', t0, t1)"
+                    " as (kind, k1, k2)"
+                ),
+                "n",
+            )
+            .filter(~((F.col("kind") == "bi") & F.col("k2").isNull()))
+            .groupBy("kind", "k1", "k2")
+            .agg(F.sum("n").alias("c"))
+        )
+        bim = model.filter(F.col("kind") == "bi").select(
+            F.col("k1").alias("w1"), F.col("k2").alias("w2"), F.col("c").alias("c2")
+        )
+        uni = model.filter(F.col("kind") == "uni").select(
+            F.col("k1").alias("w1"), F.col("c").alias("c1")
+        )
+        raw = (
             gram_stream(score, id_col, text_col, n=2)
             .filter(F.col("t1").isNotNull())
             .groupBy(id_col, "t0", "t1")
             .agg(F.count("*").alias("n"))
         )
-    logp = (
-        m_score.join(
-            bim,
-            (m_score.t0 == bim.w1) & (m_score.t1 == bim.w2),
-            "left",
+        m_score = (
+            raw.join(
+                bim,
+                (raw.t0 == bim.w1) & (raw.t1 == bim.w2),
+                "left",
+            )
+            .drop("w1", "w2")
+            .join(uni, raw.t0 == uni.w1, "left")
         )
-        .drop("w1", "w2")
-        .join(uni, m_score.t0 == uni.w1, "left")
-        .crossJoin(F.broadcast(vocab))
+    logp = (
+        m_score.crossJoin(F.broadcast(vocab))
         .select(
             id_col,
             "n",
