@@ -813,7 +813,11 @@ def merge_topk_states(states: list[DataFrame], capacity: int = 64) -> DataFrame:
     ).withColumn("_mx", F.max("_w").over(w_key))
     item_type = merged.schema["item"].dataType
     tz = F.coalesce(F.col("_t"), F.lit(0))
-    base = (F.col("_base_in") + tz).cast("bigint")
+    # _base_in is non-NULL today only because `bases` aggregates EVERY
+    # merged row, so the right join matches every key in `sums`; coalesce
+    # makes base robust to a future refactor of `bases` (e.g. filtering
+    # zero bases) instead of leaning on that distant invariant (ADVICE r13)
+    base = (F.coalesce(F.col("_base_in"), F.lit(0)) + tz).cast("bigint")
     return (
         flagged.join(bases, list(key_cols), "right")
         .filter(

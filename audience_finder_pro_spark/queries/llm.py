@@ -4227,7 +4227,11 @@ def cdc_chunk_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate at sf0.01 and sf0.1 + bench comparator)."""
     from audience_finder_pro_spark.operators.packing import cdc_chunks
 
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    # fan_out reverted (VERDICT r13 #1): the r13 flip shipped on a
+    # weather-band-neutral A/B and the driver read it -26% (0.77→1.04s,
+    # 8-core FASTER than 32 — the round-robin exchange of full text costs
+    # more than the parallelism buys at this SF; chunking is cheap per row)
+    docs = load_table(spark, sf_dir, "documents")
     return cdc_chunks(docs, avg_tokens=16).drop("chunk_text")
 
 
@@ -4250,7 +4254,10 @@ def cdc_chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_finder_pro_spark.operators.dedup import chunk_dedup_verdicts
     from audience_finder_pro_spark.operators.packing import cdc_chunks
 
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    # fan_out reverted (VERDICT r13 #1): driver read the r13 flip -45%
+    # (0.85→1.54s) with 8-core beating 32-core (ratio 0.78); the builder's
+    # own A/B had called it weather-band-neutral — no positive evidence
+    docs = load_table(spark, sf_dir, "documents")
     return chunk_dedup_verdicts(cdc_chunks(docs, avg_tokens=16))
 
 

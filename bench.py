@@ -365,6 +365,31 @@ def _source_rev() -> str:
         return "unknown"
 
 
+def _prev_round_printed_queries() -> set[str]:
+    """Stage names that made the PREVIOUS round's graded compact line
+    (the newest BENCH_r{N}.json's parsed queries). The driver diffs this
+    round's printed timings against that set — a stage present there but
+    trimmed here reads as "dropped_from_bench" (PERF_r13 misread 8 such
+    rows), so the trimming loop protects these names first."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    rounds: list[tuple[int, str]] = []
+    for p in glob.glob(os.path.join(root, "BENCH_r[0-9]*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return set()
+    try:
+        with open(max(rounds)[1]) as fh:
+            prev = json.load(fh)
+        return set((prev.get("parsed") or {}).get("queries") or {})
+    except (OSError, ValueError):
+        return set()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -410,6 +435,7 @@ def main() -> None:
     # sub-second queries.) One failing query must not cost the whole bench
     # record — it reports as failed and is excluded from total.
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     failed: dict[str, str] = {}
     counts: dict[str, int] = {}
     handles: dict[str, object] = {}
@@ -423,6 +449,7 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = time.perf_counter() - t0
                 timings[name] = min(timings.get(name, float("inf")), elapsed)
+                samples.setdefault(name, []).append(elapsed)
                 prev = handles.get(name)
                 if prev is not None and prev is not df and name in _STATEFUL_PLANS:
                     # _STATEFUL_PLANS queries bypass the prepared-plan memo,
@@ -444,6 +471,7 @@ def main() -> None:
             except Exception as ex:
                 failed[name] = str(ex).splitlines()[0][:200]
                 timings.pop(name, None)
+                samples.pop(name, None)
                 print(f"# {name}: FAILED {failed[name]}", file=sys.stderr)
     # cleanup only AFTER the last pass: the prepared-plan memo hands back the
     # SAME DataFrame each pass, so freeing its localCheckpoint blocks between
@@ -473,6 +501,13 @@ def main() -> None:
         "load_1min_at_end": round(os.getloadavg()[0], 2),
         "passes_per_query": 3,
         "timing_rule": "min-of-3-interleaved",
+        # median-of-3 alongside the min (VERDICT r13 #6): the min is the
+        # engine's cost; min≪median flags scheduler/Python-worker weather on
+        # a stage without re-running the bench. Detail/stderr only — the
+        # graded metric stays the min, unchanged.
+        "queries_median": {
+            k: round(sorted(v)[len(v) // 2], 3) for k, v in samples.items()
+        },
         # code identity: keep-best-weather is only valid on byte-identical
         # code, so the rev is stamped into the result and checked below
         "rev": _source_rev(),
@@ -536,7 +571,21 @@ def main() -> None:
     except OSError as ex:
         print(f"# could not write {detail_path}: {ex}", file=sys.stderr)
     print("# full result: " + json.dumps(result), file=sys.stderr)
-    compact = {k: v for k, v in result.items() if k not in ("queries", "duckdb_queries", "failed")}
+    # Compact grade line (VERDICT r13 #2: r13's 1700-char budget + default
+    # json spacing dropped 60/112 timing rows and PERF misread 8 stages as
+    # "dropped_from_bench"). Three changes, none touching the timings
+    # themselves: (a) compact JSON separators and a 1940-char budget — the
+    # driver's capture window is the LAST 2000 chars of stdout (measured:
+    # every BENCH_r{N} tail is exactly 2000 chars; r6's 1999-char line is
+    # the one that lost its head), so 1940+newline keeps 59 chars of margin;
+    # (b) timing_rule/passes_per_query move to detail/stderr only (static
+    # text, not per-round signal); (c) when rows still must be dropped,
+    # drop stages absent from the PREVIOUS round's graded line first, so
+    # every stage the driver's round-over-round diff can compare survives
+    # and dropped_from_bench stays 0 on an unchanged stage set.
+    _compact_drop = ("queries", "duckdb_queries", "failed", "queries_median",
+                     "timing_rule", "passes_per_query")
+    compact = {k: v for k, v in result.items() if k not in _compact_drop}
     compact["detail"] = "BENCH_DETAIL.json"
     if failed:
         # failures must fit the budget too (ADVICE r7: untrimmed messages
@@ -547,14 +596,25 @@ def main() -> None:
         # messages are in BENCH_DETAIL.json/stderr
         compact["failed"] = {k: v[:60] for k, v in failed.items()}
     q2 = {k: round(v, 2) for k, v in sorted(timings.items(), key=lambda kv: -kv[1])}
-    if failed and len(json.dumps(compact | {"queries": q2})) > 1700:
+    _dumps = lambda obj: json.dumps(obj, separators=(",", ":"))  # noqa: E731
+    if failed and len(_dumps(compact | {"queries": q2})) > 1940:
         compact["failed"] = {"count": len(failed)}
-    while q2 and len(json.dumps(compact | {"queries": q2})) > 1700:
-        q2.pop(next(reversed(q2)))  # drop the current fastest row
+    prio = _prev_round_printed_queries()
+    # fit including the queries_omitted key that trimming itself adds
+    compact["queries_omitted"] = len(timings)
+    while q2 and len(_dumps(compact | {"queries": q2})) > 1940:
+        # drop the fastest row NOT in the previous round's graded line;
+        # only once none remain, drop the fastest priority row
+        victim = next(
+            (k for k in reversed(q2) if k not in prio), next(reversed(q2))
+        )
+        q2.pop(victim)
     compact["queries"] = q2
     if len(q2) < len(timings):
         compact["queries_omitted"] = len(timings) - len(q2)
-    print(json.dumps(compact))
+    else:
+        del compact["queries_omitted"]
+    print(_dumps(compact))
 
 
 def ratio_metrics(timings: dict[str, float], duck: dict[str, float]) -> dict[str, float]:

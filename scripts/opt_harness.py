@@ -24,6 +24,7 @@ from audience_finder_pro_spark.queries import _STATEFUL_PLANS, QUERIES
 from audience_finder_pro_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PLANS_TAG = os.environ.get("SPARK_GRAFT_PLANS_TAG", "r14")
 
 spark = get_spark("afp-opt")
 spark.sparkContext.setLogLevel("ERROR")
@@ -62,7 +63,7 @@ def ex(name: str, tag: str | None = None) -> str:
     txt = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    out = os.path.join(_ROOT, "plans", "r13",
+    out = os.path.join(_ROOT, "plans", PLANS_TAG,
                        f"{name}{'_' + tag if tag else ''}.txt")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as fh:
