@@ -420,18 +420,32 @@ def triangle_counts(
     pairs are dropped. Returns (node, n_triangles), nodes with ≥1
     triangle only (the frame stays sparse)."""
     a, b = F.col(id_a), F.col(id_b)
-    # Materialize the canonical edge list ONCE (r13 opt): the degree
-    # aggregate, the orientation join and the wedge/closing sides all
-    # re-consume it, and without a checkpoint each consumption re-executes
-    # the whole upstream pair pipeline (for a jaccard-pair input that is
-    # the shingle self-join — measured 3.7→1.9s re-execution storms at
-    # sf0.1). The edge list is the SMALL frame here (near-dup pairs, not
-    # the corpus); the k_core/CC/LP legs already follow this rule.
+    # The canonical edge list is checkpointed LAZILY (r14, VERDICT r13
+    # #4): r13 eagerly materialized both `e` and `oriented` — two
+    # sequential blocking materializations, the second a narrow
+    # projection of the first, re-paid per bench pass via
+    # _STATEFUL_PLANS. Dropping e's checkpoint outright was measured and
+    # REJECTED: `e` has three plan references (deg's union legs and the
+    # orientation join) and the final adaptive plan shows AQE stage
+    # reuse does NOT dedupe them — three separate ShuffleQueryStages
+    # each re-materialize the candidate-pair join
+    # (plans/r14/dedup_triangles_oriented_build_nockpt.txt, stages
+    # 9/10/11; only the broadcast sides got ReusedExchange) — a 3×
+    # re-execution of the most expensive upstream at real scale. The
+    # lazy checkpoint keeps the single-execution guarantee at the RDD
+    # level (all three references share ONE RDD, so the DAG scheduler
+    # computes its shuffle once inside oriented's materialization job)
+    # while folding e's materialization into oriented's action — one
+    # blocking pass instead of two. A/B at sf0.1, fresh sessions:
+    # eager+eager best 2.25s / median 2.54s (n=12); lazy+eager best
+    # 2.46s / median 3.55s (n=8); no-checkpoint best 2.43s / median
+    # 3.00s (n=12) — all within the weather band, so the shape with one
+    # blocking materialization and no re-execution wins on structure.
     e = (
         pairs.filter(a != b)
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -449,14 +463,14 @@ def triangle_counts(
         (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
     )
     # oriented feeds BOTH wedge sides and the closing-edge probe (3
-    # consumers); checkpoint it (same size as e) and release e's blocks —
-    # oriented's materialization is now the only data source downstream
+    # consumers); checkpoint it — the ONE blocking materialization of
+    # this operator — so downstream reads a materialized RDD instead of
+    # re-executing the upstream pair pipeline per consumer
     oriented = ed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("dst_deg"),
     ).localCheckpoint(eager=True)
-    _free_checkpoint(e)
     e1 = oriented.select(
         F.col("src"), F.col("dst").alias("v1"), F.col("dst_deg").alias("d1")
     )
