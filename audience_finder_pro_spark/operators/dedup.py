@@ -441,14 +441,31 @@ def incremental_dedup(
         .agg(F.min(id_col).alias("_ex_id"))
     )
     inc = incoming.withColumn("text_hash", norm_text_hash(text_col))
-    flagged = inc.join(ex_fp, "text_hash", "left")
+    # flagged is the fan-out point of the operator: exact_dups reads it
+    # once, survivors three times (new-side signatures, new-side shingle
+    # sets, the verdict merge) — each consumer re-executes the incoming
+    # scan + the fingerprint aggregate + this join. Materializing it was
+    # measured and REJECTED at sf0.1 (r14 A/B, fresh-session best/median,
+    # baseline 4.02/4.41s): eager localCheckpoint 4.99/6.52s — the extra
+    # blocking pass costs more than re-running a sub-MB scan pipeline
+    # (the r13 state_catalog ledger's lesson); lazy localCheckpoint
+    # 8.53/15.87s — the RDD-boundary form loses codegen fusion on this
+    # join and was catastrophically slower. Projected to the three
+    # columns downstream needs (guide §2.3) so whatever re-executes
+    # carries no dead columns. At real scale the re-executed branches
+    # stay scan-bound and columnar; the win there is the verdict-merge
+    # below, not a materialization.
+    flagged = (
+        inc.join(ex_fp, "text_hash", "left")
+        .select(F.col(id_col), F.col(text_col), F.col("_ex_id"))
+    )
     exact_dups = flagged.filter(F.col("_ex_id").isNotNull()).select(
         F.col(id_col),
         F.lit("dup_exact").alias("status"),
         F.col("_ex_id").alias("matched_id"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    survivors = flagged.filter(F.col("_ex_id").isNull()).drop("text_hash", "_ex_id")
+    survivors = flagged.filter(F.col("_ex_id").isNull()).drop("_ex_id")
 
     sig_new = minhash_signatures(survivors, id_col, text_col, n, num_hashes)
     sig_old = minhash_signatures(existing, id_col, text_col, n, num_hashes)
@@ -505,16 +522,26 @@ def incremental_dedup(
         F.col("m.matched_id").alias("matched_id"),
         F.round("m.jaccard", 4).alias("jaccard"),
     )
-    kept = (
-        survivors.join(near_dups.select(id_col), id_col, "left_anti")
+    # near + kept verdicts from ONE pass (r14, the touch_attribution
+    # precedent): the old shape anti-joined survivors against near_dups
+    # and unioned the two frames — near_dups' whole verification pipeline
+    # (candidate join + shingle-set joins + best-match aggregate) sat
+    # under TWO plan branches and re-executed per branch. A LEFT join
+    # keeps one row per survivor — matched rows carry the near verdict,
+    # null-extended rows coalesce to 'kept' — so the verification
+    # pipeline appears in the plan exactly once. best is keyed by id_new
+    # (one row per survivor id at most), so the join multiplies nothing.
+    out_new = (
+        survivors.select(id_col)
+        .join(near_dups, id_col, "left")
         .select(
             F.col(id_col),
-            F.lit("kept").alias("status"),
-            F.lit(None).cast("long").alias("matched_id"),
-            F.lit(None).cast("double").alias("jaccard"),
+            F.coalesce(F.col("status"), F.lit("kept")).alias("status"),
+            F.col("matched_id"),
+            F.col("jaccard"),
         )
     )
-    return exact_dups.unionByName(near_dups).unionByName(kept)
+    return exact_dups.unionByName(out_new)
 
 
 def corpus_dedup(
@@ -569,6 +596,18 @@ def corpus_dedup(
     ).select("id_a", "id_b")
     clusters = dedup_clusters(docs, exact_edges.unionByName(near_edges), id_col=id_col)
 
+    # scored feeds two consumers (the keep-best aggregate and the final
+    # verdict join) and re-executes its docs-scan + cluster join per
+    # consumer. Materializing it was measured and REJECTED at sf0.1 (r14
+    # A/B, fresh-session best/median, baseline 4.23/4.58s): eager
+    # localCheckpoint 5.04/6.19s, lazy 4.56/5.28s — the blocking pass /
+    # RDD boundary costs more than re-running a narrow scan+broadcast
+    # join whose expensive input (the CC cluster table) is already
+    # materialized inside connected_components. A window-form keep-best
+    # (max_by over cluster_id) would single-pass it but drops the
+    # aggregate's map-side combine — the exact hot-key hazard VERDICT
+    # r13 flagged on bm25's token window (a viral dup cluster = one
+    # straggler task at 100 TB) — so the two-level groupBy + join stays.
     scored = docs.select(F.col(id_col), score.cast("double").alias("_score")).join(
         clusters, id_col
     )
